@@ -1,0 +1,140 @@
+"""Tile binning: depth sort + pair expansion + OBB cull + stable tile sort.
+
+TPU-native replacement for the reference's CUB pipeline
+(InclusiveSum -> OBB_test -> duplicateWithKeys -> DeviceRadixSort ->
+identifyTileRanges, ..._pcheck_obb_sum/cuda_rasterizer/rasterizer_impl.cu),
+redesigned for static shapes:
+
+  1. Sort Gaussians by view depth once (N log N) — then every later stage is
+     depth-ordered for free.
+  2. Expand (Gaussian, tile) candidate pairs *without scatter*: a pair index
+     p in [0, CAP) maps to its owning Gaussian via searchsorted over the
+     inclusive cumsum of per-Gaussian tile-rect areas, and to a tile via the
+     pair's rank within the rect. CAP is a static capacity; overflow is
+     counted and reported, never silently wrong order.
+  3. Vectorized separating-axis (OBB) test per pair — same math as
+     auxiliary.h:66-156 OBB_check, reduced to 4 closed-form interval tests.
+  4. One *stable* sort of pairs by tile id. Stability + step 1 ==> pairs
+     within a tile are depth-ordered, reproducing the reference's
+     (tile << 32 | depth) radix sort exactly (identifyTileRanges becomes a
+     searchsorted over the sorted keys).
+
+The optional `tile_mask_fn` hook injects the foveated level-cull
+(filter kernel, ..._fov_pcheck_obb/rasterizer_impl.cu:264-383) into step 3.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from fovsplat.ops.projection import TILE, Preprocessed
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Binned:
+    """Sorted pair list + per-tile segments. CAP = static pair capacity."""
+    pair_gauss: Any   # (CAP,) int32 original Gaussian index (N = invalid sentinel)
+    pair_tile: Any    # (CAP,) int32 tile id, ascending (num_tiles = sentinel)
+    seg_start: Any    # (num_tiles + 1,) int32 segment bounds into pair arrays
+    num_pairs: Any    # () int32 valid pairs after culling
+    overflow: Any     # () int32 candidate pairs dropped by capacity
+    depth_order: Any  # (N,) int32 Gaussians sorted by depth (invalid last)
+
+
+def obb_pass(tile_x: jnp.ndarray, tile_y: jnp.ndarray, center: jnp.ndarray,
+             eigen_vec: jnp.ndarray, eigen_len: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized OBB/tile separating-axis test (auxiliary.h OBB_check).
+
+    All args are per-pair: tile_x/y int tiles, center (P,2) pixel center of
+    the Gaussian, eigen_vec (P,2,2) unit axes, eigen_len (P,2).
+    """
+    half = TILE / 2.0
+    tpx = tile_x.astype(jnp.float32) * TILE + half
+    tpy = tile_y.astype(jnp.float32) * TILE + half
+    v1 = eigen_vec[..., 0, :]
+    v2 = eigen_vec[..., 1, :]
+    d1 = eigen_len[..., 0:1] * v1        # (P, 2)
+    d2 = eigen_len[..., 1:2] * v2
+    cx = center[..., 0] - tpx
+    cy = center[..., 1] - tpy
+    # Axis tests 1-2: gaussian OBB AABB vs tile AABB (both around tile center).
+    ext_x = jnp.abs(d1[..., 0]) + jnp.abs(d2[..., 0])
+    ext_y = jnp.abs(d1[..., 1]) + jnp.abs(d2[..., 1])
+    pass_x = jnp.abs(cx) <= half + ext_x
+    pass_y = jnp.abs(cy) <= half + ext_y
+    # Axis tests 3-4: tile corners projected onto the principal axes.
+    base1 = -(cx * v1[..., 0] + cy * v1[..., 1])   # (tile_center - center) . v1
+    base2 = -(cx * v2[..., 0] + cy * v2[..., 1])
+    e1 = half * (jnp.abs(v1[..., 0]) + jnp.abs(v1[..., 1]))
+    e2 = half * (jnp.abs(v2[..., 0]) + jnp.abs(v2[..., 1]))
+    pass_1 = jnp.abs(base1) <= eigen_len[..., 0] + e1
+    pass_2 = jnp.abs(base2) <= eigen_len[..., 1] + e2
+    return pass_x & pass_y & pass_1 & pass_2
+
+
+def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
+                  pair_capacity: int,
+                  tile_mask_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
+                  use_obb: bool = True) -> Binned:
+    """Bin preprocessed Gaussians into depth-ordered per-tile pair segments.
+
+    tile_mask_fn(orig_gauss_idx, tile_idx) -> bool: extra per-pair cull
+    (used for the foveated level test). tile_idx = ty * grid_x + tx.
+    """
+    n = prep.depth.shape[0]
+    num_tiles = grid_x * grid_y
+    cap = pair_capacity
+
+    # 1. Depth sort (invalid Gaussians pushed to the back).
+    sort_key = jnp.where(prep.valid, prep.depth, jnp.inf)
+    depth_order = jnp.argsort(sort_key)                     # (N,) orig ids
+
+    tnum_sorted = prep.tiles_touched[depth_order]           # (N,)
+    cum_incl = jnp.cumsum(tnum_sorted)
+    total = cum_incl[-1]
+    overflow = jnp.maximum(total - cap, 0)
+
+    # 2. Pair expansion by rank. searchsorted over the inclusive cumsum:
+    # pair p belongs to the first sorted-Gaussian g with cum_incl[g] > p.
+    p = jnp.arange(cap, dtype=jnp.int32)
+    g = jnp.searchsorted(cum_incl, p, side='right').astype(jnp.int32)
+    g = jnp.minimum(g, n - 1)
+    in_range = p < total
+    local = p - (cum_incl[g] - tnum_sorted[g]).astype(jnp.int32)
+
+    orig = depth_order[g].astype(jnp.int32)
+    rmin = prep.rect_min[orig]
+    rw = jnp.maximum(prep.rect_max[orig, 0] - rmin[:, 0], 1)
+    tx = rmin[:, 0] + local % rw
+    ty = rmin[:, 1] + local // rw
+    tile = ty * grid_x + tx
+
+    # 3. Cull: OBB + optional level mask. Single-tile rects skip the OBB test
+    # (the reference filter only SAT-tests multi-tile rects).
+    keep = in_range
+    if use_obb:
+        multi = prep.tiles_touched[orig] > 1
+        ob = obb_pass(tx, ty, prep.mean2d[orig], prep.eigen_vec[orig],
+                      prep.eigen_len[orig])
+        keep = keep & (ob | ~multi)
+    if tile_mask_fn is not None:
+        keep = keep & tile_mask_fn(orig, tile)
+
+    key = jnp.where(keep, tile, num_tiles).astype(jnp.int32)
+
+    # 4. Stable sort by tile id; payload = original Gaussian index.
+    sorted_key, sorted_orig = jax.lax.sort((key, orig), num_keys=1,
+                                           is_stable=True)
+    seg_start = jnp.searchsorted(sorted_key,
+                                 jnp.arange(num_tiles + 1, dtype=jnp.int32),
+                                 side='left').astype(jnp.int32)
+    num_pairs = seg_start[-1]
+
+    return Binned(pair_gauss=sorted_orig, pair_tile=sorted_key,
+                  seg_start=seg_start, num_pairs=num_pairs,
+                  overflow=overflow, depth_order=depth_order)

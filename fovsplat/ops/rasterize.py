@@ -1,0 +1,100 @@
+"""Public rasterizer API: preprocess -> bin -> gather -> blend -> image.
+
+This is the TPU-native counterpart of the reference's
+``GaussianRasterizer.__call__`` (submodules/*/diff_gaussian_rasterization*/
+__init__.py) plus the render dispatch (``gaussian_renderer/__init__.py:19-147``)
+collapsed into one functional entry point. The nine CUDA variants become
+modes/flags of a single pipeline:
+
+  rasterize(...)                      ~ pcheck_obb / pcheck_obb_sum (training)
+  power_cutoff=-inf                   ~ the original Inria rasterizer
+  rasterize_stats(...)                ~ _sum/_max/_loss_weighted_max_count
+  fovsplat.ops.foveated.rasterize_fov ~ _fov/_naive/_mmfr variants
+
+Differentiable w.r.t. means3d/scales/rotations/opacities/colors (and SH via
+color precomputation); the blend step carries a custom VJP, everything else
+is plain JAX autodiff.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from fovsplat.ops import binning, blend, projection, sh
+from fovsplat.ops.projection import TILE
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    """Static rasterizer configuration (shapes/capacities/behavior flags)."""
+    pair_capacity: int = 1 << 18      # max (Gaussian, tile) pairs per frame
+    chunk: int = 1024                 # pairs per blend step
+    power_cutoff: float = -4.5        # OBB variants' early skip; -inf = Inria
+    use_obb: bool = True              # exact tile/Gaussian SAT test
+    scale_modifier: float = 1.0
+
+    def padded_capacity(self) -> int:
+        c = self.chunk
+        return ((self.pair_capacity + c - 1) // c) * c
+
+
+def _grid(camera):
+    gx = (camera.width + TILE - 1) // TILE
+    gy = (camera.height + TILE - 1) // TILE
+    return gx, gy
+
+
+def rasterize(means3d, scales, rotations, opacities, camera,
+              colors=None, shs=None, sh_degree: int = 3,
+              bg_color=None, config: RasterizeConfig = RasterizeConfig(),
+              tile_mask_fn=None):
+    """Render one view.
+
+    Args:
+      means3d: (N,3); scales: (N,3) activated (exp'd); rotations: (N,4) unit
+        quats; opacities: (N,) activated (sigmoid'd).
+      colors: (N,3) precomputed RGB, or None to evaluate `shs`.
+      shs: (N,K,3) SH coefficients (used when colors is None).
+      bg_color: (3,) or None (black).
+      tile_mask_fn: optional extra per-pair cull, see binning.bin_gaussians.
+
+    Returns dict: render (H,W,3), final_T (H,W), n_contrib (H,W),
+      radii (N,), binned (Binned), prep (Preprocessed).
+    """
+    gx, gy = _grid(camera)
+    cfg = config
+    cap = cfg.padded_capacity()
+
+    prep = projection.preprocess(means3d, scales, rotations, camera,
+                                 scale_modifier=cfg.scale_modifier)
+    if colors is None:
+        colors = sh.sh_to_rgb(sh_degree, shs, means3d, camera.cam_center)
+    colors = jnp.asarray(colors)
+    opacities = jnp.asarray(opacities)
+
+    bn = binning.bin_gaussians(prep, gx, gy, cap,
+                               tile_mask_fn=tile_mask_fn, use_obb=cfg.use_obb)
+
+    gid = jnp.minimum(bn.pair_gauss, means3d.shape[0] - 1)
+    tile_color, final_T, n_contrib = blend.blend(
+        bn.pair_tile, prep.mean2d[gid], prep.conic[gid], opacities[gid],
+        colors[gid], bn.seg_start, bn.num_pairs, gx, gy, cfg.chunk,
+        cfg.power_cutoff)
+
+    image = blend.tiles_to_image(tile_color, gx, gy, camera.width, camera.height)
+    T_img = blend.tiles_to_image(final_T, gx, gy, camera.width, camera.height)
+    if bg_color is not None:
+        image = image + T_img[..., None] * jnp.asarray(bg_color, image.dtype)
+    nc_img = blend.tiles_to_image(n_contrib, gx, gy, camera.width, camera.height)
+    return {
+        "render": image,
+        "final_T": T_img,
+        "n_contrib": nc_img,
+        "radii": jnp.where(prep.valid, prep.radius, 0),
+        "binned": bn,
+        "prep": prep,
+    }

@@ -1,0 +1,72 @@
+"""Image losses: L1/L2 (+ per-pixel map variants), SSIM, PSNR.
+
+Parity: fov3dgs/utils/loss_utils.py (11x11 sigma-1.5 gaussian window SSIM,
+C1=0.01^2, C2=0.03^2) and utils/image_utils.py:17 (PSNR). Images are (H,W,C)
+or batched (B,H,W,C), float in [0,1].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def l1_loss(a, b):
+    return jnp.mean(jnp.abs(a - b))
+
+
+def l1_loss_map(a, b):
+    return jnp.abs(a - b)
+
+
+def l2_loss(a, b):
+    return jnp.mean((a - b) ** 2)
+
+
+def psnr(a, b):
+    mse = jnp.mean((a - b) ** 2)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5):
+    xs = jnp.arange(size, dtype=jnp.float32) - size // 2
+    g = jnp.exp(-(xs ** 2) / (2 * sigma ** 2))
+    g = g / g.sum()
+    return jnp.outer(g, g)
+
+
+def _depthwise_conv(img, kernel):
+    """img (B,H,W,C), kernel (kh,kw) -> same-padded depthwise conv."""
+    c = img.shape[-1]
+    k = jnp.broadcast_to(kernel[:, :, None, None], kernel.shape + (1, c))
+    return jax.lax.conv_general_dilated(
+        img, k, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def ssim(a, b, size: int = 11, sigma: float = 1.5):
+    """Mean SSIM, matching loss_utils.py:36-76 (per-channel window, same
+    padding)."""
+    if a.ndim == 3:
+        a = a[None]
+        b = b[None]
+    w = _gaussian_window(size, sigma)
+    mu1 = _depthwise_conv(a, w)
+    mu2 = _depthwise_conv(b, w)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = _depthwise_conv(a * a, w) - mu1_sq
+    s2 = _depthwise_conv(b * b, w) - mu2_sq
+    s12 = _depthwise_conv(a * b, w) - mu12
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    m = ((2 * mu12 + c1) * (2 * s12 + c2)) / ((mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+    return jnp.mean(m)
+
+
+def photometric_loss(render, gt, lambda_dssim: float = 0.2):
+    """The reference training loss: (1-l)*L1 + l*(1-SSIM)
+    (eff_finetune.py:124-125, prune.py:252-254)."""
+    return ((1.0 - lambda_dssim) * l1_loss(render, gt)
+            + lambda_dssim * (1.0 - ssim(render, gt)))
