@@ -1,0 +1,233 @@
+"""Foveated rasterizer: per-tile quality levels + dual-level blending.
+
+TPU-native replacement for diff-gaussian-rasterization_fov_pcheck_obb (N6,
+SURVEY.md §2.1) and its Python renderer (gaussian_renderer_fov/__init__.py):
+
+  * per-tile fractional levels from gaze eccentricity (fovsplat.ops.foveation)
+  * level-cull fused into binning (filter kernel,
+    ..._fov_pcheck_obb/rasterizer_impl.cu:264-383): a (Gaussian, tile) pair
+    survives only if tile_level < highest_level + 1
+  * per-level DC color / opacity arrays (compute_fov_colors,
+    rasterizer_impl.cu:489-531): color_l = max(0, SH_C0*dc_l + rest_eval)
+  * one fused blend pass with TWO transmittance chains per pixel; on
+    "blending" tiles the two adjacent levels L1/L2 are accumulated
+    simultaneously and merged with the smoothstep 3x^2-2x^3 of the estimated
+    per-pixel level (renderCUDA_blending, forward.cu:262-487); on plain tiles
+    the second chain is masked off (renderCUDA, forward.cu:490-604).
+
+The SM-FR baseline (N7, shared color/opacity across levels) and the MM-FR
+baseline (N8, one model per level summed over 4 passes) are thin wrappers at
+the bottom — they reuse the same machinery.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from fovsplat.ops import binning, foveation, projection, sh
+from fovsplat.ops.blend import (PIX, T_EPS, _pair_pixel_geometry,
+                                _seg_cumsum_excl, _segment_firsts,
+                                tiles_to_image, ALPHA_MAX, ALPHA_MIN)
+from fovsplat.ops.foveation import FoveationConfig
+from fovsplat.ops.projection import TILE
+from fovsplat.ops.rasterize import RasterizeConfig, _grid
+
+
+def compute_fov_colors(means3d, shs_rest, shs_dcs, cam_center,
+                       sh_degree: int = 3) -> jnp.ndarray:
+    """(N, L, 3) per-level clamped RGB: shared SH-rest term + per-level DC."""
+    rest = sh.eval_sh_rest(sh_degree, shs_rest, means3d, cam_center)  # (N,3)
+    return jnp.maximum(sh.SH_C0 * shs_dcs + rest[:, None, :], 0.0)
+
+
+def _dual_blend(pair_tile, pair_mean2d, pair_conic, pair_op1, pair_op2,
+                pair_col1, pair_col2, pair_l2_cull, seg_start, num_pairs,
+                tile_l1_active, tile_l2_active,
+                grid_x: int, grid_y: int, chunk: int, power_cutoff: float):
+    """Two simultaneous transmittance chains over the sorted pair list.
+
+    tile_l1_active/tile_l2_active: (T, PIX) bool masks — which pixels
+    accumulate each chain (plain tiles: L1 everywhere, L2 nowhere).
+    pair_l2_cull: (CAP,) bool — pair skipped in the L2 chain
+    (highest_level + 1 < L2_f).
+    Returns (C1, C2, T1, T2) with shapes ([T,PIX,3], ..., [T,PIX], ...).
+    """
+    num_tiles = grid_x * grid_y
+
+    def chain_update(a_eff, logT, frozen, color, col, kt, kt_safe, first):
+        logs = jnp.log1p(-a_eff)
+        excl_log = _seg_cumsum_excl(logs, first)
+        T_row = jnp.exp(logT[kt_safe] + excl_log)
+        incl = T_row * (1.0 - a_eff)
+        trigger = (a_eff > 0) & (incl < T_EPS)
+        done_before = _seg_cumsum_excl(trigger.astype(jnp.int32), first) > 0
+        contribute = (a_eff > 0) & ~trigger & ~done_before
+        weight = jnp.where(contribute, a_eff * T_row, 0.0)
+        color = color.at[kt].add(weight[:, :, None] * col[:, None, :],
+                                 mode='drop')
+        logT = logT.at[kt].add(jnp.where(contribute, logs, 0.0), mode='drop')
+        frozen = frozen.at[kt].max(trigger, mode='drop')
+        return logT, frozen, color
+
+    def body(state):
+        k, c1, c2, lt1, lt2, fr1, fr2 = state
+        base = k * chunk
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, base, chunk)
+        kt = sl(pair_tile)
+        m2d = sl(pair_mean2d)
+        con = sl(pair_conic)
+        op1 = sl(pair_op1)
+        op2 = sl(pair_op2)
+        col1 = sl(pair_col1)
+        col2 = sl(pair_col2)
+        l2c = sl(pair_l2_cull)
+
+        kt_safe = jnp.minimum(kt, num_tiles - 1)
+        valid = (kt < num_tiles)[:, None]
+        first, _ = _segment_firsts(kt)
+
+        # Shared geometry (the reference computes exp(power) once,
+        # forward.cu:389-397).
+        ch = kt.shape[0]
+        lx = jnp.arange(PIX, dtype=jnp.float32) % TILE
+        ly = jnp.floor(jnp.arange(PIX, dtype=jnp.float32) / TILE)
+        px = (kt % grid_x).astype(jnp.float32)[:, None] * TILE + lx[None, :]
+        py = (kt // grid_x).astype(jnp.float32)[:, None] * TILE + ly[None, :]
+        dx = m2d[:, 0:1] - px
+        dy = m2d[:, 1:2] - py
+        a_c, b_c, c_c = con[:, 0:1], con[:, 1:2], con[:, 2:3]
+        power = -0.5 * (a_c * dx * dx + c_c * dy * dy) - b_c * dx * dy
+        G = jnp.exp(jnp.minimum(power, 0.0))
+        geo_ok = (power <= 0.0) & (power >= power_cutoff) & valid
+
+        alpha1 = jnp.minimum(ALPHA_MAX, op1[:, None] * G)
+        ok1 = geo_ok & (alpha1 >= ALPHA_MIN) & tile_l1_active[kt_safe] \
+            & ~fr1[kt_safe]
+        a1 = jnp.where(ok1, alpha1, 0.0)
+        lt1, fr1, c1 = chain_update(a1, lt1, fr1, c1, col1, kt, kt_safe, first)
+
+        alpha2 = jnp.minimum(ALPHA_MAX, op2[:, None] * G)
+        ok2 = geo_ok & (alpha2 >= ALPHA_MIN) & tile_l2_active[kt_safe] \
+            & ~l2c[:, None] & ~fr2[kt_safe]
+        a2 = jnp.where(ok2, alpha2, 0.0)
+        lt2, fr2, c2 = chain_update(a2, lt2, fr2, c2, col2, kt, kt_safe, first)
+
+        return k + 1, c1, c2, lt1, lt2, fr1, fr2
+
+    def cond(state):
+        return state[0] * chunk < num_pairs
+
+    shape = (num_tiles, PIX)
+    init = (jnp.int32(0),
+            jnp.zeros(shape + (3,), jnp.float32),
+            jnp.zeros(shape + (3,), jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, bool),
+            jnp.zeros(shape, bool))
+    _, c1, c2, lt1, lt2, _, _ = jax.lax.while_loop(cond, body, init)
+    return c1, c2, jnp.exp(lt1), jnp.exp(lt2)
+
+
+def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
+                  highest_levels, camera, gaze, alpha,
+                  blending: bool = True, bg_color=None, sh_degree: int = 3,
+                  config: RasterizeConfig = RasterizeConfig(),
+                  fov_cfg: FoveationConfig = FoveationConfig(),
+                  colors_override=None, opacity_shared=None):
+    """Foveated render ("ours" FR).
+
+    Args:
+      opacities: (N, L) activated per-level opacity (or None with
+        opacity_shared (N,) for the SM-FR baseline).
+      shs_dcs: (N, L, 3) per-level DC SH coefficients (or None with
+        colors_override (N, L, 3) precomputed colors).
+      shs_rest: (N, K-1, 3) shared rest coefficients.
+      highest_levels: (N,) coarsest level each Gaussian survives to.
+      gaze: (2,) NDC in [0, 1]. alpha: foveation strength (0.05 in the FPS
+        harness, render_compose_gazes_fps.py:51).
+    """
+    gx, gy = _grid(camera)
+    num_tiles = gx * gy
+    cap = config.padded_capacity()
+    n = means3d.shape[0]
+    L = fov_cfg.fov_num
+
+    prep = projection.preprocess(means3d, scales, rotations, camera,
+                                 scale_modifier=config.scale_modifier)
+
+    levels = foveation.compute_tile_levels(gaze, camera.width, camera.height,
+                                           alpha, fov_cfg)
+    grad_x, grad_y, _, tile_blend = foveation.compute_tile_level_infos(
+        levels, camera.width, camera.height, fov_cfg)
+    if not blending:
+        tile_blend = jnp.zeros_like(tile_blend)
+
+    hl = jnp.asarray(highest_levels, jnp.float32)
+
+    def level_mask(orig, tile):
+        t = jnp.minimum(tile, num_tiles - 1)
+        return levels[t] < hl[orig] + 1.0
+
+    bn = binning.bin_gaussians(prep, gx, gy, cap, tile_mask_fn=level_mask,
+                               use_obb=config.use_obb)
+
+    if colors_override is None:
+        fov_colors = compute_fov_colors(means3d, shs_rest, shs_dcs,
+                                        camera.cam_center, sh_degree)
+    else:
+        fov_colors = colors_override                       # (N, L, 3)
+    if opacity_shared is not None:
+        opacities = jnp.broadcast_to(opacity_shared[:, None], (n, L))
+
+    # Per-tile level indices and per-pixel estimated level.
+    l1_i = levels.astype(jnp.int32)
+    l2_i = jnp.minimum(l1_i + 1, L - 1)
+    lx = jnp.arange(PIX, dtype=jnp.float32) % TILE
+    ly = jnp.floor(jnp.arange(PIX, dtype=jnp.float32) / TILE)
+    est = (levels[:, None]
+           + (lx[None, :] * grad_x[:, None] + ly[None, :] * grad_y[:, None])
+           / TILE)                                          # (T, PIX)
+
+    # Chain activity masks (renderCUDA_blending's L1_done init / L2_done).
+    l1_active = jnp.where(tile_blend[:, None],
+                          est <= (l1_i + 1)[:, None].astype(jnp.float32),
+                          jnp.ones((num_tiles, PIX), bool))
+    l2_active = jnp.broadcast_to(tile_blend[:, None], (num_tiles, PIX))
+
+    gid = jnp.minimum(bn.pair_gauss, n - 1)
+    kt_safe = jnp.minimum(bn.pair_tile, num_tiles - 1)
+    pl1 = l1_i[kt_safe]
+    pl2 = l2_i[kt_safe]
+    op1 = opacities[gid, pl1]
+    op2 = opacities[gid, pl2]
+    col1 = fov_colors[gid, pl1]
+    col2 = fov_colors[gid, pl2]
+    l2_cull = (hl[gid] + 1.0) < (levels[kt_safe] + 1.0)  # L2_f = tile_level+1
+
+    c1, c2, t1, t2 = _dual_blend(
+        bn.pair_tile, prep.mean2d[gid], prep.conic[gid], op1, op2, col1, col2,
+        l2_cull, bn.seg_start, bn.num_pairs, l1_active, l2_active,
+        gx, gy, config.chunk, config.power_cutoff)
+
+    bg = (jnp.zeros(3, jnp.float32) if bg_color is None
+          else jnp.asarray(bg_color, jnp.float32))
+    c1 = c1 + t1[..., None] * bg
+    c2 = c2 + t2[..., None] * bg
+    # Smoothstep merge (forward.cu:459-476).
+    x = jnp.abs(est - (l1_i[:, None].astype(jnp.float32) + fov_cfg.start_blend))
+    x = jnp.clip(x / fov_cfg.blend_width, 0.0, 1.0)
+    blend_T = 3 * x * x - 2 * x * x * x
+    l1_w = 1.0 - blend_T
+    merged = c1 * l1_w[..., None] + c2 * (1.0 - l1_w[..., None])
+    tile_color = jnp.where(tile_blend[:, None, None], merged, c1)
+
+    image = tiles_to_image(tile_color, gx, gy, camera.width, camera.height)
+    return {"render": image,
+            "radii": jnp.where(prep.valid, prep.radius, 0),
+            "tile_levels": levels, "tile_blend": tile_blend,
+            "binned": bn}

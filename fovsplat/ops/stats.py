@@ -1,0 +1,185 @@
+"""Forward-only rasterizer variants with per-Gaussian statistics.
+
+TPU-native equivalents of the reference's counting rasterizers:
+  mode="sum"  ~ diff-gaussian-rasterization_pcheck_obb_sum extra outputs
+               (forward.cu:381,400): gs_count += 1 per binned (tile,Gaussian)
+               pair, contribs += alpha*T per contributing pixel.
+  mode="max"  ~ ..._pcheck_obb_max: contribs = max alpha*T per Gaussian
+               (atomicMaxFloat, auxiliary.h:41-51).
+  mode="loss_weighted_max_count" ~ ..._pcheck_obb_loss_weighted_max_count:
+               each pixel routes its loss_map value to the single Gaussian
+               with the highest alpha*T at that pixel (forward.cu:403-435);
+               gs_count counts contributing pixels per Gaussian.
+  mode="count_opacity" ~ LightGaussian's compress-diff-gaussian-rasterization
+               renderCUDA_count (N9, forward.cu:380-475): gs_count += 1 and
+               important_score += opacity per contributing pixel.
+
+All accumulations are segment reductions over the sorted pair list —
+deterministic, unlike the CUDA atomics (SURVEY.md §5.2). Tie-break for the
+per-pixel argmax is lowest Gaussian id (the CUDA original's is a race).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from fovsplat.ops import binning, projection, sh
+from fovsplat.ops.blend import (PIX, T_EPS, _pair_pixel_geometry,
+                                _seg_cumsum_excl, _segment_firsts,
+                                tiles_to_image)
+from fovsplat.ops.rasterize import RasterizeConfig, _grid
+
+MODES = ("sum", "max", "loss_weighted_max_count", "count_opacity")
+
+
+def blend_stats(pair_tile, pair_gauss, pair_mean2d, pair_conic, pair_opacity,
+                pair_color, seg_start, num_pairs, n_gaussians: int,
+                grid_x: int, grid_y: int, chunk: int, power_cutoff: float,
+                mode: str, loss_map_tiles=None):
+    """Forward blend + per-Gaussian stats over the sorted pair list.
+
+    Returns (tile_color [T,PIX,3], final_T [T,PIX], gs_count (N,) i32,
+    contribs (N,) f32)."""
+    assert mode in MODES, mode
+    num_tiles = grid_x * grid_y
+    argmax_mode = mode == "loss_weighted_max_count"
+
+    def body(state):
+        k, color, logT, frozen, gs_count, contribs, best_w, best_g = state
+        base = k * chunk
+        kt = jax.lax.dynamic_slice_in_dim(pair_tile, base, chunk)
+        gid = jax.lax.dynamic_slice_in_dim(pair_gauss, base, chunk)
+        m2d = jax.lax.dynamic_slice_in_dim(pair_mean2d, base, chunk)
+        con = jax.lax.dynamic_slice_in_dim(pair_conic, base, chunk)
+        op = jax.lax.dynamic_slice_in_dim(pair_opacity, base, chunk)
+        col = jax.lax.dynamic_slice_in_dim(pair_color, base, chunk)
+
+        alpha, static_ok, _, _, _ = _pair_pixel_geometry(
+            kt, m2d, con, op, grid_x, power_cutoff)
+        kt_safe = jnp.minimum(kt, num_tiles - 1)
+        pair_valid = kt < num_tiles
+        row_frozen = frozen[kt_safe]
+        a_eff = jnp.where(static_ok & pair_valid[:, None] & ~row_frozen,
+                          alpha, 0.0)
+
+        first, _ = _segment_firsts(kt)
+        logs = jnp.log1p(-a_eff)
+        excl_log = _seg_cumsum_excl(logs, first)
+        T_row = jnp.exp(logT[kt_safe] + excl_log)
+        incl = T_row * (1.0 - a_eff)
+        trigger = (a_eff > 0) & (incl < T_EPS)
+        done_before = _seg_cumsum_excl(trigger.astype(jnp.int32), first) > 0
+        contribute = (a_eff > 0) & ~trigger & ~done_before
+        weight = jnp.where(contribute, a_eff * T_row, 0.0)
+
+        color = color.at[kt].add(weight[:, :, None] * col[:, None, :],
+                                 mode='drop')
+        logT = logT.at[kt].add(jnp.where(contribute, logs, 0.0), mode='drop')
+        frozen = frozen.at[kt].max(trigger, mode='drop')
+
+        gid_safe = jnp.where(pair_valid, gid, n_gaussians)
+        touched = jnp.sum(contribute.astype(jnp.int32), axis=1)
+        if mode == "sum":
+            gs_count = gs_count.at[gid_safe].add(
+                pair_valid.astype(jnp.int32), mode='drop')
+            contribs = contribs.at[gid_safe].add(jnp.sum(weight, axis=1),
+                                                 mode='drop')
+        elif mode == "max":
+            gs_count = gs_count.at[gid_safe].add(
+                pair_valid.astype(jnp.int32), mode='drop')
+            contribs = contribs.at[gid_safe].max(jnp.max(weight, axis=1),
+                                                 mode='drop')
+        elif mode == "count_opacity":
+            gs_count = gs_count.at[gid_safe].add(touched, mode='drop')
+            contribs = contribs.at[gid_safe].add(
+                op * touched.astype(jnp.float32), mode='drop')
+        else:  # loss_weighted_max_count
+            gs_count = gs_count.at[gid_safe].add(touched, mode='drop')
+            # Per-(tile,pixel) argmax of weight across the whole pair list.
+            # Within the chunk: scatter-max per tile row, then deterministic
+            # min-id among achievers; merge with the running carry.
+            cm = jnp.zeros_like(best_w).at[kt].max(weight, mode='drop')
+            achieved = (weight >= cm[kt_safe]) & (weight > 0)
+            cg = jnp.full_like(best_g, n_gaussians).at[kt].min(
+                jnp.where(achieved, gid_safe[:, None], n_gaussians),
+                mode='drop')
+            better = cm > best_w
+            best_g = jnp.where(better, cg, best_g)
+            best_w = jnp.maximum(best_w, cm)
+        return k + 1, color, logT, frozen, gs_count, contribs, best_w, best_g
+
+    def cond(state):
+        return state[0] * chunk < num_pairs
+
+    shape_pix = (num_tiles, PIX)
+    init = (jnp.int32(0),
+            jnp.zeros(shape_pix + (3,), jnp.float32),
+            jnp.zeros(shape_pix, jnp.float32),
+            jnp.zeros(shape_pix, bool),
+            jnp.zeros(n_gaussians, jnp.int32),
+            jnp.zeros(n_gaussians, jnp.float32),
+            jnp.zeros(shape_pix, jnp.float32) if argmax_mode
+            else jnp.zeros((1, 1), jnp.float32),
+            jnp.full(shape_pix, n_gaussians, jnp.int32) if argmax_mode
+            else jnp.zeros((1, 1), jnp.int32))
+    _, color, logT, _, gs_count, contribs, best_w, best_g = \
+        jax.lax.while_loop(cond, body, init)
+
+    if argmax_mode:
+        lm = (jnp.ones(shape_pix, jnp.float32) if loss_map_tiles is None
+              else loss_map_tiles)
+        contribs = contribs.at[best_g.reshape(-1)].add(lm.reshape(-1),
+                                                       mode='drop')
+    return color, jnp.exp(logT), gs_count, contribs
+
+
+def image_to_tiles(img: jnp.ndarray, grid_x: int, grid_y: int) -> jnp.ndarray:
+    """(H, W) -> [num_tiles, PIX] tile-major, zero-padded to full tiles."""
+    h, w = img.shape[:2]
+    ph = grid_y * projection.TILE - h
+    pw = grid_x * projection.TILE - w
+    img = jnp.pad(img, ((0, ph), (0, pw)))
+    t = projection.TILE
+    img = img.reshape(grid_y, t, grid_x, t).transpose(0, 2, 1, 3)
+    return img.reshape(grid_y * grid_x, PIX)
+
+
+def rasterize_stats(means3d, scales, rotations, opacities, camera,
+                    colors=None, shs=None, sh_degree: int = 3, mode="sum",
+                    loss_map=None, bg_color=None,
+                    config: RasterizeConfig = RasterizeConfig()):
+    """Render + per-Gaussian stats (the counting-variant public API:
+    color, radii, gaussians_count, contributions —
+    ..._pcheck_obb_sum/__init__.py:92-104)."""
+    gx, gy = _grid(camera)
+    cap = config.padded_capacity()
+    n = means3d.shape[0]
+
+    prep = projection.preprocess(means3d, scales, rotations, camera,
+                                 scale_modifier=config.scale_modifier)
+    if colors is None:
+        colors = sh.sh_to_rgb(sh_degree, shs, means3d, camera.cam_center)
+    colors = jnp.asarray(colors)
+    opacities = jnp.asarray(opacities)
+
+    bn = binning.bin_gaussians(prep, gx, gy, cap, use_obb=config.use_obb)
+    gid = jnp.minimum(bn.pair_gauss, n - 1)
+    lm_tiles = None
+    if loss_map is not None:
+        lm_tiles = image_to_tiles(loss_map, gx, gy)
+    tile_color, final_T, gs_count, contribs = blend_stats(
+        bn.pair_tile, bn.pair_gauss, prep.mean2d[gid], prep.conic[gid],
+        opacities[gid], colors[gid], bn.seg_start, bn.num_pairs, n,
+        gx, gy, config.chunk, config.power_cutoff, mode, lm_tiles)
+
+    image = tiles_to_image(tile_color, gx, gy, camera.width, camera.height)
+    T_img = tiles_to_image(final_T, gx, gy, camera.width, camera.height)
+    if bg_color is not None:
+        image = image + T_img[..., None] * jnp.asarray(bg_color, image.dtype)
+    return {"render": image, "final_T": T_img, "gs_count": gs_count,
+            "contribs": contribs,
+            "radii": jnp.where(prep.valid, prep.radius, 0), "binned": bn}
