@@ -1,0 +1,158 @@
+"""COLMAP sparse-reconstruction parsing (binary and text).
+
+Counterpart of the reference's scene/colmap_loader.py (itself from the
+public COLMAP scripts): reads cameras.bin/images.bin/points3D.bin (or .txt)
+into plain numpy structures.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import struct
+
+import numpy as np
+
+CAMERA_MODELS = {
+    0: ("SIMPLE_PINHOLE", 3), 1: ("PINHOLE", 4), 2: ("SIMPLE_RADIAL", 4),
+    3: ("RADIAL", 5), 4: ("OPENCV", 8), 5: ("OPENCV_FISHEYE", 8),
+    6: ("FULL_OPENCV", 12), 7: ("FOV", 5), 8: ("SIMPLE_RADIAL_FISHEYE", 4),
+    9: ("RADIAL_FISHEYE", 5), 10: ("THIN_PRISM_FISHEYE", 12),
+}
+MODEL_NAME_TO_ID = {name: (mid, n) for mid, (name, n) in CAMERA_MODELS.items()}
+
+
+@dataclasses.dataclass
+class ColmapCamera:
+    id: int
+    model: str
+    width: int
+    height: int
+    params: np.ndarray
+
+
+@dataclasses.dataclass
+class ColmapImage:
+    id: int
+    qvec: np.ndarray    # (4,) wxyz
+    tvec: np.ndarray    # (3,)
+    camera_id: int
+    name: str
+
+
+def qvec2rotmat(q):
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _read(f, fmt):
+    return struct.unpack(fmt, f.read(struct.calcsize(fmt)))
+
+
+def read_cameras_binary(path) -> dict[int, ColmapCamera]:
+    out = {}
+    with open(path, "rb") as f:
+        (num,) = _read(f, "<Q")
+        for _ in range(num):
+            cid, model_id, w, h = _read(f, "<iiQQ")
+            name, n_params = CAMERA_MODELS[model_id]
+            params = np.array(_read(f, "<" + "d" * n_params))
+            out[cid] = ColmapCamera(cid, name, int(w), int(h), params)
+    return out
+
+
+def read_images_binary(path) -> dict[int, ColmapImage]:
+    out = {}
+    with open(path, "rb") as f:
+        (num,) = _read(f, "<Q")
+        for _ in range(num):
+            iid = _read(f, "<i")[0]
+            qvec = np.array(_read(f, "<dddd"))
+            tvec = np.array(_read(f, "<ddd"))
+            cam_id = _read(f, "<i")[0]
+            name = b""
+            while True:
+                c = f.read(1)
+                if c == b"\x00":
+                    break
+                name += c
+            (n_pts,) = _read(f, "<Q")
+            f.read(24 * n_pts)   # skip 2D points (x, y, point3D_id)
+            out[iid] = ColmapImage(iid, qvec, tvec, cam_id, name.decode())
+    return out
+
+
+def read_points3d_binary(path):
+    """Returns (xyz (P,3) f64, rgb (P,3) u8, error (P,))."""
+    with open(path, "rb") as f:
+        (num,) = _read(f, "<Q")
+        xyz = np.empty((num, 3))
+        rgb = np.empty((num, 3), np.uint8)
+        err = np.empty(num)
+        for i in range(num):
+            data = _read(f, "<QdddBBBd")
+            xyz[i] = data[1:4]
+            rgb[i] = data[4:7]
+            err[i] = data[7]
+            (track_len,) = _read(f, "<Q")
+            f.read(8 * track_len)
+    return xyz, rgb, err
+
+
+def read_cameras_text(path) -> dict[int, ColmapCamera]:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            el = line.split()
+            cid = int(el[0])
+            out[cid] = ColmapCamera(cid, el[1], int(el[2]), int(el[3]),
+                                    np.array(el[4:], dtype=np.float64))
+    return out
+
+
+def read_images_text(path) -> dict[int, ColmapImage]:
+    out = {}
+    with open(path) as f:
+        lines = [l.strip() for l in f
+                 if l.strip() and not l.strip().startswith("#")]
+    for i in range(0, len(lines), 2):       # every other line is 2D points
+        el = lines[i].split()
+        iid = int(el[0])
+        out[iid] = ColmapImage(iid, np.array(el[1:5], np.float64),
+                               np.array(el[5:8], np.float64), int(el[8]),
+                               el[9])
+    return out
+
+
+def read_points3d_text(path):
+    xyz, rgb, err = [], [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            el = line.split()
+            xyz.append([float(x) for x in el[1:4]])
+            rgb.append([int(x) for x in el[4:7]])
+            err.append(float(el[7]))
+    return (np.array(xyz), np.array(rgb, np.uint8), np.array(err))
+
+
+def read_model(sparse_dir: str):
+    """Auto-detect binary/text model in `sparse_dir`."""
+    if os.path.exists(os.path.join(sparse_dir, "cameras.bin")):
+        cams = read_cameras_binary(os.path.join(sparse_dir, "cameras.bin"))
+        imgs = read_images_binary(os.path.join(sparse_dir, "images.bin"))
+        pts = read_points3d_binary(os.path.join(sparse_dir, "points3D.bin"))
+    else:
+        cams = read_cameras_text(os.path.join(sparse_dir, "cameras.txt"))
+        imgs = read_images_text(os.path.join(sparse_dir, "images.txt"))
+        pts = read_points3d_text(os.path.join(sparse_dir, "points3D.txt"))
+    return cams, imgs, pts

@@ -1,0 +1,86 @@
+"""Foveated FPS benchmark — the reference's compose_gazes harness.
+
+Parity with fov3dgs/render_compose_gazes_fps.py:25-121: a 3x3 grid of gazes
+(0.2/0.5/0.8 in each axis), 10 warmups per gaze, 5 timed repetitions per
+view, timing the rasterizer call only (device-time via block_until_ready —
+the reference brackets with CUDA events). Also covers the SM-FR
+(_naive) and MM-FR (_mmfr) harness variants via `mode`.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fovsplat.ops import foveated as fov
+from fovsplat.ops import rasterize as rast
+
+GAZES = [(x, y) for y in (0.2, 0.5, 0.8) for x in (0.2, 0.5, 0.8)]
+
+
+def make_fov_render(params, composed, config, fov_cfg=None, alpha=0.05,
+                    blending=True, mode="ours"):
+    """Returns jitted render(camera, gaze) for the composed model.
+
+    mode: "ours" (per-level DC/opacity), "naive" (SM-FR: shared color and
+    opacity; levels only gate participation), or a list of 4 single-level
+    models for "mmfr" handled in fps_benchmark_mmfr.
+    """
+    from fovsplat.ops.foveation import FoveationConfig
+    fov_cfg = fov_cfg or FoveationConfig()
+    p = params
+    live = jnp.asarray(composed.live)
+    hl = jnp.asarray(composed.highest_levels)
+
+    if mode == "ours":
+        opac = jnp.asarray(composed.opacities)
+        dcs = jnp.asarray(composed.shs_dcs)
+
+        def render(camera, gaze):
+            return fov.rasterize_fov(
+                p.xyz, p.get_scaling(), p.get_rotation(), opac, dcs,
+                p.features_rest, hl, camera, gaze=gaze, alpha=alpha,
+                blending=blending, config=config, fov_cfg=fov_cfg,
+                live_mask=live)["render"]
+    else:  # naive SM-FR: shared model, per-level arrays broadcast
+        def render(camera, gaze):
+            return fov.rasterize_fov(
+                p.xyz, p.get_scaling(), p.get_rotation(), None,
+                None, p.features_rest, hl, camera, gaze=gaze,
+                alpha=alpha, blending=blending, config=config,
+                fov_cfg=fov_cfg, live_mask=live,
+                colors_override=jnp.broadcast_to(
+                    fov.compute_fov_colors(
+                        p.xyz, p.features_rest,
+                        jnp.repeat(p.features_dc, fov_cfg.fov_num, axis=1),
+                        camera.cam_center)[:, :1, :],
+                    (p.num_points, fov_cfg.fov_num, 3)),
+                opacity_shared=p.get_opacity())["render"]
+
+    return jax.jit(render)
+
+
+def fps_benchmark(render_fn, cameras, gazes=GAZES, warmups: int = 10,
+                  reps: int = 5, log=print) -> dict:
+    """render_fn(camera, gaze (2,) f32) -> image. Returns per-gaze FPS means
+    + overall average (the reference's .txt layout)."""
+    per_gaze = []
+    for gz in gazes:
+        gaze = jnp.asarray(gz, jnp.float32)
+        jax.block_until_ready(render_fn(cameras[0], gaze))
+        for _ in range(warmups):
+            jax.block_until_ready(render_fn(cameras[0], gaze))
+        times = []
+        for cam in cameras:
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = render_fn(cam, gaze)
+            jax.block_until_ready(out)
+            times.append((time.perf_counter() - t0) / reps)
+        fps = 1.0 / float(np.mean(times))
+        per_gaze.append(fps)
+        log(f"[fps] gaze={gz} fps={fps:.1f}")
+    return {"per_gaze": per_gaze, "avg": float(np.mean(per_gaze))}

@@ -138,7 +138,8 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
                   blending: bool = True, bg_color=None, sh_degree: int = 3,
                   config: RasterizeConfig = RasterizeConfig(),
                   fov_cfg: FoveationConfig = FoveationConfig(),
-                  colors_override=None, opacity_shared=None):
+                  colors_override=None, opacity_shared=None,
+                  live_mask=None):
     """Foveated render ("ours" FR).
 
     Args:
@@ -158,7 +159,8 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
     L = fov_cfg.fov_num
 
     prep = projection.preprocess(means3d, scales, rotations, camera,
-                                 scale_modifier=config.scale_modifier)
+                                 scale_modifier=config.scale_modifier,
+                                 live_mask=live_mask)
 
     levels = foveation.compute_tile_levels(gaze, camera.width, camera.height,
                                            alpha, fov_cfg)

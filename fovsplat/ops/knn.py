@@ -17,10 +17,11 @@ import jax.numpy as jnp
 
 def _expand_bits(v: jnp.ndarray) -> jnp.ndarray:
     """Spread 10 bits over 30 (classic Morton trick)."""
-    v = (v * 0x00010001) & 0xFF0000FF
-    v = (v * 0x00000101) & 0x0F00F00F
-    v = (v * 0x00000011) & 0xC30C30C3
-    v = (v * 0x00000005) & 0x49249249
+    u = jnp.uint32
+    v = (v * u(0x00010001)) & u(0xFF0000FF)
+    v = (v * u(0x00000101)) & u(0x0F00F00F)
+    v = (v * u(0x00000011)) & u(0xC30C30C3)
+    v = (v * u(0x00000005)) & u(0x49249249)
     return v
 
 
@@ -36,20 +37,36 @@ def morton_codes(points: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("k", "window"))
 def mean_knn_sqdist(points: jnp.ndarray, k: int = 3, window: int = 32) -> jnp.ndarray:
     """Mean squared distance from each point to its k nearest neighbors,
-    searching +-window positions in Morton order. Matches the role of
-    simple-knn's distCUDA2 (scene/gaussian_model.py:256)."""
+    searching +-window positions along three axis-permuted Morton orders
+    (candidate union -> exact top-k over candidates). Matches the role of
+    simple-knn's distCUDA2 (scene/gaussian_model.py:256), which is likewise
+    an approximate spatial-sort search."""
     n = points.shape[0]
-    order = jnp.argsort(morton_codes(points))
-    sorted_pts = points[order]
-
     offs = jnp.concatenate([jnp.arange(-window, 0), jnp.arange(1, window + 1)])
-    idx = jnp.arange(n)[:, None] + offs[None, :]
-    idx = jnp.clip(idx, 0, n - 1)
-    neigh = sorted_pts[idx]                           # (N, 2w, 3)
-    d2 = jnp.sum((neigh - sorted_pts[:, None, :]) ** 2, axis=-1)
-    # Self-matches from clipping get +inf.
-    d2 = jnp.where(idx == jnp.arange(n)[:, None], jnp.inf, d2)
-    top = -jax.lax.top_k(-d2, k)[0]                   # k smallest
-    mean = jnp.mean(top, axis=-1)
-    inv = jnp.zeros(n, points.dtype).at[order].set(mean)
-    return inv
+    base = jnp.arange(n)
+
+    def order_cands(perm):
+        order = jnp.argsort(morton_codes(points[:, perm]))
+        sorted_pts = points[order]
+        idx = jnp.clip(base[:, None] + offs[None, :], 0, n - 1)
+        d2 = jnp.sum((sorted_pts[idx] - sorted_pts[:, None, :]) ** 2, -1)
+        d2 = jnp.where(idx == base[:, None], jnp.inf, d2)
+        nb = order[idx]                               # original-space ids
+        # Back to original point order.
+        w2 = d2.shape[1]
+        d2o = jnp.zeros((n, w2), points.dtype).at[order].set(d2)
+        nbo = jnp.zeros((n, w2), jnp.int32).at[order].set(nb.astype(jnp.int32))
+        return d2o, nbo
+
+    parts = [order_cands(p) for p in ((0, 1, 2), (1, 2, 0), (2, 0, 1))]
+    d2 = jnp.concatenate([p[0] for p in parts], axis=1)
+    nb = jnp.concatenate([p[1] for p in parts], axis=1)
+    # De-duplicate neighbors found by multiple orders: row-sort by id and
+    # kill repeats, so top-k sees each neighbor once.
+    nb_s, d2_s = jax.lax.sort((nb, d2), num_keys=1, dimension=1,
+                              is_stable=True)
+    dup = jnp.concatenate([jnp.zeros((n, 1), bool), nb_s[:, 1:] == nb_s[:, :-1]],
+                          axis=1)
+    d2_s = jnp.where(dup, jnp.inf, d2_s)
+    top = -jax.lax.top_k(-d2_s, k)[0]                 # k smallest, unique
+    return jnp.mean(top, axis=-1)

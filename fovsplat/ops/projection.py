@@ -102,8 +102,14 @@ def ndc2pix(v: jnp.ndarray, size) -> jnp.ndarray:
 
 def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
                camera, scale_modifier: float = 1.0,
-               cov3d_precomp: jnp.ndarray | None = None) -> Preprocessed:
-    """Project N Gaussians into camera `camera` (a fovsplat Camera)."""
+               cov3d_precomp: jnp.ndarray | None = None,
+               live_mask: jnp.ndarray | None = None) -> Preprocessed:
+    """Project N Gaussians into camera `camera` (a fovsplat Camera).
+
+    live_mask: optional (N,) bool — rows marked False are culled. Training
+    keeps parameters at a fixed capacity and prunes via this mask so jitted
+    steps never change shape (SURVEY.md §7 "optimizer-state surgery").
+    """
     W, H = camera.width, camera.height
     grid_x = (W + TILE - 1) // TILE
     grid_y = (H + TILE - 1) // TILE
@@ -147,6 +153,8 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray
     tiles_touched = (rx1 - rx0) * (ry1 - ry0)
 
     valid = in_front & det_ok & (tiles_touched > 0)
+    if live_mask is not None:
+        valid = valid & live_mask
     tiles_touched = jnp.where(valid, tiles_touched, 0)
 
     # OBB principal axes (forward.cu:243-266). Guard the degenerate

@@ -51,7 +51,7 @@ def _grid(camera):
 def rasterize(means3d, scales, rotations, opacities, camera,
               colors=None, shs=None, sh_degree: int = 3,
               bg_color=None, config: RasterizeConfig = RasterizeConfig(),
-              tile_mask_fn=None):
+              tile_mask_fn=None, live_mask=None, mean2d_offset=None):
     """Render one view.
 
     Args:
@@ -70,7 +70,13 @@ def rasterize(means3d, scales, rotations, opacities, camera,
     cap = cfg.padded_capacity()
 
     prep = projection.preprocess(means3d, scales, rotations, camera,
-                                 scale_modifier=cfg.scale_modifier)
+                                 scale_modifier=cfg.scale_modifier,
+                                 live_mask=live_mask)
+    if mean2d_offset is not None:
+        # The reference's screenspace_points trick
+        # (gaussian_renderer/__init__.py:28-32): a zero tensor added to the
+        # projected means whose gradient drives densification.
+        prep = dataclasses.replace(prep, mean2d=prep.mean2d + mean2d_offset)
     if colors is None:
         colors = sh.sh_to_rgb(sh_degree, shs, means3d, camera.cam_center)
     colors = jnp.asarray(colors)

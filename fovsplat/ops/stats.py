@@ -151,7 +151,8 @@ def image_to_tiles(img: jnp.ndarray, grid_x: int, grid_y: int) -> jnp.ndarray:
 def rasterize_stats(means3d, scales, rotations, opacities, camera,
                     colors=None, shs=None, sh_degree: int = 3, mode="sum",
                     loss_map=None, bg_color=None,
-                    config: RasterizeConfig = RasterizeConfig()):
+                    config: RasterizeConfig = RasterizeConfig(),
+                    live_mask=None):
     """Render + per-Gaussian stats (the counting-variant public API:
     color, radii, gaussians_count, contributions —
     ..._pcheck_obb_sum/__init__.py:92-104)."""
@@ -160,7 +161,8 @@ def rasterize_stats(means3d, scales, rotations, opacities, camera,
     n = means3d.shape[0]
 
     prep = projection.preprocess(means3d, scales, rotations, camera,
-                                 scale_modifier=config.scale_modifier)
+                                 scale_modifier=config.scale_modifier,
+                                 live_mask=live_mask)
     if colors is None:
         colors = sh.sh_to_rgb(sh_degree, shs, means3d, camera.cam_center)
     colors = jnp.asarray(colors)

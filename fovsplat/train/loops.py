@@ -1,0 +1,356 @@
+"""Training loops: efficiency-aware pruning, HVS fine-tune, PS-mask learning.
+
+TPU-native re-designs of the reference's three trainers:
+  finetune()        ~ eff_finetune.py training() (photometric or uniform-HVS)
+  prune_training()  ~ prune.py training() (SURVEY.md §3.2): quality-gated
+                      metric pruning with current-best rollback, scale-decay
+                      loss, opacity pruning, reset_opacity_max(0.1)
+  mask_training()   ~ metric_mask_learn.py training() (§3.3): uniform-HVS(L1)
+                      objective at a pooling size, only DC-SH + opacity
+                      trainable, HVS-gated "surface" metric pruning
+
+All inner steps are jitted once (capacity-padded state, live-mask pruning);
+the outer quality gates run in Python like the reference's.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import random
+import time
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fovsplat.models import state as S
+from fovsplat.ops import rasterize as rast
+from fovsplat.ops import stats as stats_ops
+from fovsplat.perception import metameric
+from fovsplat.train import losses, optim
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    raster: rast.RasterizeConfig = rast.RasterizeConfig()
+    optim: optim.OptimConfig = optim.OptimConfig()
+    lambda_dssim: float = 0.2
+    sh_degree: int = 3
+    spatial_lr_scale: float = 1.0
+    # HVS loss settings (n_orientations=6, 5 levels everywhere in the ref).
+    hvs_levels: int = 5
+    hvs_orientations: int = 6
+
+
+def render_state(state: S.TrainerState, camera, cfg: LoopConfig,
+                 bg_color=None):
+    p = state.params
+    return rast.rasterize(p.xyz, p.get_scaling(), p.get_rotation(),
+                          p.get_opacity(), camera, shs=p.get_features(),
+                          sh_degree=cfg.sh_degree, bg_color=bg_color,
+                          config=cfg.raster, live_mask=state.live)
+
+
+def _gs_counts(binned, capacity: int):
+    """Per-Gaussian binned-pair count ~ the reference's gs_count (one
+    atomicAdd per fetched (tile,Gaussian) pair, forward.cu:361)."""
+    return jnp.zeros(capacity, jnp.int32).at[binned.pair_gauss].add(
+        1, mode='drop')
+
+
+def make_photometric_step(cfg: LoopConfig, use_scale_decay: bool = False):
+    def step(state: S.TrainerState, camera, gt, it, scale_weight):
+        def objective(params):
+            st = dataclasses.replace(state, params=params)
+            out = render_state(st, camera, cfg)
+            loss = losses.photometric_loss(out["render"], gt,
+                                           cfg.lambda_dssim)
+            if use_scale_decay:
+                # prune.py:257-261: + w * mean(max_scale*(gs_count-4)
+                #                              *[gs_count>4]) over live rows.
+                gs_count = _gs_counts(out["binned"], state.capacity)
+                scale_max = jnp.max(params.get_scaling(), axis=1)
+                term = scale_max * (gs_count - 4) * (gs_count > 4) * state.live
+                n_live = jnp.maximum(jnp.sum(state.live), 1)
+                loss = loss + scale_weight * jnp.sum(term) / n_live
+            return loss, out["binned"].overflow
+
+        (loss, overflow), grads = jax.value_and_grad(
+            objective, has_aux=True)(state.params)
+        lrs = optim.learning_rates(state.params, it, cfg.optim,
+                                   cfg.spatial_lr_scale)
+        params, opt = optim.apply_updates(state.params, grads, state.opt,
+                                          lrs, cfg.optim)
+        return (dataclasses.replace(state, params=params, opt=opt),
+                {"loss": loss, "overflow": overflow})
+
+    return jax.jit(step)
+
+
+def make_hvs_step(cfg: LoopConfig, pooling_size, loss_type: str = "L1",
+                  masking: bool = False):
+    freeze = None
+    if masking:
+        from fovsplat.models.gaussians import GaussianParams
+        freeze = GaussianParams(xyz=jnp.float32(0), features_dc=jnp.float32(1),
+                                features_rest=jnp.float32(0),
+                                scaling=jnp.float32(0),
+                                rotation=jnp.float32(0),
+                                opacity=jnp.float32(1))
+
+    def step(state: S.TrainerState, camera, gt, it):
+        gt_r = metameric.resize_for_pyramid(gt, cfg.hvs_levels)
+        gt_stats = [jax.lax.stop_gradient(s) for s in metameric.statsmaps(
+            gt_r, pooling_size, cfg.hvs_levels, cfg.hvs_orientations)]
+
+        def objective(params):
+            st = dataclasses.replace(state, params=params)
+            out = render_state(st, camera, cfg)
+            img = metameric.resize_for_pyramid(out["render"], cfg.hvs_levels)
+            return metameric.metameric_loss_uniform(
+                img, None, pooling_size, cfg.hvs_levels,
+                cfg.hvs_orientations, loss_type, target_stats=gt_stats)
+
+        loss, grads = jax.value_and_grad(objective)(state.params)
+        lrs = optim.learning_rates(state.params, it, cfg.optim,
+                                   cfg.spatial_lr_scale)
+        params, opt = optim.apply_updates(state.params, grads, state.opt,
+                                          lrs, cfg.optim, freeze_mask=freeze)
+        return (dataclasses.replace(state, params=params, opt=opt),
+                {"loss": loss})
+
+    return jax.jit(step)
+
+
+def make_eval_fns(cfg: LoopConfig):
+    @jax.jit
+    def eval_view(state, camera, gt):
+        out = render_state(state, camera, cfg)
+        img = jnp.clip(out["render"], 0.0, 1.0)
+        return {"ssim": losses.ssim(img, gt), "psnr": losses.psnr(img, gt)}
+
+    # pooling_size is shape-determining (downsample sizes) -> static.
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def hvs_view(state, camera, gt, pooling_size):
+        out = render_state(state, camera, cfg)
+        img = metameric.resize_for_pyramid(
+            jnp.clip(out["render"], 0, 1), cfg.hvs_levels)
+        gt_r = metameric.resize_for_pyramid(gt, cfg.hvs_levels)
+        return metameric.metameric_loss_uniform(
+            img, gt_r, pooling_size, cfg.hvs_levels, cfg.hvs_orientations,
+            "MSE")
+
+    return eval_view, hvs_view
+
+
+def make_score_fn(cfg: LoopConfig, metric: str = "max_comp_efficiency"):
+    """Per-view metric scores (metric_pruning inner body, prune.py:79-97)."""
+    mode = "max" if metric == "max_contrib" else "loss_weighted_max_count"
+
+    @jax.jit
+    def score_view(state: S.TrainerState, camera):
+        p = state.params
+        loss_map = jnp.ones((camera.height, camera.width), jnp.float32)
+        out = stats_ops.rasterize_stats(
+            p.xyz, p.get_scaling(), p.get_rotation(), p.get_opacity(),
+            camera, shs=p.get_features(), sh_degree=cfg.sh_degree, mode=mode,
+            loss_map=loss_map, config=cfg.raster, live_mask=state.live)
+        contribs = out["contribs"]
+        if metric == "max_comp_efficiency":
+            s = contribs / (out["gs_count"].astype(jnp.float32) + 1e-7)
+            return jnp.where(out["gs_count"] >= 1, s, 0.0)
+        return contribs   # "surface" and "max_contrib"
+
+    return score_view
+
+
+def metric_prune_scores(state, views, score_view):
+    """Max over views of the per-view metric (prune.py:86)."""
+    scores = jnp.zeros(state.capacity, jnp.float32)
+    for v in views:
+        scores = jnp.maximum(scores, score_view(state, v.camera))
+    return scores
+
+
+def evaluate(state, views, eval_view, max_views=None):
+    ssims, psnrs = [], []
+    for v in views[:max_views]:
+        m = eval_view(state, v.camera, jnp.asarray(v.image))
+        ssims.append(float(m["ssim"]))
+        psnrs.append(float(m["psnr"]))
+    return float(np.mean(ssims)), float(np.mean(psnrs))
+
+
+def finetune(state: S.TrainerState, views: Sequence, iters: int,
+             cfg: LoopConfig, start_iter: int = 0, hvs_pooling=None,
+             hvs_loss_type: str = "L1", log: Callable = print,
+             log_every: int = 200, seed: int = 0):
+    """eff_finetune.py: photometric, or uniform-HVS with --hvs_ft."""
+    if hvs_pooling is None:
+        step_fn = make_photometric_step(cfg)
+
+        def call(state, v, it):
+            return step_fn(state, v.camera, jnp.asarray(v.image), it,
+                           jnp.float32(0.0))
+    else:
+        step_fn = make_hvs_step(cfg, hvs_pooling, hvs_loss_type)
+
+        def call(state, v, it):
+            return step_fn(state, v.camera, jnp.asarray(v.image), it)
+
+    rng = random.Random(seed)
+    stack = []
+    ema = None
+    for it in range(start_iter + 1, start_iter + iters + 1):
+        if not stack:
+            stack = list(views)
+            rng.shuffle(stack)
+        v = stack.pop()
+        state, aux = call(state, v, it)
+        loss = float(aux["loss"])
+        ema = loss if ema is None else 0.6 * ema + 0.4 * loss
+        if it % log_every == 0:
+            log(f"[finetune] it={it} ema_loss={ema:.5f} "
+                f"live={int(state.live_count())}")
+    return state
+
+
+def prune_training(state: S.TrainerState, train_views, test_views,
+                   target_ssim: float, target_psnr: float, cfg: LoopConfig,
+                   iters: int = 50_000, pruning_iters: int = 45_000,
+                   prune_interval: int = 1000, prune_ratio: float = 0.02,
+                   per_prune_times: int = 5, use_scale_decay: bool = True,
+                   metric: str = "max_comp_efficiency",
+                   start_iter: int = 0, log: Callable = print, seed: int = 0,
+                   final_prune_rounds: int = 5, eval_views_cap: int = 25):
+    """Efficiency-aware pruning (prune.py training(), SURVEY.md §3.2)."""
+    step_fn = make_photometric_step(cfg, use_scale_decay=use_scale_decay)
+    eval_view, _ = make_eval_fns(cfg)
+    score_view = make_score_fn(cfg, metric)
+
+    def run_eval(st):
+        return evaluate(st, test_views or train_views, eval_view,
+                        max_views=eval_views_cap)
+
+    def do_metric_prunes(st, times):
+        for _ in range(times):
+            scores = metric_prune_scores(st, train_views, score_view)
+            st = S.metric_prune(st, scores, prune_ratio)
+        return st
+
+    rng = random.Random(seed)
+    stack = []
+    scale_weight = 2e-6 if use_scale_decay else 0.0
+    best = None   # host-side snapshot for rollback (current-best.pth)
+
+    def snapshot(st):
+        return jax.tree.map(np.asarray, st)
+
+    def restore(snap):
+        return jax.tree.map(jnp.asarray, snap)
+
+    for it in range(start_iter + 1, start_iter + iters + 1):
+        if not stack:
+            stack = list(train_views)
+            rng.shuffle(stack)
+        v = stack.pop()
+        state, aux = step_fn(state, v.camera, jnp.asarray(v.image),
+                             jnp.int32(it), jnp.float32(scale_weight))
+
+        rel = it - start_iter
+        if rel % prune_interval == 1 and rel < pruning_iters:
+            state = S.opacity_prune(state, 0.005)
+            t_ssim, t_psnr = run_eval(state)
+            log(f"[prune] it={it} live={int(state.live_count())} "
+                f"ssim={t_ssim:.4f} psnr={t_psnr:.3f} sw={scale_weight:.2e}")
+            if t_ssim >= target_ssim and t_psnr >= target_psnr:
+                best = snapshot(state)
+                state = do_metric_prunes(state, per_prune_times)
+                scale_weight = max(scale_weight * 3, 1e-4) \
+                    if use_scale_decay else 0.0
+                state = S.reset_opacity_max(state, 0.1)
+                log(f"[prune] it={it} pass -> pruned to "
+                    f"{int(state.live_count())}")
+            else:
+                scale_weight = scale_weight / 3
+                if scale_weight < 1e-4:
+                    scale_weight = 0.0
+                log(f"[prune] it={it} FAIL gates, skip pruning")
+
+        if rel == pruning_iters:
+            # Final gate: roll back to current-best if below target, then up
+            # to `final_prune_rounds` more prunes each re-tested
+            # (prune.py:326-356).
+            t_ssim, t_psnr = run_eval(state)
+            if (t_ssim < target_ssim or t_psnr < target_psnr) and best is not None:
+                log(f"[prune] it={it} below target, rollback to best")
+                state = restore(best)
+            for _ in range(final_prune_rounds):
+                cand = do_metric_prunes(state, 1)
+                c_ssim, c_psnr = run_eval(cand)
+                if c_ssim >= target_ssim and c_psnr >= target_psnr:
+                    state = cand
+                    log(f"[prune] final prune kept: live="
+                        f"{int(state.live_count())}")
+                else:
+                    log("[prune] final prune rejected")
+                    break
+
+    state = S.opacity_prune(state, 0.005)
+    return state
+
+
+def mask_training(state: S.TrainerState, train_views, pooling_size: float,
+                  target_hvs: float, cfg: LoopConfig, iters: int = 7500,
+                  masking_iters: int = 6000, prune_interval: int = 500,
+                  prune_ratio: float = 0.02, per_prune_times: int = 5,
+                  start_iter: int = 0, log: Callable = print, seed: int = 0,
+                  eval_views_cap: int = 10):
+    """PS-mask learning (metric_mask_learn.py training(), SURVEY.md §3.3):
+    uniform-HVS(L1) objective at `pooling_size`, DC-SH + opacity trainable,
+    HVS-MSE-gated "surface" pruning with best-state rollback."""
+    step_fn = make_hvs_step(cfg, pooling_size, "L1", masking=True)
+    _, hvs_view = make_eval_fns(cfg)
+    score_view = make_score_fn(cfg, "surface")
+
+    def run_hvs(st):
+        vals = [float(hvs_view(st, v.camera, jnp.asarray(v.image),
+                               float(pooling_size)))
+                for v in train_views[:eval_views_cap]]
+        return float(np.mean(vals))
+
+    rng = random.Random(seed)
+    stack = []
+    best = None
+
+    for it in range(start_iter + 1, start_iter + iters + 1):
+        if not stack:
+            stack = list(train_views)
+            rng.shuffle(stack)
+        v = stack.pop()
+        state, aux = step_fn(state, v.camera, jnp.asarray(v.image),
+                             jnp.int32(it))
+
+        rel = it - start_iter
+        if rel % prune_interval == 1 and rel < masking_iters:
+            state = S.opacity_prune(state, 0.005)
+            hvs = run_hvs(state)
+            log(f"[mask ps={pooling_size}] it={it} "
+                f"live={int(state.live_count())} hvs={hvs:.3e} "
+                f"target={target_hvs:.3e}")
+            if hvs <= target_hvs:
+                best = jax.tree.map(np.asarray, state)
+                for _ in range(per_prune_times):
+                    scores = metric_prune_scores(state, train_views,
+                                                 score_view)
+                    state = S.metric_prune(state, scores, prune_ratio)
+                state = S.reset_opacity_max(state, 0.1)
+                log(f"[mask] pruned to {int(state.live_count())}")
+
+    hvs = run_hvs(state)
+    if hvs > target_hvs and best is not None:
+        log(f"[mask] final hvs {hvs:.3e} above target, rollback")
+        state = jax.tree.map(jnp.asarray, best)
+    return state

@@ -1,0 +1,120 @@
+"""GaussianParams / PLY IO / kNN / COLMAP parsing round-trips."""
+
+import os
+import struct
+
+import jax.numpy as jnp
+import numpy as np
+
+from fovsplat.data import colmap, ply
+from fovsplat.models import gaussians
+from fovsplat.ops import knn
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 100
+    params = gaussians.GaussianParams(
+        xyz=jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
+        features_dc=jnp.asarray(rng.normal(size=(n, 1, 3)), jnp.float32),
+        features_rest=jnp.asarray(rng.normal(size=(n, 15, 3)), jnp.float32),
+        scaling=jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
+        rotation=jnp.asarray(rng.normal(size=(n, 4)), jnp.float32),
+        opacity=jnp.asarray(rng.normal(size=(n, 1)), jnp.float32),
+    )
+    path = str(tmp_path / "pc.ply")
+    gaussians.save_ply(path, params, indexes=np.arange(n, dtype=np.int32))
+    loaded, extras = gaussians.load_ply(path)
+    for field in ("xyz", "features_dc", "features_rest", "scaling",
+                  "rotation", "opacity"):
+        np.testing.assert_array_equal(np.asarray(getattr(loaded, field)),
+                                      np.asarray(getattr(params, field)),
+                                      err_msg=field)
+    np.testing.assert_array_equal(extras["index"], np.arange(n))
+
+
+def test_ply_composed_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    n = 50
+    params = gaussians.GaussianParams(
+        xyz=jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
+        features_dc=jnp.zeros((n, 1, 3), jnp.float32),
+        features_rest=jnp.zeros((n, 15, 3), jnp.float32),
+        scaling=jnp.zeros((n, 3), jnp.float32),
+        rotation=jnp.zeros((n, 4), jnp.float32),
+        opacity=jnp.zeros((n, 1), jnp.float32),
+    )
+    shs_dcs = rng.normal(size=(n, 4, 3)).astype(np.float32)
+    ecc = rng.normal(size=(n,)).astype(np.float32)
+    path = str(tmp_path / "composed.ply")
+    gaussians.save_ply(path, params, shs_dcs=shs_dcs, ecc_threshs=ecc)
+    _, extras = gaussians.load_ply(path)
+    np.testing.assert_allclose(extras["shs_dcs"], shs_dcs, rtol=1e-6)
+    np.testing.assert_array_equal(extras["ecc_thresh"], ecc)
+
+
+def test_create_from_points_scales():
+    rng = np.random.default_rng(2)
+    pts = rng.normal(0, 1, (500, 3)).astype(np.float32)
+    cols = rng.random((500, 3)).astype(np.float32)
+    p = gaussians.create_from_points(pts, cols)
+    assert p.num_points == 500
+    assert p.sh_degree == 3
+    # opacity activation == 0.1 everywhere
+    np.testing.assert_allclose(np.asarray(p.get_opacity()), 0.1, rtol=1e-5)
+    # scales positive and sane
+    s = np.asarray(p.get_scaling())
+    assert (s > 0).all() and (s < 10).all()
+
+
+def test_knn_approximates_bruteforce():
+    rng = np.random.default_rng(3)
+    pts = rng.normal(0, 1, (400, 3)).astype(np.float32)
+    approx = np.asarray(knn.mean_knn_sqdist(jnp.asarray(pts), window=64))
+    d = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    exact = np.sort(d, axis=1)[:, :3].mean(1)
+    # Morton-window search is approximate; most points should be exact.
+    frac_exact = np.mean(np.isclose(approx, exact, rtol=1e-4))
+    assert frac_exact > 0.8   # approximate, like simple-knn's box search
+    assert (approx >= exact - 1e-6).all()   # window can only overestimate
+    # Errors stay small where they occur (used only for scale init).
+    assert np.median(approx / exact) < 1.05
+
+
+def test_colmap_binary_roundtrip(tmp_path):
+    cam_path = str(tmp_path / "cameras.bin")
+    with open(cam_path, "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, 640, 480))
+        f.write(struct.pack("<dddd", 500.0, 510.0, 320.0, 240.0))
+    cams = colmap.read_cameras_binary(cam_path)
+    assert cams[1].model == "PINHOLE"
+    assert cams[1].width == 640
+    np.testing.assert_allclose(cams[1].params[:2], [500.0, 510.0])
+
+    img_path = str(tmp_path / "images.bin")
+    with open(img_path, "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<i", 7))
+        f.write(struct.pack("<dddd", 1, 0, 0, 0))
+        f.write(struct.pack("<ddd", 0.5, -0.5, 2.0))
+        f.write(struct.pack("<i", 1))
+        f.write(b"frame_0001.png\x00")
+        f.write(struct.pack("<Q", 2))
+        f.write(struct.pack("<ddq", 1.0, 2.0, -1) * 2)
+    imgs = colmap.read_images_binary(img_path)
+    assert imgs[7].name == "frame_0001.png"
+    np.testing.assert_allclose(imgs[7].tvec, [0.5, -0.5, 2.0])
+
+    pts_path = str(tmp_path / "points3D.bin")
+    with open(pts_path, "wb") as f:
+        f.write(struct.pack("<Q", 2))
+        for i in range(2):
+            f.write(struct.pack("<QdddBBBd", i, 1.0 * i, 2.0, 3.0,
+                                10, 20, 30, 0.5))
+            f.write(struct.pack("<Q", 1))
+            f.write(struct.pack("<ii", 0, 0))
+    xyz, rgb, err = colmap.read_points3d_binary(pts_path)
+    assert xyz.shape == (2, 3)
+    np.testing.assert_array_equal(rgb[0], [10, 20, 30])
