@@ -66,6 +66,13 @@ def read_cameras_binary(path) -> dict[int, ColmapCamera]:
 
 
 def read_images_binary(path) -> dict[int, ColmapImage]:
+    from fovsplat import native
+    fast = native.parse_images(path)
+    if fast is not None:
+        ids, qvecs, tvecs, cam_ids, names = fast
+        return {int(i): ColmapImage(int(i), qvecs[k], tvecs[k],
+                                    int(cam_ids[k]), names[k])
+                for k, i in enumerate(ids)}
     out = {}
     with open(path, "rb") as f:
         (num,) = _read(f, "<Q")
@@ -88,6 +95,10 @@ def read_images_binary(path) -> dict[int, ColmapImage]:
 
 def read_points3d_binary(path):
     """Returns (xyz (P,3) f64, rgb (P,3) u8, error (P,))."""
+    from fovsplat import native
+    fast = native.parse_points3d(path)
+    if fast is not None:
+        return fast
     with open(path, "rb") as f:
         (num,) = _read(f, "<Q")
         xyz = np.empty((num, 3))

@@ -138,3 +138,48 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
     return Binned(pair_gauss=sorted_orig, pair_tile=sorted_key,
                   seg_start=seg_start, num_pairs=num_pairs,
                   overflow=overflow, depth_order=depth_order)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AlignedBinned:
+    """Pair list re-spaced so each tile's segment starts at a chunk
+    boundary (kernel chunks never straddle tiles — required for race-free
+    per-chunk gradient DMA in the Pallas backward). Rows in
+    [seg_end[t], next start) are padding (gauss id 0, masked by seg_end)."""
+    pair_gauss: Any   # (CAP2,) int32
+    pair_tile: Any    # (CAP2,) int32 (num_tiles on padding rows)
+    seg_start: Any    # (T,) int32 aligned start per tile
+    seg_end: Any      # (T,) int32 start + true length
+    num_pairs: Any    # () int32 (aligned total)
+    overflow: Any     # () int32
+
+
+def align_segments(bn: Binned, chunk: int, num_tiles: int,
+                   out_capacity: int) -> AlignedBinned:
+    cap = bn.pair_gauss.shape[0]
+    assert out_capacity % chunk == 0
+    seg_len = (bn.seg_start[1:] - bn.seg_start[:-1]).astype(jnp.int32)  # (T,)
+    aligned_len = ((seg_len + chunk - 1) // chunk) * chunk
+    aligned_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32),
+         jnp.cumsum(aligned_len).astype(jnp.int32)])           # (T+1,)
+    total = aligned_start[-1]
+    overflow2 = jnp.maximum(total - out_capacity, 0)
+
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    tile_safe = jnp.minimum(bn.pair_tile, num_tiles - 1)
+    new_pos = aligned_start[tile_safe] + (pos - bn.seg_start[tile_safe])
+    valid = bn.pair_tile < num_tiles
+    new_pos = jnp.where(valid, new_pos, out_capacity)          # OOB dropped
+
+    pair_gauss = jnp.zeros(out_capacity, jnp.int32).at[new_pos].set(
+        bn.pair_gauss, mode='drop')
+    pair_tile = jnp.full(out_capacity, num_tiles, jnp.int32).at[new_pos].set(
+        bn.pair_tile, mode='drop')
+    starts = jnp.minimum(aligned_start[:-1], out_capacity)
+    ends = jnp.minimum(aligned_start[:-1] + seg_len, out_capacity)
+    return AlignedBinned(pair_gauss=pair_gauss, pair_tile=pair_tile,
+                         seg_start=starts, seg_end=ends,
+                         num_pairs=jnp.minimum(total, out_capacity),
+                         overflow=bn.overflow + overflow2)

@@ -36,10 +36,20 @@ class RasterizeConfig:
     power_cutoff: float = -4.5        # OBB variants' early skip; -inf = Inria
     use_obb: bool = True              # exact tile/Gaussian SAT test
     scale_modifier: float = 1.0
+    backend: str = "xla"              # "xla" | "pallas" (TPU hot path)
+    pallas_chunk: int = 256           # pairs per kernel chunk
+    pallas_interpret: bool = False    # interpreter mode (CPU tests)
 
     def padded_capacity(self) -> int:
         c = self.chunk
         return ((self.pair_capacity + c - 1) // c) * c
+
+    def aligned_capacity(self, num_tiles: int) -> int:
+        """Capacity of the chunk-aligned pair list (pallas backend): worst
+        case adds one partial chunk of padding per tile."""
+        c = self.pallas_chunk
+        base = self.padded_capacity()
+        return ((base + num_tiles * c + c - 1) // c) * c
 
 
 def _grid(camera):
@@ -85,11 +95,22 @@ def rasterize(means3d, scales, rotations, opacities, camera,
     bn = binning.bin_gaussians(prep, gx, gy, cap,
                                tile_mask_fn=tile_mask_fn, use_obb=cfg.use_obb)
 
-    gid = jnp.minimum(bn.pair_gauss, means3d.shape[0] - 1)
-    tile_color, final_T, n_contrib = blend.blend(
-        bn.pair_tile, prep.mean2d[gid], prep.conic[gid], opacities[gid],
-        colors[gid], bn.seg_start, bn.num_pairs, gx, gy, cfg.chunk,
-        cfg.power_cutoff)
+    if cfg.backend == "pallas":
+        from fovsplat.ops.pallas import blend_fwd as pk
+        bn2 = binning.align_segments(bn, cfg.pallas_chunk, gx * gy,
+                                     cfg.aligned_capacity(gx * gy))
+        gid = jnp.minimum(bn2.pair_gauss, means3d.shape[0] - 1)
+        packed = pk.pack_pairs(prep.mean2d[gid], prep.conic[gid],
+                               opacities[gid], colors[gid])
+        tile_color, final_T, n_contrib = pk.blend_pallas(
+            packed, bn2.seg_start, bn2.seg_end, gx, gy, cfg.pallas_chunk,
+            cfg.power_cutoff, cfg.pallas_interpret)
+    else:
+        gid = jnp.minimum(bn.pair_gauss, means3d.shape[0] - 1)
+        tile_color, final_T, n_contrib = blend.blend(
+            bn.pair_tile, prep.mean2d[gid], prep.conic[gid], opacities[gid],
+            colors[gid], bn.seg_start, bn.num_pairs, gx, gy, cfg.chunk,
+            cfg.power_cutoff)
 
     image = blend.tiles_to_image(tile_color, gx, gy, camera.width, camera.height)
     T_img = blend.tiles_to_image(final_T, gx, gy, camera.width, camera.height)

@@ -3,9 +3,9 @@ import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NOTE: do NOT enable jax_compilation_cache_dir under the remote-compile TPU
+# backend — persistent-cache writes deadlock against it (observed: process
+# blocks on the relay socket before the first compile completes).
 import jax.numpy as jnp
 import numpy as np
 

@@ -15,6 +15,7 @@ def test_pallas_blend_matches_xla():
     cam = make_test_camera(width=96, height=64)
     gx = (cam.width + 15) // 16
     gy = (cam.height + 15) // 16
+    num_tiles = gx * gy
     cap = 1 << 13
     chunk = 128
 
@@ -31,14 +32,61 @@ def test_pallas_blend_matches_xla():
         lambda *a: blend._blend_forward_impl(*a, gx, gy, 256, -4.5))(
         bn.pair_tile, m2d, con, op, col, bn.seg_start, bn.num_pairs)
 
-    packed = blend_fwd.pack_pairs(m2d, con, op, col)
-    # Invalid (sentinel) pairs sit beyond every segment, so their content is
-    # never read — but ensure finite values anyway.
-    pal_color, pal_T, pal_nc = blend_fwd.blend_fwd_pallas(
-        packed, bn.seg_start, gx, gy, chunk=chunk, interpret=True)
+    acap = ((cap + num_tiles * chunk + chunk - 1) // chunk) * chunk
+    bn2 = jax.jit(lambda b: binning.align_segments(b, chunk, num_tiles,
+                                                   acap))(bn)
+    gid2 = jnp.minimum(bn2.pair_gauss, means.shape[0] - 1)
+    packed = blend_fwd.pack_pairs(prep.mean2d[gid2], prep.conic[gid2],
+                                  jnp.asarray(ops_)[gid2],
+                                  jnp.asarray(colors)[gid2])
+    pal_color, pal_T, pal_nc = blend_fwd.blend_pallas(
+        packed, bn2.seg_start, bn2.seg_end, gx, gy, chunk, -4.5, True)
 
     np.testing.assert_allclose(np.asarray(pal_T), np.asarray(ref_T),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(pal_color), np.asarray(ref_color),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(pal_nc), np.asarray(ref_nc))
+
+
+def test_pallas_backend_full_parity():
+    """rasterize(backend='pallas', interpret) vs backend='xla': pixels AND
+    gradients."""
+    means, scales, quats, ops_, colors = synthetic_cloud(n=220, seed=33)
+    cam = make_test_camera(width=80, height=64)
+    cfg_x = rasterize.RasterizeConfig(pair_capacity=1 << 13, chunk=256)
+    cfg_p = rasterize.RasterizeConfig(pair_capacity=1 << 13, chunk=256,
+                                      backend="pallas", pallas_chunk=128,
+                                      pallas_interpret=True)
+
+    def run(cfg, m, s, q, o, c):
+        out = rasterize.rasterize(m, s, q, o, cam, colors=c,
+                                  bg_color=jnp.array([0.2, 0.1, 0.0]),
+                                  config=cfg)
+        return out["render"], out["final_T"]
+
+    img_x, T_x = jax.jit(lambda *a: run(cfg_x, *a))(
+        means, scales, quats, ops_, colors)
+    img_p, T_p = jax.jit(lambda *a: run(cfg_p, *a))(
+        means, scales, quats, ops_, colors)
+    np.testing.assert_allclose(np.asarray(T_p), np.asarray(T_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
+                               rtol=1e-4, atol=1e-5)
+
+    target = jnp.zeros((cam.height, cam.width, 3)) + 0.3
+
+    def loss(cfg, m, s, q, o, c):
+        img, _ = run(cfg, m, s, q, o, c)
+        return jnp.mean((img - target) ** 2)
+
+    gx_ = jax.jit(jax.grad(lambda *a: loss(cfg_x, *a), argnums=(0, 1, 2, 3, 4)))(
+        means, scales, quats, ops_, colors)
+    gp_ = jax.jit(jax.grad(lambda *a: loss(cfg_p, *a), argnums=(0, 1, 2, 3, 4)))(
+        means, scales, quats, ops_, colors)
+    for name, a, b in zip(["means", "scales", "quats", "op", "col"], gx_, gp_):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b / scale, a / scale, rtol=2e-3,
+                                   atol=2e-4, err_msg=name)

@@ -1,0 +1,46 @@
+"""Data-parallel training over the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fovsplat.models.gaussians import GaussianParams
+from fovsplat.ops import rasterize
+from fovsplat.parallel import data_parallel as dp
+from fovsplat.train import optim, trainer
+from tests.utils import make_test_camera, synthetic_cloud
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_step_runs_and_reduces():
+    n_dev = 8
+    mesh = dp.make_mesh(n_dev)
+    means, scales, quats, ops_, colors = synthetic_cloud(n=128, seed=4)
+    params = GaussianParams(
+        xyz=jnp.asarray(means),
+        features_dc=jnp.asarray(((colors - 0.5) / 0.2821))[:, None, :],
+        features_rest=jnp.zeros((128, 15, 3), jnp.float32),
+        scaling=jnp.log(jnp.asarray(scales)),
+        rotation=jnp.asarray(quats),
+        opacity=jnp.asarray(np.log(ops_ / (1 - ops_)))[:, None],
+    )
+    opt_state = optim.init_state(params)
+    cams = dp.stack_cameras([make_test_camera(width=48, height=48,
+                                              dist=3.6 + 0.1 * i)
+                             for i in range(n_dev)])
+    gts = jnp.zeros((n_dev, 48, 48, 3), jnp.float32) + 0.4
+
+    cfg = trainer.TrainConfig(
+        raster=rasterize.RasterizeConfig(pair_capacity=1 << 12, chunk=256))
+    step = dp.make_dp_train_step(mesh, cfg)
+    p1, o1, aux1 = step(params, opt_state, cams, gts, jnp.int32(1))
+    assert np.isfinite(float(aux1["loss"]))
+    losses = [float(aux1["loss"])]
+    p, o = p1, o1
+    for it in range(2, 8):
+        p, o, aux = step(p, o, cams, gts, jnp.int32(it))
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < losses[0]
+    # Params are replicated: identical on all devices.
+    assert p.xyz.shape == params.xyz.shape
