@@ -38,6 +38,16 @@ def hvs_uniform(a, b, pooling_size: float = 1.0, loss_type: str = "MSE") -> floa
                                                   loss_type=loss_type))
 
 
+def hvs_fov(a, b, gaze=(0.5, 0.5), alpha: float = 0.05) -> float:
+    """Foveated HVS metric (HVSLoss.calc_fov_loss, hvs_loss_calc.py:72-75:
+    alpha 0.05, width 1.0, distance 0.5, MSE)."""
+    from fovsplat.perception import foveated_loss
+    a = metameric.resize_for_pyramid(jnp.asarray(a))
+    b = metameric.resize_for_pyramid(jnp.asarray(b))
+    return float(foveated_loss.metameric_loss_fov(a, b, gaze=gaze,
+                                                  alpha=alpha))
+
+
 _lpips_net = None
 
 

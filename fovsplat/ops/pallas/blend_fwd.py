@@ -4,22 +4,23 @@ TPU counterpart of the reference renderCUDA forward
 (..._pcheck_obb_sum/cuda_rasterizer/forward.cu:298-426) and backward
 (backward.cu:400-557). One grid program per 16x16 tile:
 
-  * the tile's segment of the tile-sorted pair list is streamed from HBM in
-    fixed-size chunks via double-buffered async DMA (segments are
-    chunk-aligned — binning.align_segments — so a chunk never straddles two
-    tiles and the backward can DMA per-chunk gradient slices race-free),
-  * alpha for all 256 pixels is evaluated on the VPU; the sequential
-    early-exit semantics are applied in closed form with prefix sums
-    computed as lower-triangular matmuls on the MXU (cumsum/cumprod are not
-    lowered by Mosaic),
+  * pair attributes are stored attribute-major (ROW=16, CAP) so each chunk
+    is one lane-aligned HBM slice (Mosaic requires 128-aligned slices);
+    chunks stream HBM->VMEM with double-buffered async DMA; segments are
+    chunk-aligned (binning.align_segments) so a chunk never straddles two
+    tiles and the backward can DMA per-chunk gradient slices race-free,
+  * compute runs in (PIX, chunk) orientation: pixels on sublanes, pairs on
+    lanes; the sequential early-exit semantics are applied in closed form
+    with prefix sums as upper-triangular matmuls on the MXU (cumsum/cumprod
+    are not lowered by Mosaic),
   * the forward loop exits once every pixel saturates (T < 1e-4) — the CUDA
     block-vote break; the backward walks chunks back-to-front recovering T
     by division from the saved final_T (backward.cu:503) and contribution
     membership from the saved per-pixel n_contrib.
 
-Pair attributes are packed as one (CAP, 16) f32 row matrix
-[mx, my, ca, cb, cc, op, r, g, b, pad...]; gradients come back in the same
-packed layout and are unpacked/segment-summed by the caller's autodiff.
+Row layout: [mx, my, ca, cb, cc, op, r, g, b, pad...]. Gradients come back
+in the same SoA layout and are unpacked/segment-summed by the caller's
+autodiff.
 """
 
 from __future__ import annotations
@@ -37,54 +38,60 @@ PIX = TILE * TILE
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
-ROW = 16          # packed floats per pair
+ROW = 16          # packed attributes per pair
 
 
 def pack_pairs(mean2d, conic, opacity, color):
-    """(CAP,2),(CAP,3),(CAP,),(CAP,3) -> (CAP, ROW) f32."""
+    """(CAP,2),(CAP,3),(CAP,),(CAP,3) -> (ROW, CAP) f32 attribute-major."""
     cap = mean2d.shape[0]
-    out = jnp.zeros((cap, ROW), jnp.float32)
-    out = out.at[:, 0:2].set(mean2d)
-    out = out.at[:, 2:5].set(conic)
-    out = out.at[:, 5].set(opacity)
-    out = out.at[:, 6:9].set(color)
-    return out
+    zeros = jnp.zeros(cap, jnp.float32)
+    return jnp.stack([
+        mean2d[:, 0], mean2d[:, 1],
+        conic[:, 0], conic[:, 1], conic[:, 2],
+        opacity,
+        color[:, 0], color[:, 1], color[:, 2],
+        zeros, zeros, zeros, zeros, zeros, zeros, zeros,
+    ], axis=0)
 
 
 def unpack_grads(g):
-    """(CAP, ROW) -> (d_mean2d, d_conic, d_opacity, d_color)."""
-    return g[:, 0:2], g[:, 2:5], g[:, 5], g[:, 6:9]
+    """(ROW, CAP) -> (d_mean2d (CAP,2), d_conic (CAP,3), d_opacity (CAP,),
+    d_color (CAP,3))."""
+    return (jnp.stack([g[0], g[1]], -1), jnp.stack([g[2], g[3], g[4]], -1),
+            g[5], jnp.stack([g[6], g[7], g[8]], -1))
 
 
-def _tri_strict(chunk):
+def _triu_strict(chunk):
+    """M[k, j] = 1 if k < j  (x @ M = exclusive prefix along pairs)."""
     return (jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-            > jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+            < jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
             ).astype(jnp.float32)
 
 
-def _tri_incl(chunk):
+def _triu_incl(chunk):
     return (jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-            >= jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+            <= jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
             ).astype(jnp.float32)
 
 
 def _pixel_coords(t, grid_x):
-    pix_i = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    pix_i = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
     lx = (pix_i % TILE).astype(jnp.float32)
     ly = (pix_i // TILE).astype(jnp.float32)
-    px = (t % grid_x).astype(jnp.float32) * TILE + lx
+    px = (t % grid_x).astype(jnp.float32) * TILE + lx       # (PIX, 1)
     py = (t // grid_x).astype(jnp.float32) * TILE + ly
     return px, py
 
 
 def _alpha_from_chunk(data, px, py, power_cutoff):
-    mx = data[:, 0:1]
-    my = data[:, 1:2]
-    ca = data[:, 2:3]
-    cb = data[:, 3:4]
-    cc = data[:, 4:5]
-    op = data[:, 5:6]
-    dx = mx - px
+    """data (ROW, chunk); px/py (PIX, 1). Returns (PIX, chunk) arrays."""
+    mx = data[0:1, :]
+    my = data[1:2, :]
+    ca = data[2:3, :]
+    cb = data[3:4, :]
+    cc = data[4:5, :]
+    op = data[5:6, :]
+    dx = mx - px                       # (PIX, chunk)
     dy = my - py
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     G = jnp.exp(jnp.minimum(power, 0.0))
@@ -106,8 +113,9 @@ def _fwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, nc_ref,
     num_chunks = pl.cdiv(n, chunk)
 
     def get_dma(slot, k):
-        src = jnp.minimum(start + k * chunk, cap - chunk)
-        return pltpu.make_async_copy(pairs_hbm.at[pl.ds(src, chunk), :],
+        src = pl.multiple_of(jnp.minimum(start + k * chunk, cap - chunk),
+                             chunk)
+        return pltpu.make_async_copy(pairs_hbm.at[:, pl.ds(src, chunk)],
                                      buf.at[slot], sem.at[slot])
 
     @pl.when(num_chunks > 0)
@@ -115,7 +123,7 @@ def _fwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, nc_ref,
         get_dma(0, 0).start()
 
     def body(state):
-        k, T_pix, color, nc = state
+        k, T_pix, cr, cg, cb_, nc = state
 
         @pl.when(k + 1 < num_chunks)
         def _():
@@ -123,8 +131,9 @@ def _fwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, nc_ref,
 
         get_dma(k % 2, k).wait()
         data = buf[k % 2]
-        src = jnp.minimum(start + k * chunk, cap - chunk)
-        gid = src + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        src = pl.multiple_of(jnp.minimum(start + k * chunk, cap - chunk),
+                             chunk)
+        gid = src + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         in_seg = (gid >= start) & (gid < end)
 
         alpha, geo_ok, _, _, _ = _alpha_from_chunk(data, px, py, power_cutoff)
@@ -133,47 +142,47 @@ def _fwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, nc_ref,
 
         one_minus = 1.0 - a_eff
         logs = jnp.log1p(-a_eff)
-        tri = _tri_strict(chunk)
-        excl = jnp.dot(tri, logs, preferred_element_type=jnp.float32)
+        triu = _triu_strict(chunk)
+        excl = jnp.dot(logs, triu, preferred_element_type=jnp.float32)
         T_row = T_pix * jnp.exp(excl)
         incl = T_row * one_minus
         trigger = (a_eff > 0) & (incl < T_EPS)
-        done_before = jnp.dot(tri, trigger.astype(jnp.float32),
+        done_before = jnp.dot(trigger.astype(jnp.float32), triu,
                               preferred_element_type=jnp.float32) > 0
         contribute = (a_eff > 0) & ~trigger & ~done_before
-        weight = jnp.where(contribute, a_eff * T_row, 0.0)
+        weight = jnp.where(contribute, a_eff * T_row, 0.0)   # (PIX, chunk)
 
-        r = jnp.sum(weight * data[:, 6:7], axis=0)
-        g = jnp.sum(weight * data[:, 7:8], axis=0)
-        b = jnp.sum(weight * data[:, 8:9], axis=0)
-        color = color + jnp.stack([r, g, b], axis=0)
+        cr = cr + jnp.sum(weight * data[6:7, :], axis=1, keepdims=True)
+        cg = cg + jnp.sum(weight * data[7:8, :], axis=1, keepdims=True)
+        cb_ = cb_ + jnp.sum(weight * data[8:9, :], axis=1, keepdims=True)
 
-        log_delta = jnp.sum(jnp.where(contribute, logs, 0.0), axis=0,
-                            keepdims=True)
+        log_delta = jnp.sum(jnp.where(contribute, logs, 0.0), axis=1,
+                            keepdims=True)                   # (PIX, 1)
         T_pix = T_pix * jnp.exp(log_delta)
 
-        rank = (gid - start + 1).astype(jnp.float32)
+        rank = (gid - start + 1).astype(jnp.float32)         # (1, chunk)
         nc = jnp.maximum(nc, jnp.max(jnp.where(contribute, rank, 0.0),
-                                     axis=0, keepdims=True))
-        return k + 1, T_pix, color, nc
+                                     axis=1, keepdims=True))
+        return k + 1, T_pix, cr, cg, cb_, nc
 
     def cond(state):
-        k, T_pix, _, _ = state
+        k, T_pix = state[0], state[1]
         return (k < num_chunks) & (jnp.max(T_pix) >= T_EPS)
 
-    init = (jnp.int32(0), jnp.ones((1, PIX), jnp.float32),
-            jnp.zeros((3, PIX), jnp.float32), jnp.zeros((1, PIX), jnp.float32))
-    _, T_pix, color, nc = jax.lax.while_loop(cond, body, init)
+    init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
+            jnp.zeros((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32),
+            jnp.zeros((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32))
+    _, T_pix, cr, cg, cb_, nc = jax.lax.while_loop(cond, body, init)
 
-    out_ref[0, 0:3, :] = color
-    out_ref[0, 3, :] = T_pix[0]
-    nc_ref[0, 0, :] = nc[0].astype(jnp.int32)
+    packed = jnp.concatenate([cr, cg, cb_, T_pix], axis=1)   # (PIX, 4)
+    out_ref[0] = packed.T                                    # (4, PIX)
+    nc_ref[0, 0, :] = nc[:, 0].astype(jnp.int32)
 
 
 def _forward(pair_data, seg_start, seg_end, grid_x: int, grid_y: int,
              chunk: int, power_cutoff: float, interpret: bool):
     num_tiles = grid_x * grid_y
-    cap = pair_data.shape[0]
+    cap = pair_data.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -184,7 +193,7 @@ def _forward(pair_data, seg_start, seg_end, grid_x: int, grid_y: int,
             pl.BlockSpec((1, 1, PIX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((2, chunk, ROW), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, ROW, chunk), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
     )
     kernel = functools.partial(_fwd_kernel, grid_x=grid_x, chunk=chunk,
@@ -204,11 +213,7 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
                 buf, gbuf, sem, gsem, *, grid_x: int, chunk: int,
                 power_cutoff: float, cap: int):
     """fin_ref: blocked (1, 8, PIX) per tile = [g_r, g_g, g_b, g_T, final_T,
-    n_contrib, pad, pad]. grads_hbm: (CAP, ROW) output, written per chunk.
-
-    Mirrors the reference backward (backward.cu:400-557): back-to-front
-    walk recovering T by division, suffix color accumulators, per-pair
-    gradients for color/opacity/conic/mean2d.
+    n_contrib, pad, pad]. grads_hbm: (ROW, CAP) output, written per chunk.
     """
     t = pl.program_id(0)
     start = seg_start_ref[t]
@@ -217,14 +222,18 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
     px, py = _pixel_coords(t, grid_x)
     num_chunks = pl.cdiv(n, chunk)
 
-    g_pix = fin_ref[0, 0:3, :]               # (3, PIX)
-    gT = fin_ref[0, 3:4, :]                  # (1, PIX)
-    Tf = fin_ref[0, 4:5, :]
-    nc = fin_ref[0, 5:6, :]
+    fin = fin_ref[0]                         # (8, PIX)
+    g_r = fin[0:1, :].T                      # (PIX, 1)
+    g_g = fin[1:2, :].T
+    g_b = fin[2:3, :].T
+    gT = fin[3:4, :].T
+    Tf = fin[4:5, :].T
+    nc = fin[5:6, :].T
 
     def get_dma(slot, k):
-        src = jnp.minimum(start + k * chunk, cap - chunk)
-        return pltpu.make_async_copy(pairs_hbm.at[pl.ds(src, chunk), :],
+        src = pl.multiple_of(jnp.minimum(start + k * chunk, cap - chunk),
+                             chunk)
+        return pltpu.make_async_copy(pairs_hbm.at[:, pl.ds(src, chunk)],
                                      buf.at[slot], sem.at[slot])
 
     @pl.when(num_chunks > 0)
@@ -232,7 +241,7 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
         get_dma((num_chunks - 1) % 2, num_chunks - 1).start()
 
     def body(state):
-        k, T_back, S = state                 # k counts down num_chunks..1
+        k, T_back, S_r, S_g, S_b = state     # k counts down num_chunks..1
         kk = k - 1
 
         @pl.when(kk > 0)
@@ -241,86 +250,91 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
 
         get_dma(kk % 2, kk).wait()
         data = buf[kk % 2]
-        src = jnp.minimum(start + kk * chunk, cap - chunk)
-        gid = src + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        src = pl.multiple_of(jnp.minimum(start + kk * chunk, cap - chunk),
+                             chunk)
+        gid = src + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         in_seg = (gid >= start) & (gid < end)
-        rank = (gid - start).astype(jnp.float32)
+        rank = (gid - start).astype(jnp.float32)             # (1, chunk)
 
         alpha, geo_ok, G, dx, dy = _alpha_from_chunk(data, px, py,
                                                      power_cutoff)
         contribute = geo_ok & (alpha >= ALPHA_MIN) & in_seg & (rank < nc)
         a_eff = jnp.where(contribute, alpha, 0.0)
-        logs = jnp.log1p(-a_eff)
+        logs = jnp.log1p(-a_eff)                             # (PIX, chunk)
 
-        tri = _tri_incl(chunk)
-        inc = jnp.dot(tri, logs, preferred_element_type=jnp.float32)
-        seg_total = jnp.sum(logs, axis=0, keepdims=True)
+        triu = _triu_incl(chunk)
+        inc = jnp.dot(logs, triu, preferred_element_type=jnp.float32)
+        seg_total = jnp.sum(logs, axis=1, keepdims=True)     # (PIX, 1)
         T_j = T_back * jnp.exp(-(seg_total - inc + logs))
-        w = a_eff * T_j                      # (chunk, PIX)
+        w = a_eff * T_j                                      # (PIX, chunk)
 
-        wr = w * data[:, 6:7]
-        wg = w * data[:, 7:8]
-        wb = w * data[:, 8:9]
-        Winc_r = jnp.dot(tri, wr, preferred_element_type=jnp.float32)
-        Winc_g = jnp.dot(tri, wg, preferred_element_type=jnp.float32)
-        Winc_b = jnp.dot(tri, wb, preferred_element_type=jnp.float32)
-        tot = jnp.stack([jnp.sum(wr, 0), jnp.sum(wg, 0), jnp.sum(wb, 0)], 0)
-        S_r = S[0:1, :] + (tot[0:1, :] - Winc_r)
-        S_g = S[1:2, :] + (tot[1:2, :] - Winc_g)
-        S_b = S[2:3, :] + (tot[2:3, :] - Winc_b)
+        wr = w * data[6:7, :]
+        wg = w * data[7:8, :]
+        wb = w * data[8:9, :]
+        Winc_r = jnp.dot(wr, triu, preferred_element_type=jnp.float32)
+        Winc_g = jnp.dot(wg, triu, preferred_element_type=jnp.float32)
+        Winc_b = jnp.dot(wb, triu, preferred_element_type=jnp.float32)
+        tot_r = jnp.sum(wr, axis=1, keepdims=True)
+        tot_g = jnp.sum(wg, axis=1, keepdims=True)
+        tot_b = jnp.sum(wb, axis=1, keepdims=True)
+        Sr_j = S_r + (tot_r - Winc_r)
+        Sg_j = S_g + (tot_g - Winc_g)
+        Sb_j = S_b + (tot_b - Winc_b)
 
-        gc_dot_col = (g_pix[0:1, :] * data[:, 6:7]
-                      + g_pix[1:2, :] * data[:, 7:8]
-                      + g_pix[2:3, :] * data[:, 8:9])
-        gc_dot_S = (g_pix[0:1, :] * S_r + g_pix[1:2, :] * S_g
-                    + g_pix[2:3, :] * S_b)
+        gc_dot_col = (g_r * data[6:7, :] + g_g * data[7:8, :]
+                      + g_b * data[8:9, :])
+        gc_dot_S = g_r * Sr_j + g_g * Sg_j + g_b * Sb_j
         inv_om = 1.0 / (1.0 - a_eff)
         dL_da = jnp.where(contribute,
                           gc_dot_col * T_j - (gc_dot_S + gT * Tf) * inv_om,
                           0.0)
 
-        d_op = jnp.sum(G * dL_da, axis=1)
+        d_op = jnp.sum(G * dL_da, axis=0, keepdims=True)     # (1, chunk)
         d_power = alpha * dL_da
-        ca = data[:, 2:3]
-        cb = data[:, 3:4]
-        cc = data[:, 4:5]
+        ca = data[2:3, :]
+        cb = data[3:4, :]
+        cc = data[4:5, :]
         d_dx = d_power * (-(ca * dx + cb * dy))
         d_dy = d_power * (-(cc * dy + cb * dx))
 
-        g_out = jnp.zeros((chunk, ROW), jnp.float32)
-        g_out = g_out.at[:, 0].set(jnp.sum(d_dx, axis=1))
-        g_out = g_out.at[:, 1].set(jnp.sum(d_dy, axis=1))
-        g_out = g_out.at[:, 2].set(jnp.sum(d_power * (-0.5 * dx * dx), 1))
-        g_out = g_out.at[:, 3].set(jnp.sum(d_power * (-dx * dy), 1))
-        g_out = g_out.at[:, 4].set(jnp.sum(d_power * (-0.5 * dy * dy), 1))
-        g_out = g_out.at[:, 5].set(d_op)
-        g_out = g_out.at[:, 6].set(jnp.sum(w * g_pix[0:1, :], axis=1))
-        g_out = g_out.at[:, 7].set(jnp.sum(w * g_pix[1:2, :], axis=1))
-        g_out = g_out.at[:, 8].set(jnp.sum(w * g_pix[2:3, :], axis=1))
+        zero = jnp.zeros((1, chunk), jnp.float32)
+        g_out = jnp.concatenate([
+            jnp.sum(d_dx, axis=0, keepdims=True),
+            jnp.sum(d_dy, axis=0, keepdims=True),
+            jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True),
+            jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True),
+            jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True),
+            d_op,
+            jnp.sum(w * g_r, axis=0, keepdims=True),
+            jnp.sum(w * g_g, axis=0, keepdims=True),
+            jnp.sum(w * g_b, axis=0, keepdims=True),
+            zero, zero, zero, zero, zero, zero, zero,
+        ], axis=0)                                           # (ROW, chunk)
         gbuf[0] = g_out
         wdma = pltpu.make_async_copy(gbuf.at[0],
-                                     grads_hbm.at[pl.ds(src, chunk), :],
+                                     grads_hbm.at[:, pl.ds(src, chunk)],
                                      gsem)
         wdma.start()
 
         T_back = T_back * jnp.exp(-seg_total)
-        S = jnp.concatenate([S[0:1, :] + tot[0:1, :],
-                             S[1:2, :] + tot[1:2, :],
-                             S[2:3, :] + tot[2:3, :]], axis=0)
+        S_r = S_r + tot_r
+        S_g = S_g + tot_g
+        S_b = S_b + tot_b
         wdma.wait()
-        return kk, T_back, S
+        return kk, T_back, S_r, S_g, S_b
 
     def cond(state):
         return state[0] > 0
 
-    jax.lax.while_loop(cond, body,
-                       (num_chunks, Tf, jnp.zeros((3, PIX), jnp.float32)))
+    zero_col = jnp.zeros((PIX, 1), jnp.float32)
+    jax.lax.while_loop(cond, body, (num_chunks, Tf, zero_col, zero_col,
+                                    zero_col))
 
 
 def _backward(pair_data, seg_start, seg_end, fin, grid_x: int, grid_y: int,
               chunk: int, power_cutoff: float, interpret: bool):
     num_tiles = grid_x * grid_y
-    cap = pair_data.shape[0]
+    cap = pair_data.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -328,8 +342,8 @@ def _backward(pair_data, seg_start, seg_end, fin, grid_x: int, grid_y: int,
                   pl.BlockSpec((1, 8, PIX), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        scratch_shapes=[pltpu.VMEM((2, chunk, ROW), jnp.float32),
-                        pltpu.VMEM((1, chunk, ROW), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, ROW, chunk), jnp.float32),
+                        pltpu.VMEM((1, ROW, chunk), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA(())],
     )
@@ -337,23 +351,18 @@ def _backward(pair_data, seg_start, seg_end, fin, grid_x: int, grid_y: int,
                                power_cutoff=power_cutoff, cap=cap)
     grads = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((cap, ROW), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((ROW, cap), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(seg_start, seg_end, pair_data, fin)[0]
     # Rows never covered by any tile's chunks are uninitialized: zero them.
-    covered = jnp.zeros(cap, bool)
-    num_chunks = pl.cdiv(jnp.maximum(seg_end - seg_start, 0), chunk)
-    # Build coverage from aligned segments: rows in
-    # [seg_start[t], seg_start[t] + num_chunks[t]*chunk).
     row = jnp.arange(cap, dtype=jnp.int32)
-    # Segments are sorted and disjoint; use searchsorted on starts.
     idx = jnp.clip(jnp.searchsorted(seg_start, row, side='right') - 1,
                    0, seg_start.shape[0] - 1)
+    nchunks = (jnp.maximum(seg_end - seg_start, 0) + chunk - 1) // chunk
     within = (row >= seg_start[idx]) & \
-             (row < seg_start[idx] + num_chunks[idx] * chunk)
-    del covered
-    return jnp.where(within[:, None], grads, 0.0)
+             (row < seg_start[idx] + nchunks[idx] * chunk)
+    return jnp.where(within[None, :], grads, 0.0)
 
 
 # --------------------------------------------------------------- public API
@@ -361,9 +370,10 @@ def _backward(pair_data, seg_start, seg_end, fin, grid_x: int, grid_y: int,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def blend_pallas(pair_data, seg_start, seg_end, grid_x, grid_y, chunk,
                  power_cutoff, interpret):
-    """Differentiable Pallas blend over a chunk-aligned pair list.
+    """Differentiable Pallas blend over a chunk-aligned SoA pair list.
 
-    Returns (tile_color [T,PIX,3], final_T [T,PIX], n_contrib [T,PIX] i32).
+    pair_data: (ROW, CAP) f32. Returns (tile_color [T,PIX,3],
+    final_T [T,PIX], n_contrib [T,PIX] i32).
     """
     out, nc = _forward(pair_data, seg_start, seg_end, grid_x, grid_y, chunk,
                        power_cutoff, interpret)

@@ -118,3 +118,36 @@ def test_colmap_binary_roundtrip(tmp_path):
     xyz, rgb, err = colmap.read_points3d_binary(pts_path)
     assert xyz.shape == (2, 3)
     np.testing.assert_array_equal(rgb[0], [10, 20, 30])
+
+
+def test_vq_compress_roundtrip():
+    from fovsplat.models import vq
+    rng = np.random.default_rng(5)
+    n = 2000
+    params = gaussians.GaussianParams(
+        xyz=jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
+        features_dc=jnp.asarray(rng.normal(size=(n, 1, 3)), jnp.float32),
+        features_rest=jnp.asarray(0.1 * rng.normal(size=(n, 15, 3)), jnp.float32),
+        scaling=jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
+        rotation=jnp.asarray(rng.normal(size=(n, 4)), jnp.float32),
+        opacity=jnp.asarray(rng.normal(size=(n, 1)), jnp.float32),
+    )
+    imp = rng.random(n)
+    comp = vq.compress(params, imp, vq_ratio=0.5, codebook_size=256, iters=5)
+    dec = vq.decompress(comp)
+    # High-importance rows survive near-exactly (fp16 only).
+    keep = np.unpackbits(comp["keep_mask_packed"])[:n].astype(bool)
+    np.testing.assert_allclose(np.asarray(dec.features_dc)[keep],
+                               np.asarray(params.features_dc)[keep],
+                               atol=2e-3)
+    # Quantized rows approximate within codebook error; geometry fp16-exact.
+    err = np.abs(np.asarray(dec.features_rest) -
+                 np.asarray(params.features_rest)).mean()
+    assert err < 0.12   # ~1 sigma/3 of the 0.1-sigma features
+    np.testing.assert_allclose(np.asarray(dec.xyz), np.asarray(params.xyz),
+                               atol=2e-3)
+    # Compression actually compresses.
+    raw = sum(np.asarray(getattr(params, f)).nbytes for f in
+              ("xyz", "features_dc", "features_rest", "scaling", "rotation",
+               "opacity"))
+    assert vq.compressed_size_bytes(comp) < raw * 0.55

@@ -63,3 +63,27 @@ def test_resize_for_pyramid():
     img = jnp.ones((1, 50, 70, 3))
     out = metameric.resize_for_pyramid(img, 5)
     assert out.shape == (1, 64, 96, 3)
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference odak not available")
+def test_foveated_loss_matches_reference(images):
+    a, b = images
+    sys.path.insert(0, REF)
+    import torch
+    from odak_perception import MetamericLoss
+
+    ref_fn = MetamericLoss(
+        device=torch.device("cpu"), alpha=0.05, real_image_width=1.0,
+        real_viewing_distance=0.5, n_pyramid_levels=5, mode="quadratic",
+        n_orientations=6, use_l2_foveal_loss=False, fovea_weight=False,
+        use_radial_weight=False, use_fullres_l0=False, equi=False,
+        loss_type="MSE", use_bilinear_downup=True)
+    ta = torch.from_numpy(a.transpose(0, 3, 1, 2))
+    tb = torch.from_numpy(b.transpose(0, 3, 1, 2))
+    ref = float(ref_fn(ta, tb, gaze=[0.5, 0.5]))
+
+    from fovsplat.perception import foveated_loss
+    import jax.numpy as jnp
+    ours = float(jax.jit(lambda x, y: foveated_loss.metameric_loss_fov(
+        x, y, gaze=(0.5, 0.5), alpha=0.05))(jnp.asarray(a), jnp.asarray(b)))
+    assert abs(ours - ref) / max(abs(ref), 1e-12) < 2e-3, (ours, ref)
