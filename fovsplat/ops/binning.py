@@ -157,7 +157,9 @@ class AlignedBinned:
 
 def align_segments(bn: Binned, chunk: int, num_tiles: int,
                    out_capacity: int) -> AlignedBinned:
-    cap = bn.pair_gauss.shape[0]
+    """Gather formulation (no scatter — slow on TPU): each aligned output
+    slot q looks up its source pair via searchsorted over the aligned
+    starts. All gathers have ascending indices."""
     assert out_capacity % chunk == 0
     seg_len = (bn.seg_start[1:] - bn.seg_start[:-1]).astype(jnp.int32)  # (T,)
     aligned_len = ((seg_len + chunk - 1) // chunk) * chunk
@@ -167,16 +169,18 @@ def align_segments(bn: Binned, chunk: int, num_tiles: int,
     total = aligned_start[-1]
     overflow2 = jnp.maximum(total - out_capacity, 0)
 
-    pos = jnp.arange(cap, dtype=jnp.int32)
-    tile_safe = jnp.minimum(bn.pair_tile, num_tiles - 1)
-    new_pos = aligned_start[tile_safe] + (pos - bn.seg_start[tile_safe])
-    valid = bn.pair_tile < num_tiles
-    new_pos = jnp.where(valid, new_pos, out_capacity)          # OOB dropped
+    q = jnp.arange(out_capacity, dtype=jnp.int32)
+    # Row -> tile interval lookup via boundary-scatter + cumsum
+    # (searchsorted over millions of queries is very slow on TPU).
+    marks = jnp.zeros(out_capacity, jnp.int32).at[
+        aligned_start[1:num_tiles]].add(1, mode='drop')
+    t = jnp.minimum(jnp.cumsum(marks), num_tiles - 1).astype(jnp.int32)
+    off = q - aligned_start[t]
+    valid = (q < total) & (off < seg_len[t])
+    src = jnp.clip(bn.seg_start[t] + off, 0, bn.pair_gauss.shape[0] - 1)
+    pair_gauss = jnp.where(valid, jnp.take(bn.pair_gauss, src), 0)
+    pair_tile = jnp.where(valid, t, num_tiles)
 
-    pair_gauss = jnp.zeros(out_capacity, jnp.int32).at[new_pos].set(
-        bn.pair_gauss, mode='drop')
-    pair_tile = jnp.full(out_capacity, num_tiles, jnp.int32).at[new_pos].set(
-        bn.pair_tile, mode='drop')
     starts = jnp.minimum(aligned_start[:-1], out_capacity)
     ends = jnp.minimum(aligned_start[:-1] + seg_len, out_capacity)
     return AlignedBinned(pair_gauss=pair_gauss, pair_tile=pair_tile,

@@ -5,18 +5,18 @@ TPU counterpart of the reference renderCUDA forward
 (backward.cu:400-557). One grid program per 16x16 tile:
 
   * pair attributes are stored attribute-major (ROW=16, CAP) so each chunk
-    is one lane-aligned HBM slice (Mosaic requires 128-aligned slices);
-    chunks stream HBM->VMEM with double-buffered async DMA; segments are
-    chunk-aligned (binning.align_segments) so a chunk never straddles two
-    tiles and the backward can DMA per-chunk gradient slices race-free,
+    is one lane-aligned HBM slice; chunks stream HBM->VMEM with
+    double-buffered async DMA; segments are chunk-aligned
+    (binning.align_segments) so a chunk never straddles two tiles and the
+    backward can DMA per-chunk gradient slices race-free,
   * compute runs in (PIX, chunk) orientation: pixels on sublanes, pairs on
     lanes; the sequential early-exit semantics are applied in closed form
-    with prefix sums as upper-triangular matmuls on the MXU (cumsum/cumprod
-    are not lowered by Mosaic),
+    with upper-triangular matmul prefix sums on the MXU (cumsum/cumprod are
+    not lowered by Mosaic; measured faster than log-step VPU rolls),
   * the forward loop exits once every pixel saturates (T < 1e-4) — the CUDA
-    block-vote break; the backward walks chunks back-to-front recovering T
-    by division from the saved final_T (backward.cu:503) and contribution
-    membership from the saved per-pixel n_contrib.
+    block-vote break; the backward walks chunks back-to-front starting at
+    the deepest contributing chunk (from the saved per-pixel n_contrib),
+    recovering T by division from the saved final_T (backward.cu:503).
 
 Row layout: [mx, my, ca, cb, cc, op, r, g, b, pad...]. Gradients come back
 in the same SoA layout and are unpacked/segment-summed by the caller's
@@ -61,8 +61,21 @@ def unpack_grads(g):
             g[5], jnp.stack([g[6], g[7], g[8]], -1))
 
 
+def _prefix_lanes_incl(x):
+    """Inclusive prefix sum along the lane axis (axis 1) via log-step rolls
+    — exact f32 on the VPU."""
+    n = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = 1
+    while s < n:
+        shifted = pltpu.roll(x, s, 1)
+        x = x + jnp.where(lane >= s, shifted, 0.0)
+        s *= 2
+    return x
+
+
 def _triu_strict(chunk):
-    """M[k, j] = 1 if k < j  (x @ M = exclusive prefix along pairs)."""
+    """M[k, j] = 1 if k < j  (x @ M = exclusive prefix along lanes)."""
     return (jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
             < jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
             ).astype(jnp.float32)
@@ -142,9 +155,11 @@ def _fwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, nc_ref,
 
         one_minus = 1.0 - a_eff
         logs = jnp.log1p(-a_eff)
+        # Prefix sums as one fused upper-triangular matmul on the MXU
+        # (measured faster than log-step rolls on the VPU).
         triu = _triu_strict(chunk)
         excl = jnp.dot(logs, triu, preferred_element_type=jnp.float32)
-        T_row = T_pix * jnp.exp(excl)
+        T_row = T_pix * jnp.exp(excl)                        # T before j
         incl = T_row * one_minus
         trigger = (a_eff > 0) & (incl < T_EPS)
         done_before = jnp.dot(trigger.astype(jnp.float32), triu,
@@ -174,9 +189,8 @@ def _fwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, nc_ref,
             jnp.zeros((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32))
     _, T_pix, cr, cg, cb_, nc = jax.lax.while_loop(cond, body, init)
 
-    packed = jnp.concatenate([cr, cg, cb_, T_pix], axis=1)   # (PIX, 4)
-    out_ref[0] = packed.T                                    # (4, PIX)
-    nc_ref[0, 0, :] = nc[:, 0].astype(jnp.int32)
+    out_ref[0] = jnp.concatenate([cr, cg, cb_, T_pix], axis=1)  # (PIX, 4)
+    nc_ref[0] = nc.astype(jnp.int32)
 
 
 def _forward(pair_data, seg_start, seg_end, grid_x: int, grid_y: int,
@@ -188,9 +202,9 @@ def _forward(pair_data, seg_start, seg_end, grid_x: int, grid_y: int,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, 4, PIX), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, PIX, 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PIX), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((2, ROW, chunk), jnp.float32),
@@ -200,8 +214,8 @@ def _forward(pair_data, seg_start, seg_end, grid_x: int, grid_y: int,
                                power_cutoff=power_cutoff, cap=cap)
     out, nc = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((num_tiles, 4, PIX), jnp.float32),
-                   jax.ShapeDtypeStruct((num_tiles, 1, PIX), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((num_tiles, PIX, 4), jnp.float32),
+                   jax.ShapeDtypeStruct((num_tiles, PIX, 1), jnp.int32)],
         interpret=interpret,
     )(seg_start, seg_end, pair_data)
     return out, nc
@@ -212,23 +226,29 @@ def _forward(pair_data, seg_start, seg_end, grid_x: int, grid_y: int,
 def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
                 buf, gbuf, sem, gsem, *, grid_x: int, chunk: int,
                 power_cutoff: float, cap: int):
-    """fin_ref: blocked (1, 8, PIX) per tile = [g_r, g_g, g_b, g_T, final_T,
-    n_contrib, pad, pad]. grads_hbm: (ROW, CAP) output, written per chunk.
+    """fin_ref: blocked (1, PIX, 8) per tile = [g_r, g_g, g_b, g_T, final_T,
+    n_contrib, pad, pad] along the last axis. grads_hbm: (ROW, CAP) output.
+
+    Only chunks up to the deepest contributing pair (max n_contrib) are
+    processed; the caller zero-masks the rest.
     """
     t = pl.program_id(0)
     start = seg_start_ref[t]
     end = seg_end_ref[t]
     n = end - start
     px, py = _pixel_coords(t, grid_x)
-    num_chunks = pl.cdiv(n, chunk)
 
-    fin = fin_ref[0]                         # (8, PIX)
-    g_r = fin[0:1, :].T                      # (PIX, 1)
-    g_g = fin[1:2, :].T
-    g_b = fin[2:3, :].T
-    gT = fin[3:4, :].T
-    Tf = fin[4:5, :].T
-    nc = fin[5:6, :].T
+    fin = fin_ref[0]                         # (PIX, 8)
+    g_r = fin[:, 0:1]                        # (PIX, 1)
+    g_g = fin[:, 1:2]
+    g_b = fin[:, 2:3]
+    gT = fin[:, 3:4]
+    Tf = fin[:, 4:5]
+    nc = fin[:, 5:6]
+    max_nc = jnp.max(nc)
+    # Deepest chunk that contains a contributing pair.
+    num_chunks = jnp.minimum(pl.cdiv(n, chunk),
+                             pl.cdiv(max_nc.astype(jnp.int32), chunk))
 
     def get_dma(slot, k):
         src = pl.multiple_of(jnp.minimum(start + k * chunk, cap - chunk),
@@ -262,8 +282,8 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
         a_eff = jnp.where(contribute, alpha, 0.0)
         logs = jnp.log1p(-a_eff)                             # (PIX, chunk)
 
-        triu = _triu_incl(chunk)
-        inc = jnp.dot(logs, triu, preferred_element_type=jnp.float32)
+        triu_i = _triu_incl(chunk)
+        inc = jnp.dot(logs, triu_i, preferred_element_type=jnp.float32)
         seg_total = jnp.sum(logs, axis=1, keepdims=True)     # (PIX, 1)
         T_j = T_back * jnp.exp(-(seg_total - inc + logs))
         w = a_eff * T_j                                      # (PIX, chunk)
@@ -271,9 +291,9 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
         wr = w * data[6:7, :]
         wg = w * data[7:8, :]
         wb = w * data[8:9, :]
-        Winc_r = jnp.dot(wr, triu, preferred_element_type=jnp.float32)
-        Winc_g = jnp.dot(wg, triu, preferred_element_type=jnp.float32)
-        Winc_b = jnp.dot(wb, triu, preferred_element_type=jnp.float32)
+        Winc_r = jnp.dot(wr, triu_i, preferred_element_type=jnp.float32)
+        Winc_g = jnp.dot(wg, triu_i, preferred_element_type=jnp.float32)
+        Winc_b = jnp.dot(wb, triu_i, preferred_element_type=jnp.float32)
         tot_r = jnp.sum(wr, axis=1, keepdims=True)
         tot_g = jnp.sum(wg, axis=1, keepdims=True)
         tot_b = jnp.sum(wb, axis=1, keepdims=True)
@@ -310,17 +330,18 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
             jnp.sum(w * g_b, axis=0, keepdims=True),
             zero, zero, zero, zero, zero, zero, zero,
         ], axis=0)                                           # (ROW, chunk)
-        gbuf[0] = g_out
-        wdma = pltpu.make_async_copy(gbuf.at[0],
+        slot = kk % 2
+        gbuf[slot] = g_out
+        wdma = pltpu.make_async_copy(gbuf.at[slot],
                                      grads_hbm.at[:, pl.ds(src, chunk)],
-                                     gsem)
+                                     gsem.at[slot])
         wdma.start()
+        wdma.wait()
 
         T_back = T_back * jnp.exp(-seg_total)
         S_r = S_r + tot_r
         S_g = S_g + tot_g
         S_b = S_b + tot_b
-        wdma.wait()
         return kk, T_back, S_r, S_g, S_b
 
     def cond(state):
@@ -331,21 +352,22 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
                                     zero_col))
 
 
-def _backward(pair_data, seg_start, seg_end, fin, grid_x: int, grid_y: int,
-              chunk: int, power_cutoff: float, interpret: bool):
+def _backward(pair_data, seg_start, seg_end, fin, n_contrib_max,
+              grid_x: int, grid_y: int, chunk: int, power_cutoff: float,
+              interpret: bool):
     num_tiles = grid_x * grid_y
     cap = pair_data.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec((1, 8, PIX), lambda t, *_: (t, 0, 0),
+                  pl.BlockSpec((1, PIX, 8), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[pltpu.VMEM((2, ROW, chunk), jnp.float32),
-                        pltpu.VMEM((1, ROW, chunk), jnp.float32),
+                        pltpu.VMEM((2, ROW, chunk), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.SemaphoreType.DMA(())],
+                        pltpu.SemaphoreType.DMA((2,))],
     )
     kernel = functools.partial(_bwd_kernel, grid_x=grid_x, chunk=chunk,
                                power_cutoff=power_cutoff, cap=cap)
@@ -355,13 +377,19 @@ def _backward(pair_data, seg_start, seg_end, fin, grid_x: int, grid_y: int,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(seg_start, seg_end, pair_data, fin)[0]
-    # Rows never covered by any tile's chunks are uninitialized: zero them.
+    # Rows whose chunk was never processed (beyond the deepest contributor,
+    # or outside any segment) are uninitialized: zero them. Row->tile lookup
+    # via boundary-scatter + cumsum (searchsorted over millions of rows is
+    # very slow on TPU).
+    seg_chunks = (jnp.maximum(seg_end - seg_start, 0) + chunk - 1) // chunk
+    done_chunks = jnp.minimum(seg_chunks,
+                              (n_contrib_max + chunk - 1) // chunk)
+    marks = jnp.zeros(cap, jnp.int32).at[seg_start[1:]].add(1, mode='drop')
+    idx = jnp.cumsum(marks)                                  # tile per row
     row = jnp.arange(cap, dtype=jnp.int32)
-    idx = jnp.clip(jnp.searchsorted(seg_start, row, side='right') - 1,
-                   0, seg_start.shape[0] - 1)
-    nchunks = (jnp.maximum(seg_end - seg_start, 0) + chunk - 1) // chunk
-    within = (row >= seg_start[idx]) & \
-             (row < seg_start[idx] + nchunks[idx] * chunk)
+    within = (row >= jnp.take(seg_start, idx)) & \
+             (row < jnp.take(seg_start, idx)
+              + jnp.take(done_chunks, idx) * chunk)
     return jnp.where(within[None, :], grads, 0.0)
 
 
@@ -377,29 +405,29 @@ def blend_pallas(pair_data, seg_start, seg_end, grid_x, grid_y, chunk,
     """
     out, nc = _forward(pair_data, seg_start, seg_end, grid_x, grid_y, chunk,
                        power_cutoff, interpret)
-    return jnp.moveaxis(out[:, 0:3, :], 1, 2), out[:, 3, :], nc[:, 0, :]
+    return out[:, :, 0:3], out[:, :, 3], nc[:, :, 0]
 
 
 def _blend_pallas_fwd(pair_data, seg_start, seg_end, grid_x, grid_y, chunk,
                       power_cutoff, interpret):
     out, nc = _forward(pair_data, seg_start, seg_end, grid_x, grid_y, chunk,
                        power_cutoff, interpret)
-    res = (pair_data, seg_start, seg_end, out[:, 3, :], nc[:, 0, :])
-    return (jnp.moveaxis(out[:, 0:3, :], 1, 2), out[:, 3, :],
-            nc[:, 0, :]), res
+    res = (pair_data, seg_start, seg_end, out[:, :, 3], nc[:, :, 0])
+    return (out[:, :, 0:3], out[:, :, 3], nc[:, :, 0]), res
 
 
 def _blend_pallas_bwd(grid_x, grid_y, chunk, power_cutoff, interpret, res, g):
     pair_data, seg_start, seg_end, final_T, n_contrib = res
     g_color, g_T, _ = g
     num_tiles = grid_x * grid_y
-    fin = jnp.zeros((num_tiles, 8, PIX), jnp.float32)
-    fin = fin.at[:, 0:3, :].set(jnp.moveaxis(g_color, 2, 1))
-    fin = fin.at[:, 3, :].set(g_T)
-    fin = fin.at[:, 4, :].set(final_T)
-    fin = fin.at[:, 5, :].set(n_contrib.astype(jnp.float32))
-    grads = _backward(pair_data, seg_start, seg_end, fin, grid_x, grid_y,
-                      chunk, power_cutoff, interpret)
+    fin = jnp.zeros((num_tiles, PIX, 8), jnp.float32)
+    fin = fin.at[:, :, 0:3].set(g_color)
+    fin = fin.at[:, :, 3].set(g_T)
+    fin = fin.at[:, :, 4].set(final_T)
+    fin = fin.at[:, :, 5].set(n_contrib.astype(jnp.float32))
+    nc_max = jnp.max(n_contrib, axis=1)
+    grads = _backward(pair_data, seg_start, seg_end, fin, nc_max,
+                      grid_x, grid_y, chunk, power_cutoff, interpret)
     return grads, None, None
 
 

@@ -1,0 +1,134 @@
+"""Single-frame multi-chip rendering: Gaussian-sharded preprocess + binning,
+tile-sharded blending, all-to-all pair exchange over ICI.
+
+The reference has nothing to port here (single GPU, SURVEY.md §2.5/§5.7);
+this is the new distributed design: each device preprocesses and bins its
+shard of the Gaussian cloud against ALL tiles, routes the resulting
+(tile, depth, attrs) pairs to the device that owns the tile via ONE
+`jax.lax.all_to_all` (rides ICI under a Mesh), then every device
+depth-sorts and alpha-blends only its own tile rows. Per-destination
+traffic uses a fixed capacity with an overflow counter (no dynamic shapes).
+
+Depth correctness across shards: pairs from different source devices
+interleave arbitrarily, so the receiver re-sorts its merged pair list by
+(tile, view depth) — the same two-key order the single-chip path encodes
+with its depth-presort + stable tile sort.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from fovsplat.ops import binning, blend, projection
+from fovsplat.ops.projection import TILE
+
+NATTR = 11   # mx my ca cb cc op r g b depth tile
+
+
+def _device_render(m, s, q, o, c, camera, gx, gy, ndev, tiles_per_dev,
+                   cap_local, c2, chunk, power_cutoff, axis):
+    num_tiles = gx * gy
+    prep = projection.preprocess(m, s, q, camera)
+    bn = binning.bin_gaussians(prep, gx, gy, cap_local)
+    gid = jnp.minimum(bn.pair_gauss, m.shape[0] - 1)
+    tile = bn.pair_tile
+    depth = jnp.where(tile < num_tiles, prep.depth[gid], jnp.inf)
+
+    attrs = jnp.stack([
+        prep.mean2d[gid, 0], prep.mean2d[gid, 1],
+        prep.conic[gid, 0], prep.conic[gid, 1], prep.conic[gid, 2],
+        o[gid], c[gid, 0], c[gid, 1], c[gid, 2],
+        depth, tile.astype(jnp.float32)], axis=-1)        # (CAPL, NATTR)
+
+    # Destination of tile t is t // tiles_per_dev; the tile-sorted list is
+    # therefore destination-contiguous.
+    dest_bounds = jnp.searchsorted(
+        tile, jnp.arange(ndev + 1, dtype=jnp.int32) * tiles_per_dev,
+        side='left').astype(jnp.int32)
+    idx = dest_bounds[:-1, None] + jnp.arange(c2, dtype=jnp.int32)[None, :]
+    valid = idx < dest_bounds[1:, None]
+    gathered = attrs[jnp.minimum(idx, cap_local - 1)]     # (ndev, c2, NATTR)
+    sentinel = jnp.zeros((1, 1, NATTR), jnp.float32).at[0, 0, 10].set(
+        float(num_tiles)).at[0, 0, 9].set(jnp.inf)
+    send = jnp.where(valid[:, :, None], gathered, sentinel)
+    send_overflow = jnp.sum(
+        jnp.maximum(dest_bounds[1:] - dest_bounds[:-1] - c2, 0))
+
+    # The collective: pair blocks ride ICI to their tile owners.
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+    recv = recv.reshape(ndev * c2, NATTR)
+
+    # Re-sort merged pairs by (tile, depth).
+    r_tile = recv[:, 10].astype(jnp.int32)
+    res = jax.lax.sort((r_tile, recv[:, 9], recv[:, 0], recv[:, 1],
+                        recv[:, 2], recv[:, 3], recv[:, 4], recv[:, 5],
+                        recv[:, 6], recv[:, 7], recv[:, 8]),
+                       num_keys=2, is_stable=True)
+    r_tile = res[0]
+    mean2d = jnp.stack([res[2], res[3]], -1)
+    conic = jnp.stack([res[4], res[5], res[6]], -1)
+    opac = res[7]
+    col3 = jnp.stack([res[8], res[9], res[10]], -1)
+
+    seg_start = jnp.searchsorted(
+        r_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+        side='left').astype(jnp.int32)
+    num_pairs = seg_start[-1]
+
+    tile_color, final_T, _ = blend._blend_forward_impl(
+        r_tile, mean2d, conic, opac, col3, seg_start, num_pairs,
+        gx, gy, chunk, power_cutoff)
+
+    # Keep only my tile rows; all_gather assembles the full tile-major image.
+    my_dev = jax.lax.axis_index(axis)
+    base = my_dev * tiles_per_dev
+    rows = jnp.arange(tiles_per_dev) + base
+    rows = jnp.minimum(rows, num_tiles - 1)
+    my_color = tile_color[rows]
+    my_T = final_T[rows]
+    all_color = jax.lax.all_gather(my_color, axis, axis=0)
+    all_T = jax.lax.all_gather(my_T, axis, axis=0)
+    all_color = all_color.reshape(ndev * tiles_per_dev, -1, 3)[:num_tiles]
+    all_T = all_T.reshape(ndev * tiles_per_dev, -1)[:num_tiles]
+    return all_color, all_T, bn.overflow + send_overflow
+
+
+def render_tile_sharded(mesh: Mesh, means3d, scales, rotations, opacities,
+                        colors, camera, pair_capacity: int = 1 << 18,
+                        per_dest_capacity: int | None = None,
+                        chunk: int = 1024, power_cutoff: float = -4.5,
+                        axis: str = "data", bg_color=None):
+    """Render one view with the Gaussian cloud sharded over `axis`.
+
+    All per-Gaussian arrays are sharded on axis 0 (N divisible by mesh
+    size). Returns (image (H,W,3) replicated, aux dict)."""
+    ndev = mesh.shape[axis]
+    gx = (camera.width + TILE - 1) // TILE
+    gy = (camera.height + TILE - 1) // TILE
+    num_tiles = gx * gy
+    tiles_per_dev = -(-num_tiles // ndev)
+    cap_local = pair_capacity // ndev
+    c2 = per_dest_capacity or max(2 * cap_local // ndev, 256)
+
+    def fn(m, s, q, o, c):
+        return _device_render(m, s, q, o, c, camera, gx, gy, ndev,
+                              tiles_per_dev, cap_local, c2, chunk,
+                              power_cutoff, axis)
+
+    shard = P(axis)
+    rep = P()
+    mapped = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(shard, shard, shard, shard, shard),
+        out_specs=(rep, rep, rep), check_vma=False)
+    tile_color, final_T, overflow = mapped(means3d, scales, rotations,
+                                           opacities, colors)
+    image = blend.tiles_to_image(tile_color, gx, gy, camera.width,
+                                 camera.height)
+    T_img = blend.tiles_to_image(final_T, gx, gy, camera.width,
+                                 camera.height)
+    if bg_color is not None:
+        image = image + T_img[..., None] * jnp.asarray(bg_color)
+    return image, {"final_T": T_img, "overflow": overflow}

@@ -44,3 +44,25 @@ def test_dp_step_runs_and_reduces():
     assert losses[-1] < losses[0]
     # Params are replicated: identical on all devices.
     assert p.xyz.shape == params.xyz.shape
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tile_sharded_render_matches_single():
+    from fovsplat.parallel import tile_shard
+    n = 256
+    means, scales, quats, ops_, colors = synthetic_cloud(n=n, seed=17)
+    cam = make_test_camera(width=96, height=64)
+    mesh = dp.make_mesh(8)
+    img, aux = tile_shard.render_tile_sharded(
+        mesh, jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(ops_), jnp.asarray(colors), cam,
+        pair_capacity=1 << 14, chunk=256,
+        bg_color=jnp.array([0.1, 0.2, 0.3]))
+    assert int(aux["overflow"]) == 0
+
+    ref = rasterize.rasterize(
+        means, scales, quats, ops_, cam, colors=colors,
+        bg_color=jnp.array([0.1, 0.2, 0.3]),
+        config=rasterize.RasterizeConfig(pair_capacity=1 << 14, chunk=256))
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref["render"]),
+                               rtol=1e-4, atol=1e-4)
