@@ -4,10 +4,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Harness semantics mirror the reference FPS benchmark
 (fov3dgs/render_compose_gazes_fps.py:25-73): warmups, then timed repetitions
-of the rasterizer call only; value = frames/s. vs_baseline compares against
-the reference's ours-Q foveated FPS on Mip360 bicycle (702.12,
-fov3dgs/fps/ours-Q-9gazes/bicycle.txt) — resolution here is 1080p-class and
-the cloud is synthetic bicycle-scale until real scene data is wired in.
+of the rasterizer call; every rep forces a host read (the remote TPU
+backend does not reliably serialize on block_until_ready). vs_baseline
+compares against the reference's ours-Q foveated FPS on Mip360 bicycle
+(702.12, fov3dgs/fps/ours-Q-9gazes/bicycle.txt); the cloud is synthetic
+bicycle-scale until real scene data is wired in.
 """
 
 import argparse
@@ -18,6 +19,34 @@ import time
 BASELINE_FPS = 702.12
 
 
+def build_render(args, cam, arrays, backend):
+    import jax
+    import jax.numpy as jnp
+
+    from fovsplat.ops import rasterize as rast
+    means, scales, quats, opac, colors, fovdata = arrays
+    cfg = rast.RasterizeConfig(pair_capacity=args.pair_capacity,
+                               chunk=args.chunk, backend=backend,
+                               pallas_chunk=256)
+    if args.mode == "fov":
+        from fovsplat.ops import foveated as fov
+        hl, shs_dcs, opac4, rest = fovdata
+        gaze = jnp.array([0.5, 0.5], jnp.float32)
+
+        def render(m, s, q):
+            out = fov.rasterize_fov(m, s, q, opac4, shs_dcs, rest, hl, cam,
+                                    gaze=gaze, alpha=0.05, blending=True,
+                                    config=cfg)
+            return out["render"]
+    else:
+        def render(m, s, q):
+            out = rast.rasterize(m, s, q, opac, cam, colors=colors,
+                                 config=cfg)
+            return out["render"]
+
+    return jax.jit(render)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_161_358)  # bicycle PS1 count
@@ -25,9 +54,10 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--pair-capacity", type=int, default=1 << 22)
     ap.add_argument("--chunk", type=int, default=4096)
-    ap.add_argument("--warmup", type=int, default=10)
-    ap.add_argument("--reps", type=int, default=50)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--mode", default="ps1", choices=["ps1", "fov"])
+    ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     args = ap.parse_args()
 
     import jax
@@ -35,67 +65,58 @@ def main():
     import numpy as np
 
     from fovsplat.data.cameras import look_at_camera
-    from fovsplat.ops import rasterize as rast
 
     rng = np.random.default_rng(0)
     n = args.n
-    means = rng.normal(0, 1.2, (n, 3)).astype(np.float32)
-    # Calibrated so candidate pairs land in the few-million range at 1080p
-    # (bicycle-like density), not tens of millions.
-    scales = rng.uniform(0.002, 0.012, (n, 3)).astype(np.float32)
-    quats = rng.normal(0, 1, (n, 4)).astype(np.float32)
+    means = jnp.asarray(rng.normal(0, 1.2, (n, 3)), jnp.float32)
+    scales = jnp.asarray(rng.uniform(0.002, 0.012, (n, 3)), jnp.float32)
+    quats = rng.normal(0, 1, (n, 4))
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
-    opac = rng.uniform(0.2, 0.95, (n,)).astype(np.float32)
-    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    quats = jnp.asarray(quats, jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.2, 0.95, (n,)), jnp.float32)
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+    fovdata = None
+    if args.mode == "fov":
+        fovdata = (jnp.asarray(rng.integers(0, 4, (n,)), jnp.float32),
+                   jnp.asarray(rng.normal(0, 0.8, (n, 4, 3)), jnp.float32),
+                   jnp.asarray(rng.uniform(0.2, 0.95, (n, 4)), jnp.float32),
+                   jnp.asarray(rng.normal(0, 0.05, (n, 15, 3)), jnp.float32))
 
     cam = look_at_camera([0.4, -0.3, -4.0], [0, 0, 0], [0, -1, 0],
                          fovx=1.1, fovy=0.7, width=args.width,
                          height=args.height)
-    cfg = rast.RasterizeConfig(pair_capacity=args.pair_capacity,
-                               chunk=args.chunk)
+    arrays = (means, scales, quats, opac, colors, fovdata)
 
-    if args.mode == "fov":
-        from fovsplat.ops import foveated as fov
-        hl = rng.integers(0, 4, (n,)).astype(np.float32)
-        shs_dcs = rng.normal(0, 0.8, (n, 4, 3)).astype(np.float32)
-        opac4 = rng.uniform(0.2, 0.95, (n, 4)).astype(np.float32)
-        rest = rng.normal(0, 0.05, (n, 15, 3)).astype(np.float32)
-        gaze = jnp.array([0.5, 0.5], jnp.float32)
-
-        def render(means, scales, quats):
-            out = fov.rasterize_fov(
-                means, scales, quats, jnp.asarray(opac4),
-                jnp.asarray(shs_dcs), jnp.asarray(rest),
-                jnp.asarray(hl), cam, gaze=gaze, alpha=0.05,
-                blending=True, config=cfg)
-            return out["render"]
-    else:
-        def render(means, scales, quats):
-            out = rast.rasterize(means, scales, quats, jnp.asarray(opac),
-                                 cam, colors=jnp.asarray(colors), config=cfg)
-            return out["render"]
-
-    fn = jax.jit(render)
-    m = jnp.asarray(means)
-    s = jnp.asarray(scales)
-    q = jnp.asarray(quats)
-
-    img = jax.block_until_ready(fn(m, s, q))
+    backend = args.backend
+    fn = build_render(args, cam, arrays, backend)
+    try:
+        img = fn(means, scales, quats)
+        float(img.ravel()[0])
+    except Exception as e:                          # pallas compile failure
+        if backend == "pallas":
+            print(f"# pallas backend failed ({type(e).__name__}), "
+                  "falling back to xla", file=sys.stderr)
+            backend = "xla"
+            fn = build_render(args, cam, arrays, backend)
+            img = fn(means, scales, quats)
+            float(img.ravel()[0])
+        else:
+            raise
     assert img.shape == (args.height, args.width, 3)
+
     for _ in range(args.warmup):
-        jax.block_until_ready(fn(m, s, q))
-    # Sync every rep: the remote TPU backend does not reliably serialize
-    # async dispatches, so trailing-sync timing under-reports wildly.
+        float(fn(means, scales, quats).ravel()[0])
     t0 = time.perf_counter()
     for _ in range(args.reps):
-        jax.block_until_ready(fn(m, s, q))
+        float(fn(means, scales, quats).ravel()[0])
     dt = (time.perf_counter() - t0) / args.reps
     fps = 1.0 / dt
     rays_per_s = args.width * args.height * fps
 
     print(json.dumps({
-        "metric": f"render FPS ({args.mode}, {args.width}x{args.height}, "
-                  f"{n} gaussians, synthetic, 1 chip)",
+        "metric": f"render FPS ({args.mode}/{backend}, "
+                  f"{args.width}x{args.height}, {n} gaussians, synthetic, "
+                  "1 chip)",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 4),

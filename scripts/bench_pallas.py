@@ -30,11 +30,20 @@ chunk = int(os.environ.get("BENCH_CHUNK", "256"))
 acap = ((cap + num_tiles * chunk + chunk - 1) // chunk) * chunk
 
 
+def _force(x):
+    # block_until_ready does not reliably serialize under the remote
+    # backend; a host read of a scalar reduction does.
+    leaves = jax.tree.leaves(x)
+    return float(jnp.sum(leaves[0].ravel()[:1]))
+
+
 def timeit(f, *a, reps=10, label=""):
-    out = jax.block_until_ready(f(*a))
+    out = f(*a)
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = jax.block_until_ready(f(*a))
+        out = f(*a)
+        _force(out)
     dt = (time.perf_counter() - t0) / reps
     print(f"{label}: {dt*1e3:.2f} ms", flush=True)
     return out

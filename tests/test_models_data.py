@@ -151,3 +151,48 @@ def test_vq_compress_roundtrip():
               ("xyz", "features_dc", "features_rest", "scaling", "rotation",
                "opacity"))
     assert vq.compressed_size_bytes(comp) < raw * 0.55
+
+
+def test_network_gui_protocol():
+    """Loopback exercise of the viewer socket protocol."""
+    import json
+    import socket
+    import threading
+
+    from fovsplat.eval.network_gui import NetworkGUI
+
+    gui = NetworkGUI(port=0)   # ephemeral port
+    port = gui.listener.getsockname()[1]
+
+    result = {}
+
+    def client():
+        s = socket.create_connection(("127.0.0.1", port))
+        view = np.eye(4, dtype=np.float32).reshape(-1).tolist()
+        msg = json.dumps({
+            "resolution_x": 8, "resolution_y": 4, "train": False,
+            "fov_y": 0.8, "fov_x": 1.0, "z_near": 0.01, "z_far": 100.0,
+            "shs_python": False, "rot_scale_python": False,
+            "keep_alive": True, "scaling_modifier": 1.0,
+            "view_matrix": view, "view_projection_matrix": view,
+        }).encode()
+        s.sendall(len(msg).to_bytes(4, "little"))
+        s.sendall(msg)
+        img = b""
+        while len(img) < 8 * 4 * 3:
+            img += s.recv(8 * 4 * 3 - len(img))
+        n = int.from_bytes(s.recv(4), "little")
+        verify = s.recv(n).decode()
+        result["img_len"] = len(img)
+        result["verify"] = verify
+        s.close()
+
+    th = threading.Thread(target=client)
+    th.start()
+    for _ in range(100):
+        msg = gui.serve_step(
+            lambda cam: np.full((cam.height, cam.width, 3), 0.5), "scene")
+        if msg is not None:
+            break
+    th.join(timeout=5)
+    assert result == {"img_len": 96, "verify": "scene"}
