@@ -138,3 +138,71 @@ def resize_for_pyramid(image, n_levels: int = 5):
     if rh == h and rw == w:
         return image
     return bilinear_upsample(image, rh, rw)
+
+
+def gen_metamer(image, pooling_size, n_levels: int = 5,
+                n_orientations: int = 6, key=None):
+    """Generate a metamer: noise pyramid with per-band statistics matched to
+    the target's statsmaps (metameric_loss_uniform.py:160-216, after
+    Freeman & Simoncelli / Walton et al.)."""
+    import jax
+
+    from fovsplat.perception import color as color_mod
+    from fovsplat.perception import pyramid as pyr_mod
+    if image.ndim == 3:
+        image = image[None]
+    ycrcb = color_mod.rgb_to_ycrcb(image)
+    stats = statsmaps(ycrcb, pooling_size, n_levels, n_orientations,
+                      colorspace="YCrCb")
+    means = stats[::2]
+    stds = stats[1::2]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    noise = jax.random.uniform(key, ycrcb.shape)
+    npyr = pyr_mod.construct_pyramid(noise, n_levels, n_orientations,
+                                     "cropped", True)
+    ipyr = pyr_mod.construct_pyramid(ycrcb, n_levels, n_orientations,
+                                     "cropped", True)
+
+    def match(level, mean_map, std_map):
+        level = level - jnp.mean(level)
+        input_std = jnp.maximum(jnp.sqrt(jnp.mean(level * level)), 1e-6)
+        return level / input_std * std_map + mean_map
+
+    nbands = len(npyr[0]["b"])
+    npyr[0]["h"] = match(npyr[0]["h"], means[0], stds[0])
+    for l in range(len(npyr) - 1):
+        for b in range(nbands):
+            idx = 1 + l * nbands + b
+            npyr[l]["b"][b] = match(npyr[l]["b"][b], means[idx], stds[idx])
+    npyr[-1]["l"] = ipyr[-1]["l"]
+    metamer = pyr_mod.reconstruct_from_pyramid(npyr, n_orientations,
+                                               "cropped", True)
+    return color_mod.ycrcb_to_rgb(metamer)
+
+
+def metamer_mse_loss(image, target, pooling_size, n_levels: int = 5,
+                     n_orientations: int = 6, key=None):
+    """MetamerMSELoss equivalent: MSE against a generated metamer of the
+    target (metamer_mse_loss.py)."""
+    m = jax.lax.stop_gradient(gen_metamer(target, pooling_size, n_levels,
+                                          n_orientations, key))
+    return jnp.mean((image - m) ** 2)
+
+
+def blur_loss(image, target, gaze=(0.5, 0.5), alpha: float = 0.2,
+              real_image_width: float = 0.2,
+              real_viewing_distance: float = 0.7, blur_source: bool = False):
+    """BlurLoss equivalent (blur_loss.py): MSE against a radially-varying
+    blurred target (optionally blurring the source too)."""
+    from fovsplat.perception import foveated_loss as fl
+    if image.ndim == 3:
+        image = image[None]
+    if target.ndim == 3:
+        target = target[None]
+    h, w = target.shape[1:3]
+    lod = fl.make_lod_map(gaze, h, w, alpha, real_image_width,
+                          real_viewing_distance)
+    bt = fl.radially_varying_blur(target, lod)
+    src = fl.radially_varying_blur(image, lod) if blur_source else image
+    return jnp.mean((src - bt) ** 2)

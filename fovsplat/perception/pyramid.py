@@ -93,3 +93,31 @@ def construct_pyramid(image, n_levels: int = 5, n_orientations: int = 6,
         lowpass = depthwise_conv(lowpass, f["l"])[:, ::2, ::2, :]
     pyramid.append({"l": lowpass})
     return pyramid
+
+
+def reconstruct_from_pyramid(pyr, n_orientations: int = 6,
+                             filter_type: str = "cropped",
+                             use_bilinear_downup: bool = True):
+    """Inverse transform (spatial_steerable_pyramid.py:182-223): upsample the
+    lowpass, subtract re-filtered bands per level, final l0/h0 combination."""
+    import jax.numpy as jnp
+    f = load_filters(n_orientations, filter_type)
+
+    def upsample(img, hw):
+        if use_bilinear_downup:
+            from fovsplat.perception.metameric import bilinear_upsample
+            return bilinear_upsample(img, hw[0], hw[1])
+        b, h, w, c = img.shape
+        zeros = jnp.zeros((b, h * 2, w * 2, c), img.dtype)
+        zeros = zeros.at[:, ::2, ::2, :].set(img)
+        return depthwise_conv(zeros, f["l"])
+
+    image = pyr[-1]["l"]
+    for level in reversed(pyr[:-1]):
+        hw = level["b"][0].shape[1:3]
+        image = upsample(image, hw)
+        for b in range(len(level["b"])):
+            image = image + depthwise_conv(level["b"][b], -f["b"][b])
+    image = depthwise_conv(image, f["l0"])
+    image = image + depthwise_conv(pyr[0]["h"], f["h0"])
+    return image
