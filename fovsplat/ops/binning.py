@@ -99,28 +99,54 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
     total = cum_incl[-1]
     overflow = jnp.maximum(total - cap, 0)
 
-    # 2. Pair expansion by rank. searchsorted over the inclusive cumsum:
-    # pair p belongs to the first sorted-Gaussian g with cum_incl[g] > p.
+    # 2. Pair expansion by rank. The p -> owning-Gaussian interval lookup is
+    # a boundary-scatter + cumsum (searchsorted with millions of queries is
+    # extremely slow on TPU), and all per-Gaussian data needed downstream is
+    # packed into ONE row table so the CAP-sized expansion costs a single
+    # row gather instead of ten scalar gathers.
     p = jnp.arange(cap, dtype=jnp.int32)
-    g = jnp.searchsorted(cum_incl, p, side='right').astype(jnp.int32)
-    g = jnp.minimum(g, n - 1)
+    cum_excl = (cum_incl - tnum_sorted).astype(jnp.int32)   # (N,)
+    marks = jnp.zeros(cap, jnp.int32).at[cum_excl[1:]].add(
+        jnp.ones((), jnp.int32), mode='drop')
+    g = jnp.minimum(jnp.cumsum(marks), n - 1).astype(jnp.int32)
     in_range = p < total
-    local = p - (cum_incl[g] - tnum_sorted[g]).astype(jnp.int32)
 
-    orig = depth_order[g].astype(jnp.int32)
-    rmin = prep.rect_min[orig]
-    rw = jnp.maximum(prep.rect_max[orig, 0] - rmin[:, 0], 1)
-    tx = rmin[:, 0] + local % rw
-    ty = rmin[:, 1] + local // rw
+    # Per-Gaussian packed table in depth order (one N-sized gather each):
+    # [orig, rmin_x, rmin_y, rw, tnum, mx, my, v1x, v1y, v2x, v2y, l1, l2]
+    table = jnp.stack([
+        depth_order.astype(jnp.float32),
+        prep.rect_min[:, 0][depth_order].astype(jnp.float32),
+        prep.rect_min[:, 1][depth_order].astype(jnp.float32),
+        jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0],
+                    1)[depth_order].astype(jnp.float32),
+        prep.tiles_touched[depth_order].astype(jnp.float32),
+        prep.mean2d[:, 0][depth_order],
+        prep.mean2d[:, 1][depth_order],
+        prep.eigen_vec[:, 0, 0][depth_order],
+        prep.eigen_vec[:, 0, 1][depth_order],
+        prep.eigen_vec[:, 1, 0][depth_order],
+        prep.eigen_vec[:, 1, 1][depth_order],
+        prep.eigen_len[:, 0][depth_order],
+        prep.eigen_len[:, 1][depth_order],
+        cum_excl.astype(jnp.float32),
+    ], axis=1)                                              # (N, 14)
+    # NOTE: integer columns ride as f32 — exact for N, coords < 2^24.
+    rows = table[g]                                         # (CAP, 14)
+
+    orig = rows[:, 0].astype(jnp.int32)
+    local = p - rows[:, 13].astype(jnp.int32)
+    rw = rows[:, 3].astype(jnp.int32)
+    tx = rows[:, 1].astype(jnp.int32) + local % rw
+    ty = rows[:, 2].astype(jnp.int32) + local // rw
     tile = ty * grid_x + tx
 
     # 3. Cull: OBB + optional level mask. Single-tile rects skip the OBB test
     # (the reference filter only SAT-tests multi-tile rects).
     keep = in_range
     if use_obb:
-        multi = prep.tiles_touched[orig] > 1
-        ob = obb_pass(tx, ty, prep.mean2d[orig], prep.eigen_vec[orig],
-                      prep.eigen_len[orig])
+        multi = rows[:, 4] > 1
+        ob = obb_pass(tx, ty, rows[:, 5:7],
+                      rows[:, 7:11].reshape(-1, 2, 2), rows[:, 11:13])
         keep = keep & (ob | ~multi)
     if tile_mask_fn is not None:
         keep = keep & tile_mask_fn(orig, tile)

@@ -121,13 +121,15 @@ def _fwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, nc_ref,
     t = pl.program_id(0)
     start = seg_start_ref[t]
     end = seg_end_ref[t]
-    n = end - start
     px, py = _pixel_coords(t, grid_x)
-    num_chunks = pl.cdiv(n, chunk)
+    # DMA windows start at the 128-aligned floor of the segment start, so
+    # the kernel accepts UNALIGNED segments too (inference path skips
+    # binning.align_segments); masking by [start, end) handles the head.
+    base = pl.multiple_of((start // 128) * 128, 128)
+    num_chunks = pl.cdiv(end - base, chunk)
 
     def get_dma(slot, k):
-        src = pl.multiple_of(jnp.minimum(start + k * chunk, cap - chunk),
-                             chunk)
+        src = pl.multiple_of(jnp.minimum(base + k * chunk, cap - chunk), 128)
         return pltpu.make_async_copy(pairs_hbm.at[:, pl.ds(src, chunk)],
                                      buf.at[slot], sem.at[slot])
 
@@ -144,8 +146,7 @@ def _fwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, nc_ref,
 
         get_dma(k % 2, k).wait()
         data = buf[k % 2]
-        src = pl.multiple_of(jnp.minimum(start + k * chunk, cap - chunk),
-                             chunk)
+        src = pl.multiple_of(jnp.minimum(base + k * chunk, cap - chunk), 128)
         gid = src + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         in_seg = (gid >= start) & (gid < end)
 
@@ -432,3 +433,16 @@ def _blend_pallas_bwd(grid_x, grid_y, chunk, power_cutoff, interpret, res, g):
 
 
 blend_pallas.defvjp(_blend_pallas_fwd, _blend_pallas_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_x", "grid_y", "chunk",
+                                             "power_cutoff", "interpret"))
+def blend_pallas_fwd_only(pair_data, seg_start, seg_end, grid_x, grid_y,
+                          chunk=256, power_cutoff=-4.5, interpret=False):
+    """Forward-only blend over an UNALIGNED tile-sorted pair list (the
+    inference path: no binning.align_segments needed — the kernel floors
+    DMA windows to 128 and masks). Not differentiable; training uses
+    blend_pallas on a chunk-aligned layout."""
+    out, nc = _forward(pair_data, seg_start, seg_end, grid_x, grid_y, chunk,
+                       power_cutoff, interpret)
+    return out[:, :, 0:3], out[:, :, 3], nc[:, :, 0]

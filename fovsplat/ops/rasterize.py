@@ -39,6 +39,8 @@ class RasterizeConfig:
     backend: str = "xla"              # "xla" | "pallas" (TPU hot path)
     pallas_chunk: int = 256           # pairs per kernel chunk
     pallas_interpret: bool = False    # interpreter mode (CPU tests)
+    pallas_fwd_only: bool = False     # inference: skip segment alignment
+                                      # (not differentiable)
 
     def padded_capacity(self) -> int:
         c = self.chunk
@@ -97,14 +99,24 @@ def rasterize(means3d, scales, rotations, opacities, camera,
 
     if cfg.backend == "pallas":
         from fovsplat.ops.pallas import blend_fwd as pk
-        bn2 = binning.align_segments(bn, cfg.pallas_chunk, gx * gy,
-                                     cfg.aligned_capacity(gx * gy))
-        gid = jnp.minimum(bn2.pair_gauss, means3d.shape[0] - 1)
-        packed = pk.pack_pairs(prep.mean2d[gid], prep.conic[gid],
-                               opacities[gid], colors[gid])
-        tile_color, final_T, n_contrib = pk.blend_pallas(
-            packed, bn2.seg_start, bn2.seg_end, gx, gy, cfg.pallas_chunk,
-            cfg.power_cutoff, cfg.pallas_interpret)
+        if cfg.pallas_fwd_only:
+            # Inference path: the kernel handles unaligned segments by
+            # flooring DMA windows, so no alignment pass is needed.
+            gid = jnp.minimum(bn.pair_gauss, means3d.shape[0] - 1)
+            packed = pk.pack_pairs(prep.mean2d[gid], prep.conic[gid],
+                                   opacities[gid], colors[gid])
+            tile_color, final_T, n_contrib = pk.blend_pallas_fwd_only(
+                packed, bn.seg_start[:-1], bn.seg_start[1:], gx, gy,
+                cfg.pallas_chunk, cfg.power_cutoff, cfg.pallas_interpret)
+        else:
+            bn2 = binning.align_segments(bn, cfg.pallas_chunk, gx * gy,
+                                         cfg.aligned_capacity(gx * gy))
+            gid = jnp.minimum(bn2.pair_gauss, means3d.shape[0] - 1)
+            packed = pk.pack_pairs(prep.mean2d[gid], prep.conic[gid],
+                                   opacities[gid], colors[gid])
+            tile_color, final_T, n_contrib = pk.blend_pallas(
+                packed, bn2.seg_start, bn2.seg_end, gx, gy, cfg.pallas_chunk,
+                cfg.power_cutoff, cfg.pallas_interpret)
     else:
         gid = jnp.minimum(bn.pair_gauss, means3d.shape[0] - 1)
         tile_color, final_T, n_contrib = blend.blend(

@@ -92,3 +92,12 @@ ref = jax.jit(lambda *a: blend._blend_forward_impl(*a, gx, gy, 4096, -4.5))(
 d = float(jnp.max(jnp.abs(out[0] - ref[0])))
 dT = float(jnp.max(jnp.abs(out[1] - ref[1])))
 print("max |pallas - xla| color:", d, "T:", dT, flush=True)
+
+# End-to-end single-call pipeline (inference path).
+from fovsplat.ops import rasterize as rastmod
+cfgP = rastmod.RasterizeConfig(pair_capacity=cap, chunk=4096,
+                               backend="pallas", pallas_chunk=chunk)
+e2e = jax.jit(lambda m, s, q, o, c: rastmod.rasterize(
+    m, s, q, o, cam, colors=c, config=cfgP)["render"])
+timeit(e2e, means, scales, quats, opac, colors, reps=10,
+       label="E2E pallas rasterize")

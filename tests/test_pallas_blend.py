@@ -90,3 +90,21 @@ def test_pallas_backend_full_parity():
         scale = np.abs(a).max() + 1e-12
         np.testing.assert_allclose(b / scale, a / scale, rtol=2e-3,
                                    atol=2e-4, err_msg=name)
+
+
+def test_pallas_fwd_only_unaligned():
+    means, scales, quats, ops_, colors = synthetic_cloud(n=220, seed=33)
+    cam = make_test_camera(width=80, height=64)
+    base = dict(pair_capacity=1 << 13, chunk=256)
+    cfg_x = rasterize.RasterizeConfig(**base)
+    cfg_f = rasterize.RasterizeConfig(**base, backend="pallas",
+                                      pallas_chunk=128, pallas_interpret=True,
+                                      pallas_fwd_only=True)
+    out_x = jax.jit(lambda *a: rasterize.rasterize(
+        *a, cam, colors=colors, config=cfg_x)["render"])(
+        means, scales, quats, ops_)
+    out_f = jax.jit(lambda *a: rasterize.rasterize(
+        *a, cam, colors=colors, config=cfg_f)["render"])(
+        means, scales, quats, ops_)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               rtol=1e-4, atol=1e-5)
