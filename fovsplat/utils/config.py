@@ -23,20 +23,22 @@ def add_dataclass_args(parser: argparse.ArgumentParser, cls, prefix: str = "",
     inst = defaults if defaults is not None else cls()
     hints = get_type_hints(cls)
     for f in dataclasses.fields(cls):
-        name = f"{prefix}{f.name.replace('_', '-')}"
+        flag = f"{prefix}{f.name.replace('_', '-')}"
+        dest = f"{prefix}{f.name}"
         val = getattr(inst, f.name)
         typ = hints.get(f.name, type(val))
         if dataclasses.is_dataclass(val):
-            add_dataclass_args(parser, type(val), prefix=f"{name}.",
+            add_dataclass_args(parser, type(val), prefix=f"{flag}.",
                                defaults=val)
             continue
         if typ is bool or isinstance(val, bool):
-            parser.add_argument(f"--{name}", dest=name, action="store_true",
+            parser.add_argument(f"--{flag}", dest=dest, action="store_true",
                                 default=None)
-            parser.add_argument(f"--no-{name}", dest=name,
+            parser.add_argument(f"--no-{flag}", dest=dest,
                                 action="store_false", default=None)
         elif isinstance(val, (int, float, str)):
-            parser.add_argument(f"--{name}", type=type(val), default=None)
+            parser.add_argument(f"--{flag}", dest=dest, type=type(val),
+                                default=None)
         # tuples/None fields are config-file-only.
 
 
@@ -44,14 +46,13 @@ def apply_args(cfg, args_ns: argparse.Namespace, prefix: str = ""):
     """Return a copy of dataclass `cfg` with non-None CLI values applied."""
     updates = {}
     for f in dataclasses.fields(cfg):
-        name = f"{prefix}{f.name.replace('_', '-')}"
+        flag = f"{prefix}{f.name.replace('_', '-')}"
+        dest = f"{prefix}{f.name}"
         val = getattr(cfg, f.name)
         if dataclasses.is_dataclass(val):
-            updates[f.name] = apply_args(val, args_ns, prefix=f"{name}.")
+            updates[f.name] = apply_args(val, args_ns, prefix=f"{flag}.")
             continue
-        cli = getattr(args_ns, name, None)
-        if cli is None:
-            cli = vars(args_ns).get(name)
+        cli = vars(args_ns).get(dest)
         if cli is not None:
             updates[f.name] = cli
     return dataclasses.replace(cfg, **updates)
