@@ -20,6 +20,9 @@ BASELINE_FPS = 702.12
 
 
 def build_render(args, cam, arrays, backend):
+    # NOTE: every large array must be an ARGUMENT of the jitted function —
+    # closure captures become inline HLO constants and blow the remote
+    # compile service's request-size limit (HTTP 413).
     import jax
     import jax.numpy as jnp
 
@@ -27,24 +30,20 @@ def build_render(args, cam, arrays, backend):
     means, scales, quats, opac, colors, fovdata = arrays
     cfg = rast.RasterizeConfig(pair_capacity=args.pair_capacity,
                                chunk=args.chunk, backend=backend,
-                               pallas_chunk=256)
+                               pallas_chunk=256,
+                               pallas_fwd_only=backend == "pallas")
     if args.mode == "fov":
         from fovsplat.ops import foveated as fov
         hl, shs_dcs, opac4, rest = fovdata
         gaze = jnp.array([0.5, 0.5], jnp.float32)
 
-        def render(m, s, q):
-            out = fov.rasterize_fov(m, s, q, opac4, shs_dcs, rest, hl, cam,
-                                    gaze=gaze, alpha=0.05, blending=True,
-                                    config=cfg)
-            return out["render"]
-    else:
-        def render(m, s, q):
-            out = rast.rasterize(m, s, q, opac, cam, colors=colors,
-                                 config=cfg)
-            return out["render"]
-
-    return jax.jit(render)
+        fn = jax.jit(lambda m, s, q, o4, sd, re, h: fov.rasterize_fov(
+            m, s, q, o4, sd, re, h, cam, gaze=gaze, alpha=0.05,
+            blending=True, config=cfg)["render"])
+        return lambda m, s, q: fn(m, s, q, opac4, shs_dcs, rest, hl)
+    fn = jax.jit(lambda m, s, q, o, c: rast.rasterize(
+        m, s, q, o, cam, colors=c, config=cfg)["render"])
+    return lambda m, s, q: fn(m, s, q, opac, colors)
 
 
 def main():

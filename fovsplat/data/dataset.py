@@ -140,8 +140,9 @@ def load_blender_scene(source_path: str, white_background: bool = False,
             view = SceneView(camera=camera, image_path=img_path,
                              image_name=os.path.basename(frame["file_path"]))
             if load_images:
-                rgba = np.asarray(Image.open(img_path).resize((w, h)),
-                                  np.float32) / 255.0
+                rgba = np.asarray(
+                    Image.open(img_path).convert("RGBA").resize((w, h)),
+                    np.float32) / 255.0
                 bg = 1.0 if white_background else 0.0
                 view.image = (rgba[..., :3] * rgba[..., 3:4]
                               + bg * (1 - rgba[..., 3:4]))

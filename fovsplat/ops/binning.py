@@ -111,25 +111,29 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
     g = jnp.minimum(jnp.cumsum(marks), n - 1).astype(jnp.int32)
     in_range = p < total
 
-    # Per-Gaussian packed table in depth order (one N-sized gather each):
-    # [orig, rmin_x, rmin_y, rw, tnum, mx, my, v1x, v1y, v2x, v2y, l1, l2]
+    # Per-Gaussian packed table: build in ORIGINAL order (pure stacking, no
+    # gathers), then ONE row gather into depth order, then ONE row gather
+    # per pair. [orig, rmin_x, rmin_y, rw, tnum, mx, my, v1x, v1y, v2x,
+    # v2y, l1, l2, cum_excl]
     table = jnp.stack([
-        depth_order.astype(jnp.float32),
-        prep.rect_min[:, 0][depth_order].astype(jnp.float32),
-        prep.rect_min[:, 1][depth_order].astype(jnp.float32),
+        jnp.arange(n, dtype=jnp.float32),
+        prep.rect_min[:, 0].astype(jnp.float32),
+        prep.rect_min[:, 1].astype(jnp.float32),
         jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0],
-                    1)[depth_order].astype(jnp.float32),
-        prep.tiles_touched[depth_order].astype(jnp.float32),
-        prep.mean2d[:, 0][depth_order],
-        prep.mean2d[:, 1][depth_order],
-        prep.eigen_vec[:, 0, 0][depth_order],
-        prep.eigen_vec[:, 0, 1][depth_order],
-        prep.eigen_vec[:, 1, 0][depth_order],
-        prep.eigen_vec[:, 1, 1][depth_order],
-        prep.eigen_len[:, 0][depth_order],
-        prep.eigen_len[:, 1][depth_order],
-        cum_excl.astype(jnp.float32),
+                    1).astype(jnp.float32),
+        prep.tiles_touched.astype(jnp.float32),
+        prep.mean2d[:, 0],
+        prep.mean2d[:, 1],
+        prep.eigen_vec[:, 0, 0],
+        prep.eigen_vec[:, 0, 1],
+        prep.eigen_vec[:, 1, 0],
+        prep.eigen_vec[:, 1, 1],
+        prep.eigen_len[:, 0],
+        prep.eigen_len[:, 1],
+        jnp.zeros(n, jnp.float32),
     ], axis=1)                                              # (N, 14)
+    table = table[depth_order]
+    table = table.at[:, 13].set(cum_excl.astype(jnp.float32))
     # NOTE: integer columns ride as f32 — exact for N, coords < 2^24.
     rows = table[g]                                         # (CAP, 14)
 

@@ -211,10 +211,22 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
     col2 = fov_colors[gid, pl2]
     l2_cull = (hl[gid] + 1.0) < (levels[kt_safe] + 1.0)  # L2_f = tile_level+1
 
-    c1, c2, t1, t2 = _dual_blend(
-        bn.pair_tile, prep.mean2d[gid], prep.conic[gid], op1, op2, col1, col2,
-        l2_cull, bn.seg_start, bn.num_pairs, l1_active, l2_active,
-        gx, gy, config.chunk, config.power_cutoff)
+    if config.backend == "pallas":
+        from fovsplat.ops.pallas import blend_fov as pkf
+        packed = pkf.pack_fov_pairs(prep.mean2d[gid], prep.conic[gid],
+                                    op1, col1, op2, col2, l2_cull)
+        tile_act = jnp.stack([
+            l1_active.astype(jnp.float32), l2_active.astype(jnp.float32),
+            jnp.zeros_like(l1_active, jnp.float32),
+            jnp.zeros_like(l1_active, jnp.float32)], axis=-1)
+        c1, t1, c2, t2 = pkf.blend_fov_pallas(
+            packed, bn.seg_start[:-1], bn.seg_start[1:], tile_act, gx, gy,
+            config.pallas_chunk, config.power_cutoff, config.pallas_interpret)
+    else:
+        c1, c2, t1, t2 = _dual_blend(
+            bn.pair_tile, prep.mean2d[gid], prep.conic[gid], op1, op2, col1,
+            col2, l2_cull, bn.seg_start, bn.num_pairs, l1_active, l2_active,
+            gx, gy, config.chunk, config.power_cutoff)
 
     bg = (jnp.zeros(3, jnp.float32) if bg_color is None
           else jnp.asarray(bg_color, jnp.float32))

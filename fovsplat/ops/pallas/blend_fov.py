@@ -1,0 +1,167 @@
+"""Pallas TPU foveated blend kernel: two transmittance chains per pixel.
+
+TPU counterpart of the reference's renderCUDA / renderCUDA_blending pair
+(..._fov_pcheck_obb/cuda_rasterizer/forward.cu:262-604): both levels of a
+blending tile are accumulated in ONE pass over the tile's pair segment with
+a shared exp(power) evaluation; plain tiles mask the second chain off. The
+smoothstep merge runs outside the kernel (cheap elementwise).
+
+Pair SoA rows (FROW=16):
+  [mx, my, ca, cb, cc, op1, r1, g1, b1, op2, r2, g2, b2, l2cull, pad, pad]
+Tile-pixel input block (1, PIX, 4): [l1_active, l2_active, pad, pad].
+Output block (1, PIX, 8): [C1r, C1g, C1b, T1, C2r, C2g, C2b, T2].
+Accepts unaligned segments (DMA windows floored to 128).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fovsplat.ops.pallas.blend_fwd import (ALPHA_MAX, ALPHA_MIN, PIX, T_EPS,
+                                           _pixel_coords, _triu_strict)
+
+FROW = 16
+
+
+def pack_fov_pairs(mean2d, conic, op1, col1, op2, col2, l2cull):
+    """All (CAP,...) -> (FROW, CAP) f32."""
+    cap = mean2d.shape[0]
+    zeros = jnp.zeros(cap, jnp.float32)
+    return jnp.stack([
+        mean2d[:, 0], mean2d[:, 1],
+        conic[:, 0], conic[:, 1], conic[:, 2],
+        op1, col1[:, 0], col1[:, 1], col1[:, 2],
+        op2, col2[:, 0], col2[:, 1], col2[:, 2],
+        l2cull.astype(jnp.float32), zeros, zeros,
+    ], axis=0)
+
+
+def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
+                buf, sem, *, grid_x: int, chunk: int, power_cutoff: float,
+                cap: int):
+    t = pl.program_id(0)
+    start = seg_start_ref[t]
+    end = seg_end_ref[t]
+    px, py = _pixel_coords(t, grid_x)
+    base = pl.multiple_of((start // 128) * 128, 128)
+    num_chunks = pl.cdiv(end - base, chunk)
+
+    act = act_ref[0]                       # (PIX, 4)
+    l1_active = act[:, 0:1] > 0            # (PIX, 1)
+    l2_active = act[:, 1:2] > 0
+
+    def get_dma(slot, k):
+        src = pl.multiple_of(jnp.minimum(base + k * chunk, cap - chunk), 128)
+        return pltpu.make_async_copy(pairs_hbm.at[:, pl.ds(src, chunk)],
+                                     buf.at[slot], sem.at[slot])
+
+    @pl.when(num_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def chain(a_eff, T_pix, cr, cg, cb_, col_r, col_g, col_b, triu):
+        logs = jnp.log1p(-a_eff)
+        excl = jnp.dot(logs, triu, preferred_element_type=jnp.float32)
+        T_row = T_pix * jnp.exp(excl)
+        incl = T_row * (1.0 - a_eff)
+        trigger = (a_eff > 0) & (incl < T_EPS)
+        done_before = jnp.dot(trigger.astype(jnp.float32), triu,
+                              preferred_element_type=jnp.float32) > 0
+        contribute = (a_eff > 0) & ~trigger & ~done_before
+        weight = jnp.where(contribute, a_eff * T_row, 0.0)
+        cr = cr + jnp.sum(weight * col_r, axis=1, keepdims=True)
+        cg = cg + jnp.sum(weight * col_g, axis=1, keepdims=True)
+        cb_ = cb_ + jnp.sum(weight * col_b, axis=1, keepdims=True)
+        delta = jnp.sum(jnp.where(contribute, logs, 0.0), axis=1,
+                        keepdims=True)
+        return T_pix * jnp.exp(delta), cr, cg, cb_
+
+    def body(state):
+        k, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b = state
+
+        @pl.when(k + 1 < num_chunks)
+        def _():
+            get_dma((k + 1) % 2, k + 1).start()
+
+        get_dma(k % 2, k).wait()
+        data = buf[k % 2]
+        src = pl.multiple_of(jnp.minimum(base + k * chunk, cap - chunk), 128)
+        gid = src + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        in_seg = (gid >= start) & (gid < end)
+
+        mx = data[0:1, :]
+        my = data[1:2, :]
+        dx = mx - px
+        dy = my - py
+        ca = data[2:3, :]
+        cb = data[3:4, :]
+        cc = data[4:5, :]
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        G = jnp.exp(jnp.minimum(power, 0.0))
+        geo_ok = (power <= 0.0) & (power >= power_cutoff) & in_seg
+
+        triu = _triu_strict(chunk)
+        a1 = jnp.minimum(ALPHA_MAX, data[5:6, :] * G)
+        ok1 = geo_ok & (a1 >= ALPHA_MIN) & l1_active
+        T1, c1r, c1g, c1b = chain(jnp.where(ok1, a1, 0.0), T1, c1r, c1g,
+                                  c1b, data[6:7, :], data[7:8, :],
+                                  data[8:9, :], triu)
+
+        a2 = jnp.minimum(ALPHA_MAX, data[9:10, :] * G)
+        ok2 = geo_ok & (a2 >= ALPHA_MIN) & l2_active \
+            & (data[13:14, :] < 0.5)
+        T2, c2r, c2g, c2b = chain(jnp.where(ok2, a2, 0.0), T2, c2r, c2g,
+                                  c2b, data[10:11, :], data[11:12, :],
+                                  data[12:13, :], triu)
+        return k + 1, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b
+
+    def cond(state):
+        k, T1 = state[0], state[1]
+        T2 = state[5]
+        alive1 = jnp.max(jnp.where(l1_active, T1, 0.0)) >= T_EPS
+        alive2 = jnp.max(jnp.where(l2_active, T2, 0.0)) >= T_EPS
+        return (k < num_chunks) & (alive1 | alive2)
+
+    zc = jnp.zeros((PIX, 1), jnp.float32)
+    one = jnp.ones((PIX, 1), jnp.float32)
+    st = jax.lax.while_loop(cond, body,
+                            (jnp.int32(0), one, zc, zc, zc, one, zc, zc, zc))
+    _, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b = st
+    out_ref[0] = jnp.concatenate([c1r, c1g, c1b, T1, c2r, c2g, c2b, T2],
+                                 axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_x", "grid_y", "chunk",
+                                             "power_cutoff", "interpret"))
+def blend_fov_pallas(pair_data, seg_start, seg_end, tile_act,
+                     grid_x, grid_y, chunk=256, power_cutoff=-4.5,
+                     interpret=False):
+    """pair_data (FROW, CAP); tile_act (T, PIX, 4).
+
+    Returns (C1 [T,PIX,3], T1 [T,PIX], C2 [T,PIX,3], T2 [T,PIX])."""
+    num_tiles = grid_x * grid_y
+    cap = pair_data.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((1, PIX, 4), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, PIX, 8), lambda t, *_: (t, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((2, FROW, chunk), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )
+    kernel = functools.partial(_fov_kernel, grid_x=grid_x, chunk=chunk,
+                               power_cutoff=power_cutoff, cap=cap)
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((num_tiles, PIX, 8), jnp.float32)],
+        interpret=interpret,
+    )(seg_start, seg_end, pair_data, tile_act)[0]
+    return out[:, :, 0:3], out[:, :, 3], out[:, :, 4:7], out[:, :, 7]

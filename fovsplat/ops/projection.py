@@ -65,34 +65,83 @@ def compute_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray,
     return M @ jnp.swapaxes(M, -1, -2)
 
 
+def _cov3d_cols(scales, rotations, scale_modifier):
+    """Unrolled Sigma = R diag(s^2) R^T as six (N,) columns
+    (sxx, sxy, sxz, syy, syz, szz). Avoids batched 3x3 matmuls, which lower
+    terribly on TPU (tiny contraction dims)."""
+    r, x, y, z = (rotations[:, 0], rotations[:, 1], rotations[:, 2],
+                  rotations[:, 3])
+    # Standard rotation-matrix entries (build_rotation convention).
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - r * z)
+    r02 = 2 * (x * z + r * y)
+    r10 = 2 * (x * y + r * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - r * x)
+    r20 = 2 * (x * z - r * y)
+    r21 = 2 * (y * z + r * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s0 = (scales[:, 0] * scale_modifier) ** 2
+    s1 = (scales[:, 1] * scale_modifier) ** 2
+    s2 = (scales[:, 2] * scale_modifier) ** 2
+    sxx = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
+    sxy = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
+    sxz = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
+    syy = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
+    syz = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2
+    szz = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2
+    return sxx, sxy, sxz, syy, syz, szz
+
+
 def compute_cov2d(means3d: jnp.ndarray, cov3d: jnp.ndarray,
                   world_view: jnp.ndarray, focal_x, focal_y,
                   tan_fovx, tan_fovy) -> jnp.ndarray:
-    """EWA projection of the 3D covariance to 2D screen space.
+    """EWA projection of a precomputed (N,3,3) covariance (slow path, kept
+    for cov3d_precomp API parity)."""
+    s = cov3d
+    return _cov2d_from_cols(means3d, (s[:, 0, 0], s[:, 0, 1], s[:, 0, 2],
+                                      s[:, 1, 1], s[:, 1, 2], s[:, 2, 2]),
+                            world_view, focal_x, focal_y, tan_fovx, tan_fovy)
 
-    Returns (N, 3): upper-triangular (cxx, cxy, cyy) with the +0.3 low-pass.
+
+def _cov2d_from_cols(means3d, sig, world_view, focal_x, focal_y,
+                     tan_fovx, tan_fovy) -> jnp.ndarray:
+    """EWA projection, fully unrolled on (N,) columns.
+
+    Returns (N, 3): (cxx, cxy, cyy) with the +0.3 low-pass.
     """
+    sxx, sxy, sxz, syy, syz, szz = sig
     W = world_view[:3, :3]
-    t = means3d @ W.T + world_view[:3, 3]
-    tz = t[..., 2]
+    mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    tX = W[0, 0] * mx + W[0, 1] * my + W[0, 2] * mz + world_view[0, 3]
+    tY = W[1, 0] * mx + W[1, 1] * my + W[1, 2] * mz + world_view[1, 3]
+    tz = W[2, 0] * mx + W[2, 1] * my + W[2, 2] * mz + world_view[2, 3]
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
-    tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
-    ty = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
+    tx = jnp.clip(tX / tz, -limx, limx) * tz
+    ty = jnp.clip(tY / tz, -limy, limy) * tz
 
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(tz)
-    # J: (N, 2, 3) — only the two projective rows matter.
-    J = jnp.stack([
-        jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], -1),
-        jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], -1),
-    ], axis=-2)
-    JW = J @ W                      # (N, 2, 3)
-    cov = JW @ cov3d @ jnp.swapaxes(JW, -1, -2)   # (N, 2, 2)
-    cxx = cov[..., 0, 0] + LOWPASS
-    cxy = cov[..., 0, 1]
-    cyy = cov[..., 1, 1] + LOWPASS
+    # Rows of JW (2x3 per Gaussian), unrolled: JW[i] = J[i] @ W.
+    j00, j02 = focal_x * inv_z, -focal_x * tx * inv_z2
+    j11, j12 = focal_y * inv_z, -focal_y * ty * inv_z2
+    a0 = j00 * W[0, 0] + j02 * W[2, 0]
+    a1 = j00 * W[0, 1] + j02 * W[2, 1]
+    a2 = j00 * W[0, 2] + j02 * W[2, 2]
+    b0 = j11 * W[1, 0] + j12 * W[2, 0]
+    b1 = j11 * W[1, 1] + j12 * W[2, 1]
+    b2 = j11 * W[1, 2] + j12 * W[2, 2]
+    # cov2d = A Sigma A^T for rows a, b.
+    sa0 = sxx * a0 + sxy * a1 + sxz * a2
+    sa1 = sxy * a0 + syy * a1 + syz * a2
+    sa2 = sxz * a0 + syz * a1 + szz * a2
+    sb0 = sxx * b0 + sxy * b1 + sxz * b2
+    sb1 = sxy * b0 + syy * b1 + syz * b2
+    sb2 = sxz * b0 + syz * b1 + szz * b2
+    cxx = a0 * sa0 + a1 * sa1 + a2 * sa2 + LOWPASS
+    cxy = b0 * sa0 + b1 * sa1 + b2 * sa2
+    cyy = b0 * sb0 + b1 * sb1 + b2 * sb2
     return jnp.stack([cxx, cxy, cyy], axis=-1)
 
 
@@ -114,22 +163,26 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray
     grid_x = (W + TILE - 1) // TILE
     grid_y = (H + TILE - 1) // TILE
 
-    ones = jnp.ones_like(means3d[..., :1])
-    hom = jnp.concatenate([means3d, ones], axis=-1)
-    p_view = hom @ camera.world_view.T
-    p_hom = hom @ camera.full_proj.T
-    p_w = 1.0 / (p_hom[..., 3] + 1e-7)
-    p_proj = p_hom[..., :3] * p_w[..., None]
-    depth = p_view[..., 2]
+    mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    WV = camera.world_view
+    FP = camera.full_proj
+    depth = WV[2, 0] * mx + WV[2, 1] * my + WV[2, 2] * mz + WV[2, 3]
+    hx = FP[0, 0] * mx + FP[0, 1] * my + FP[0, 2] * mz + FP[0, 3]
+    hy = FP[1, 0] * mx + FP[1, 1] * my + FP[1, 2] * mz + FP[1, 3]
+    hw = FP[3, 0] * mx + FP[3, 1] * my + FP[3, 2] * mz + FP[3, 3]
+    p_w = 1.0 / (hw + 1e-7)
+    p_proj = jnp.stack([hx * p_w, hy * p_w], axis=-1)
     in_front = depth > NEAR_CULL_Z
 
     if cov3d_precomp is None:
-        cov3d = compute_cov3d(scales, rotations, scale_modifier)
+        sig = _cov3d_cols(scales, rotations, scale_modifier)
+        cov = _cov2d_from_cols(means3d, sig, camera.world_view,
+                               camera.focal_x, camera.focal_y,
+                               camera.tan_fovx, camera.tan_fovy)
     else:
-        cov3d = cov3d_precomp
-    cov = compute_cov2d(means3d, cov3d, camera.world_view,
-                        camera.focal_x, camera.focal_y,
-                        camera.tan_fovx, camera.tan_fovy)
+        cov = compute_cov2d(means3d, cov3d_precomp, camera.world_view,
+                            camera.focal_x, camera.focal_y,
+                            camera.tan_fovx, camera.tan_fovy)
     cxx, cxy, cyy = cov[..., 0], cov[..., 1], cov[..., 2]
     det = cxx * cyy - cxy * cxy
     det_ok = det != 0.0

@@ -108,3 +108,33 @@ def test_pallas_fwd_only_unaligned():
         means, scales, quats, ops_)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_fov_matches_xla():
+    from fovsplat.ops import foveated as fov
+    rng = np.random.default_rng(41)
+    n = 256
+    means, scales, quats, ops_, colors = synthetic_cloud(n=n, seed=41)
+    hl = rng.integers(0, 4, (n,)).astype(np.float32)
+    shs_dcs = rng.normal(0, 0.6, (n, 4, 3)).astype(np.float32)
+    opac4 = np.clip(ops_[:, None] + rng.normal(0, 0.1, (n, 4)),
+                    0.05, 0.95).astype(np.float32)
+    rest = rng.normal(0, 0.03, (n, 15, 3)).astype(np.float32)
+    cam = make_test_camera(width=96, height=64)
+    base = dict(pair_capacity=1 << 13, chunk=256)
+    cfg_x = rasterize.RasterizeConfig(**base)
+    cfg_p = rasterize.RasterizeConfig(**base, backend="pallas",
+                                      pallas_chunk=128, pallas_interpret=True)
+
+    def run(cfg):
+        return fov.rasterize_fov(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac4), jnp.asarray(shs_dcs), jnp.asarray(rest),
+            jnp.asarray(hl), cam, gaze=jnp.array([0.5, 0.5], jnp.float32),
+            alpha=0.3, blending=True, bg_color=jnp.array([0.1, 0.0, 0.2]),
+            config=cfg)["render"]
+
+    out_x = jax.jit(lambda: run(cfg_x))()
+    out_p = jax.jit(lambda: run(cfg_p))()
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=1e-4, atol=1e-5)
