@@ -205,11 +205,20 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
     kt_safe = jnp.minimum(bn.pair_tile, num_tiles - 1)
     pl1 = l1_i[kt_safe]
     pl2 = l2_i[kt_safe]
-    op1 = opacities[gid, pl1]
-    op2 = opacities[gid, pl2]
-    col1 = fov_colors[gid, pl1]
-    col2 = fov_colors[gid, pl2]
-    l2_cull = (hl[gid] + 1.0) < (levels[kt_safe] + 1.0)  # L2_f = tile_level+1
+    # One packed (N*L, 5) table -> two row gathers per pair instead of six
+    # scalar gathers (TPU gathers cost per row, not per byte).
+    lvl_table = jnp.concatenate([
+        fov_colors.reshape(n * L, 3),
+        opacities.reshape(n * L, 1),
+        jnp.broadcast_to(hl[:, None, None], (n, L, 1)).reshape(n * L, 1),
+    ], axis=1)                                           # (N*L, 5)
+    row1 = lvl_table[gid * L + pl1]
+    row2 = lvl_table[gid * L + pl2]
+    col1 = row1[:, 0:3]
+    op1 = row1[:, 3]
+    col2 = row2[:, 0:3]
+    op2 = row2[:, 3]
+    l2_cull = (row1[:, 4] + 1.0) < (levels[kt_safe] + 1.0)  # hl+1 < L2_f
 
     if config.backend == "pallas":
         from fovsplat.ops.pallas import blend_fov as pkf

@@ -9,6 +9,7 @@ gradients exactly like the reference's saved ``clamped`` flags).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 SH_C0 = 0.28209479177387814
@@ -67,10 +68,11 @@ def eval_sh(degree: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
 
 def sh_to_rgb(degree: int, sh: jnp.ndarray, means: jnp.ndarray,
               cam_center: jnp.ndarray) -> jnp.ndarray:
-    """SH -> clamped RGB as in the reference preprocess."""
-    dirs = means - cam_center
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    return jnp.maximum(eval_sh(degree, sh, dirs) + 0.5, 0.0)
+    """SH -> clamped RGB as in the reference preprocess (N-last layout)."""
+    x, y, z = _unit_dirs(means, cam_center)
+    sh_t = sh.transpose(2, 1, 0)           # (3, K, N)
+    out = _eval_sh_nlast(degree, sh_t, x, y, z) + 0.5
+    return jnp.maximum(out, 0.0).T         # (N, 3)
 
 
 def eval_sh_rest(degree: int, sh_rest: jnp.ndarray, means: jnp.ndarray,
@@ -79,13 +81,13 @@ def eval_sh_rest(degree: int, sh_rest: jnp.ndarray, means: jnp.ndarray,
     renderer's shared color term (``computeRestColorFromSH``,
     ..._fov_pcheck_obb/cuda_rasterizer/rasterizer_impl.cu:34-84).
 
-    sh_rest: (..., K-1, 3), coefficients 1..K-1 (no DC).
+    sh_rest: (N, K-1, 3), coefficients 1..K-1 (no DC).
     """
-    dirs = means - cam_center
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    zeros_dc = jnp.zeros(sh_rest.shape[:-2] + (1, 3), sh_rest.dtype)
-    full = jnp.concatenate([zeros_dc, sh_rest], axis=-2)
-    return eval_sh(degree, full, dirs) + 0.5
+    n = sh_rest.shape[0]
+    x, y, z = _unit_dirs(means, cam_center)
+    zeros_dc = jnp.zeros((3, 1, n), sh_rest.dtype)
+    sh_t = jnp.concatenate([zeros_dc, sh_rest.transpose(2, 1, 0)], axis=1)
+    return (_eval_sh_nlast(degree, sh_t, x, y, z) + 0.5).T
 
 
 def rgb_to_sh_dc(rgb: jnp.ndarray) -> jnp.ndarray:
@@ -95,3 +97,42 @@ def rgb_to_sh_dc(rgb: jnp.ndarray) -> jnp.ndarray:
 
 def sh_dc_to_rgb(dc: jnp.ndarray) -> jnp.ndarray:
     return dc * SH_C0 + 0.5
+
+
+def _eval_sh_nlast(degree: int, sh_t: jnp.ndarray, x, y, z) -> jnp.ndarray:
+    """TPU-friendly SH eval with N LAST: sh_t (C, K, N), x/y/z (N,).
+
+    Identical math to eval_sh; (C, N) intermediates keep the vector lanes
+    full (the (..., K, 3) layout puts only 3 elements per 128-lane vreg).
+    """
+    result = SH_C0 * sh_t[:, 0]
+    if degree > 0:
+        result = (result - SH_C1 * y * sh_t[:, 1] + SH_C1 * z * sh_t[:, 2]
+                  - SH_C1 * x * sh_t[:, 3])
+        if degree > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            result = (result
+                      + SH_C2[0] * xy * sh_t[:, 4]
+                      + SH_C2[1] * yz * sh_t[:, 5]
+                      + SH_C2[2] * (2.0 * zz - xx - yy) * sh_t[:, 6]
+                      + SH_C2[3] * xz * sh_t[:, 7]
+                      + SH_C2[4] * (xx - yy) * sh_t[:, 8])
+            if degree > 2:
+                result = (result
+                          + SH_C3[0] * y * (3.0 * xx - yy) * sh_t[:, 9]
+                          + SH_C3[1] * xy * z * sh_t[:, 10]
+                          + SH_C3[2] * y * (4.0 * zz - xx - yy) * sh_t[:, 11]
+                          + SH_C3[3] * z * (2.0 * zz - 3 * xx - 3 * yy) * sh_t[:, 12]
+                          + SH_C3[4] * x * (4.0 * zz - xx - yy) * sh_t[:, 13]
+                          + SH_C3[5] * z * (xx - yy) * sh_t[:, 14]
+                          + SH_C3[6] * x * (xx - 3.0 * yy) * sh_t[:, 15])
+    return result                      # (C, N)
+
+
+def _unit_dirs(means, cam_center):
+    dx = means[:, 0] - cam_center[0]
+    dy = means[:, 1] - cam_center[1]
+    dz = means[:, 2] - cam_center[2]
+    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    return dx * inv, dy * inv, dz * inv
