@@ -55,7 +55,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=4096)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--reps", type=int, default=20)
-    ap.add_argument("--mode", default="ps1", choices=["ps1", "fov"])
+    ap.add_argument("--mode", default="fov", choices=["ps1", "fov"])
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     args = ap.parse_args()
 
