@@ -44,6 +44,8 @@ class Binned:
     num_pairs: Any    # () int32 valid pairs after culling
     overflow: Any     # () int32 candidate pairs dropped by capacity
     depth_order: Any  # (N,) int32 Gaussians sorted by depth (invalid last)
+    pair_attrs: Any = None  # optional (K, CAP) f32 attributes carried
+                            # through the sort (mean2d, conic, extras)
 
 
 def obb_pass(tile_x: jnp.ndarray, tile_y: jnp.ndarray, center: jnp.ndarray,
@@ -80,11 +82,17 @@ def obb_pass(tile_x: jnp.ndarray, tile_y: jnp.ndarray, center: jnp.ndarray,
 def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
                   pair_capacity: int,
                   tile_mask_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
-                  use_obb: bool = True) -> Binned:
+                  use_obb: bool = True,
+                  carry_geometry: bool = False,
+                  gauss_attrs=None) -> Binned:
     """Bin preprocessed Gaussians into depth-ordered per-tile pair segments.
 
     tile_mask_fn(orig_gauss_idx, tile_idx) -> bool: extra per-pair cull
     (used for the foveated level test). tile_idx = ty * grid_x + tx.
+    carry_geometry: carry (mx, my, ca, cb, cc) through the tile sort as
+    payload operands — post-sort attribute gathers (slow on TPU) disappear.
+    gauss_attrs: optional (N, K) f32 per-Gaussian columns carried the same
+    way (e.g. opacity + RGB for the single-level path).
     """
     n = prep.depth.shape[0]
     num_tiles = grid_x * grid_y
@@ -115,7 +123,7 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
     # gathers), then ONE row gather into depth order, then ONE row gather
     # per pair. [orig, rmin_x, rmin_y, rw, tnum, mx, my, v1x, v1y, v2x,
     # v2y, l1, l2, cum_excl]
-    table = jnp.stack([
+    cols = [
         jnp.arange(n, dtype=jnp.float32),
         prep.rect_min[:, 0].astype(jnp.float32),
         prep.rect_min[:, 1].astype(jnp.float32),
@@ -131,11 +139,19 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
         prep.eigen_len[:, 0],
         prep.eigen_len[:, 1],
         jnp.zeros(n, jnp.float32),
-    ], axis=1)                                              # (N, 14)
+    ]
+    n_extra = 0
+    if carry_geometry:
+        cols += [prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2]]
+        n_extra = 3
+        if gauss_attrs is not None:
+            cols += [gauss_attrs[:, k] for k in range(gauss_attrs.shape[1])]
+            n_extra += gauss_attrs.shape[1]
+    table = jnp.stack(cols, axis=1)                         # (N, 14+K)
     table = table[depth_order]
     table = table.at[:, 13].set(cum_excl.astype(jnp.float32))
     # NOTE: integer columns ride as f32 — exact for N, coords < 2^24.
-    rows = table[g]                                         # (CAP, 14)
+    rows = table[g]                                         # (CAP, 14+K)
 
     orig = rows[:, 0].astype(jnp.int32)
     local = p - rows[:, 13].astype(jnp.int32)
@@ -157,9 +173,17 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
 
     key = jnp.where(keep, tile, num_tiles).astype(jnp.int32)
 
-    # 4. Stable sort by tile id; payload = original Gaussian index.
-    sorted_key, sorted_orig = jax.lax.sort((key, orig), num_keys=1,
-                                           is_stable=True)
+    # 4. Stable sort by tile id; payloads = Gaussian index (+ carried attrs).
+    if carry_geometry:
+        carried = [rows[:, 5], rows[:, 6]] + \
+                  [rows[:, 14 + k] for k in range(n_extra)]
+        res = jax.lax.sort((key, orig, *carried), num_keys=1, is_stable=True)
+        sorted_key, sorted_orig = res[0], res[1]
+        pair_attrs = jnp.stack(res[2:], axis=0)             # (2+K, CAP)
+    else:
+        sorted_key, sorted_orig = jax.lax.sort((key, orig), num_keys=1,
+                                               is_stable=True)
+        pair_attrs = None
     seg_start = jnp.searchsorted(sorted_key,
                                  jnp.arange(num_tiles + 1, dtype=jnp.int32),
                                  side='left').astype(jnp.int32)
@@ -167,7 +191,8 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
 
     return Binned(pair_gauss=sorted_orig, pair_tile=sorted_key,
                   seg_start=seg_start, num_pairs=num_pairs,
-                  overflow=overflow, depth_order=depth_order)
+                  overflow=overflow, depth_order=depth_order,
+                  pair_attrs=pair_attrs)
 
 
 @jax.tree_util.register_dataclass

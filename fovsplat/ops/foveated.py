@@ -176,7 +176,8 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
         return levels[t] < hl[orig] + 1.0
 
     bn = binning.bin_gaussians(prep, gx, gy, cap, tile_mask_fn=level_mask,
-                               use_obb=config.use_obb)
+                               use_obb=config.use_obb,
+                               carry_geometry=config.backend == "pallas")
 
     if colors_override is None:
         fov_colors = compute_fov_colors(means3d, shs_rest, shs_dcs,
@@ -222,7 +223,10 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
 
     if config.backend == "pallas":
         from fovsplat.ops.pallas import blend_fov as pkf
-        packed = pkf.pack_fov_pairs(prep.mean2d[gid], prep.conic[gid],
+        # Geometry rides through the sort; only the tile-level-dependent
+        # per-level rows are gathered post-sort.
+        geo = bn.pair_attrs                              # (5, CAP)
+        packed = pkf.pack_fov_pairs(geo[0:2].T, geo[2:5].T,
                                     op1, col1, op2, col2, l2_cull)
         tile_act = jnp.stack([
             l1_active.astype(jnp.float32), l2_active.astype(jnp.float32),

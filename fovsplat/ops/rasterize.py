@@ -94,17 +94,23 @@ def rasterize(means3d, scales, rotations, opacities, camera,
     colors = jnp.asarray(colors)
     opacities = jnp.asarray(opacities)
 
-    bn = binning.bin_gaussians(prep, gx, gy, cap,
-                               tile_mask_fn=tile_mask_fn, use_obb=cfg.use_obb)
+    fwd_only = cfg.backend == "pallas" and cfg.pallas_fwd_only
+    bn = binning.bin_gaussians(
+        prep, gx, gy, cap, tile_mask_fn=tile_mask_fn, use_obb=cfg.use_obb,
+        carry_geometry=fwd_only,
+        gauss_attrs=jnp.stack([opacities, colors[:, 0], colors[:, 1],
+                               colors[:, 2]], axis=1) if fwd_only else None)
 
     if cfg.backend == "pallas":
         from fovsplat.ops.pallas import blend_fwd as pk
         if cfg.pallas_fwd_only:
-            # Inference path: the kernel handles unaligned segments by
-            # flooring DMA windows, so no alignment pass is needed.
-            gid = jnp.minimum(bn.pair_gauss, means3d.shape[0] - 1)
-            packed = pk.pack_pairs(prep.mean2d[gid], prep.conic[gid],
-                                   opacities[gid], colors[gid])
+            # Inference path: attributes were carried through the sort
+            # (zero post-sort gathers); the kernel handles unaligned
+            # segments by flooring DMA windows, so no alignment pass either.
+            packed = jnp.concatenate(
+                [bn.pair_attrs,
+                 jnp.zeros((pk.ROW - bn.pair_attrs.shape[0], cap),
+                           jnp.float32)], axis=0)
             tile_color, final_T, n_contrib = pk.blend_pallas_fwd_only(
                 packed, bn.seg_start[:-1], bn.seg_start[1:], gx, gy,
                 cfg.pallas_chunk, cfg.power_cutoff, cfg.pallas_interpret)
