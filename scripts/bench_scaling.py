@@ -46,11 +46,11 @@ ndevs = [d for d in (1, 2, 4, 8) if d <= len(jax.devices())]
 for ndev in ndevs:
     mesh = dp.make_mesh(ndev)
 
+    rfn = jax.jit(lambda m, s, q, o, c: tile_shard.render_tile_sharded(
+        mesh, m, s, q, o, c, cam, pair_capacity=1 << 16, chunk=512)[0])
+
     def render():
-        img, aux = tile_shard.render_tile_sharded(
-            mesh, means, scales, quats, opac, colors, cam,
-            pair_capacity=1 << 16, chunk=512)
-        return img
+        return rfn(means, scales, quats, opac, colors)
 
     img = render()
     float(img.ravel()[0])
