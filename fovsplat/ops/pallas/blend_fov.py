@@ -64,6 +64,10 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
     def _():
         get_dma(0, 0).start()
 
+    # CRITICAL: a prefetch may only be started if it is guaranteed to be
+    # waited on. The loop therefore decides continuation BEFORE issuing the
+    # next DMA — an exited loop with a dangling started DMA corrupts
+    # semaphore state across grid programs and halts the device.
     def chain(a_eff, T_pix, cr, cg, cb_, col_r, col_g, col_b, triu):
         # Relaxed termination (inference): the reference's T<1e-4 freeze is
         # a GPU performance trick; skipping the freeze changes pixels by at
@@ -79,12 +83,8 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
         return T_pix * jnp.exp(delta), cr, cg, cb_
 
     def body(state):
-        k, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b = state
-
-        @pl.when(k + 1 < num_chunks)
-        def _():
-            get_dma((k + 1) % 2, k + 1).start()
-
+        k, cont, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b = state
+        del cont
         get_dma(k % 2, k).wait()
         data = buf[k % 2]
         src = pl.multiple_of(jnp.minimum(base + k * chunk, cap - chunk), 128)
@@ -115,20 +115,26 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
         T2, c2r, c2g, c2b = chain(jnp.where(ok2, a2, 0.0), T2, c2r, c2g,
                                   c2b, data[10:11, :], data[11:12, :],
                                   data[12:13, :], triu)
-        return k + 1, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b
 
-    def cond(state):
-        k, T1 = state[0], state[1]
-        T2 = state[5]
         alive1 = jnp.max(jnp.where(l1_active, T1, 0.0)) >= T_EPS
         alive2 = jnp.max(jnp.where(l2_active, T2, 0.0)) >= T_EPS
-        return (k < num_chunks) & (alive1 | alive2)
+        cont = (k + 1 < num_chunks) & (alive1 | alive2)
+
+        @pl.when(cont)
+        def _():
+            get_dma((k + 1) % 2, k + 1).start()
+
+        return k + 1, cont, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b
+
+    def cond(state):
+        return state[1]
 
     zc = jnp.zeros((PIX, 1), jnp.float32)
     one = jnp.ones((PIX, 1), jnp.float32)
     st = jax.lax.while_loop(cond, body,
-                            (jnp.int32(0), one, zc, zc, zc, one, zc, zc, zc))
-    _, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b = st
+                            (jnp.int32(0), num_chunks > 0, one, zc, zc, zc,
+                             one, zc, zc, zc))
+    _, _, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b = st
     out_ref[0] = jnp.concatenate([c1r, c1g, c1b, T1, c2r, c2g, c2b, T2],
                                  axis=1)
 

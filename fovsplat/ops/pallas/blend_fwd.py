@@ -138,12 +138,8 @@ def _fwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, nc_ref,
         get_dma(0, 0).start()
 
     def body(state):
-        k, T_pix, cr, cg, cb_, nc = state
-
-        @pl.when(k + 1 < num_chunks)
-        def _():
-            get_dma((k + 1) % 2, k + 1).start()
-
+        k, cont, T_pix, cr, cg, cb_, nc = state
+        del cont
         get_dma(k % 2, k).wait()
         data = buf[k % 2]
         src = pl.multiple_of(jnp.minimum(base + k * chunk, cap - chunk), 128)
@@ -179,16 +175,24 @@ def _fwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, nc_ref,
         rank = (gid - start + 1).astype(jnp.float32)         # (1, chunk)
         nc = jnp.maximum(nc, jnp.max(jnp.where(contribute, rank, 0.0),
                                      axis=1, keepdims=True))
-        return k + 1, T_pix, cr, cg, cb_, nc
+
+        # Decide continuation BEFORE prefetching: a started-but-unwaited DMA
+        # (early exit) corrupts semaphore state across grid programs.
+        cont = (k + 1 < num_chunks) & (jnp.max(T_pix) >= T_EPS)
+
+        @pl.when(cont)
+        def _():
+            get_dma((k + 1) % 2, k + 1).start()
+
+        return k + 1, cont, T_pix, cr, cg, cb_, nc
 
     def cond(state):
-        k, T_pix = state[0], state[1]
-        return (k < num_chunks) & (jnp.max(T_pix) >= T_EPS)
+        return state[1]
 
-    init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
+    init = (jnp.int32(0), num_chunks > 0, jnp.ones((PIX, 1), jnp.float32),
             jnp.zeros((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32),
             jnp.zeros((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32))
-    _, T_pix, cr, cg, cb_, nc = jax.lax.while_loop(cond, body, init)
+    _, _, T_pix, cr, cg, cb_, nc = jax.lax.while_loop(cond, body, init)
 
     out_ref[0] = jnp.concatenate([cr, cg, cb_, T_pix], axis=1)  # (PIX, 4)
     nc_ref[0] = nc.astype(jnp.int32)
