@@ -51,6 +51,18 @@ def main(argv=None):
     p = sub.add_parser("dryrun", help="multi-chip dry run")
     p.add_argument("--devices", type=int, default=8)
 
+    p = sub.add_parser("vq", help="VQ-compress a checkpoint")
+    _add_common(p)
+    p.add_argument("--vq-ratio", type=float, default=0.6)
+    p.add_argument("--codebook-size", type=int, default=8192)
+
+    p = sub.add_parser("video", help="render an ellipse-path video")
+    _add_common(p)
+    p.add_argument("--frames", type=int, default=120)
+
+    p = sub.add_parser("eval-layers", help="per-PS-layer quality eval")
+    _add_common(p)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "dryrun":
@@ -98,6 +110,61 @@ def main(argv=None):
         else:
             res = quality.quality_eval(render, views, args.model, "scene")
             print(json.dumps(res, indent=2))
+        return 0
+
+    if args.cmd == "vq":
+        import numpy as np
+        from fovsplat.models import checkpoint as ckpt_mod
+        from fovsplat.models import state as S
+        from fovsplat.models import vq as vq_mod
+        from fovsplat.train import loops as lp, scratch
+        state, _, _ = ckpt_mod.load(os.path.join(args.model, "ps1.npz"))
+        gs, imp = scratch.global_significance_scores(
+            state, scene.train_views[:10], lcfg)
+        params, idx = S.compact(state)
+        comp = vq_mod.compress(params, np.asarray(imp)[idx],
+                               vq_ratio=args.vq_ratio,
+                               codebook_size=args.codebook_size)
+        out = os.path.join(args.model, "vq_compressed.npz")
+        np.savez_compressed(out, **comp)
+        raw = sum(np.asarray(getattr(params, f)).nbytes for f in
+                  ("xyz", "features_dc", "features_rest", "scaling",
+                   "rotation", "opacity"))
+        print(json.dumps({"out": out,
+                          "compressed_bytes": vq_mod.compressed_size_bytes(comp),
+                          "raw_bytes": raw,
+                          "ratio": raw / vq_mod.compressed_size_bytes(comp)}))
+        return 0
+
+    if args.cmd == "video":
+        from fovsplat.eval import quality, video
+        from fovsplat.models import checkpoint as ckpt_mod
+        state, _, _ = ckpt_mod.load(os.path.join(args.model, "ps1.npz"))
+        render = quality.make_ps1_render(state, rcfg)
+        cams = video.ellipse_path(scene.train_views, n_frames=args.frames)
+        n = video.render_video(render, cams,
+                               os.path.join(args.model, "video"))
+        print(f"wrote {n} frames")
+        return 0
+
+    if args.cmd == "eval-layers":
+        from fovsplat.eval import layers as layers_mod
+        from fovsplat.models import checkpoint as ckpt_mod
+        from fovsplat.train import compose as compose_mod
+        from fovsplat import pipeline as pl_mod
+        state, _, _ = ckpt_mod.load(os.path.join(args.model, "ps1.npz"))
+        hl, dcs, opc, live = compose_mod.load_composed_arrays(
+            os.path.join(args.model, "ours_composed.npz"))
+        model = compose_mod.ComposedModel(params=state.params, live=live,
+                                          highest_levels=hl, shs_dcs=dcs,
+                                          opacities=opc)
+        ladder = pl_mod.pooling_ladder(pl_mod.PipelineConfig())
+        res = layers_mod.eval_layers(
+            lambda i: layers_mod.layer_render_ours(state.params, live, model,
+                                                   i, rcfg),
+            scene.test_views or scene.train_views, ladder,
+            os.path.join(args.model, "layers_eval"), "scene")
+        print(json.dumps({str(k): v for k, v in res.items()}))
         return 0
 
     if args.cmd == "fps":
