@@ -51,13 +51,18 @@ def main():
     ap.add_argument("--n", type=int, default=1_161_358)  # bicycle PS1 count
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
-    ap.add_argument("--pair-capacity", type=int, default=1 << 22)
+    # fov default: level-rect clipping (ops/foveated.py) cuts candidate
+    # pairs 4.5M -> 2.74M on this workload; 3M leaves ~15% headroom
+    # (scripts/count_fov_pairs.py measures this).
+    ap.add_argument("--pair-capacity", type=int, default=None)
     ap.add_argument("--chunk", type=int, default=4096)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--mode", default="fov", choices=["ps1", "fov"])
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     args = ap.parse_args()
+    if args.pair_capacity is None:
+        args.pair_capacity = 3 << 20 if args.mode == "fov" else 1 << 22
 
     import jax
     import jax.numpy as jnp

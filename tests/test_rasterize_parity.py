@@ -89,3 +89,40 @@ def test_jit_and_shapes(cloud, cam):
     img = f(means, scales, quats, ops_)
     assert img.shape == (cam.height, cam.width, 3)
     assert bool(jnp.all(jnp.isfinite(img)))
+
+
+def test_fov_level_clip_invariant():
+    """Pre-expansion level-rect clipping (ops/foveated.py) must not change
+    the rendered image or the surviving pair count — it may only remove
+    candidates the per-pair level mask rejects anyway."""
+    from fovsplat.ops import foveated as fov
+    rng = np.random.default_rng(7)
+    n = 512
+    means, scales, quats, ops_, _ = synthetic_cloud(n=n, seed=7)
+    hl = rng.integers(0, 4, (n,)).astype(np.float32)
+    shs_dcs = rng.normal(0, 0.6, (n, 4, 3)).astype(np.float32)
+    opac4 = np.clip(ops_[:, None] + rng.normal(0, 0.1, (n, 4)),
+                    0.05, 0.95).astype(np.float32)
+    rest = rng.normal(0, 0.03, (n, 15, 3)).astype(np.float32)
+    cam = make_test_camera(width=160, height=128)
+    cfg = rasterize.RasterizeConfig(pair_capacity=1 << 14, chunk=256)
+
+    def run():
+        out = fov.rasterize_fov(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac4), jnp.asarray(shs_dcs), jnp.asarray(rest),
+            jnp.asarray(hl), cam,
+            gaze=jnp.array([0.3, 0.6], jnp.float32),  # off-center gaze
+            alpha=0.3, blending=True, config=cfg)
+        return out["render"], out["binned"].num_pairs
+
+    old = fov._CLIP_LEVEL_RECTS
+    try:
+        fov._CLIP_LEVEL_RECTS = True
+        img_c, np_c = jax.jit(lambda: run())()
+        fov._CLIP_LEVEL_RECTS = False
+        img_u, np_u = jax.jit(lambda: run())()
+    finally:
+        fov._CLIP_LEVEL_RECTS = old
+    assert int(np_c) == int(np_u)
+    np.testing.assert_array_equal(np.asarray(img_c), np.asarray(img_u))
