@@ -227,9 +227,6 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
     bn = binning.bin_gaussians(prep, gx, gy, cap, tile_mask_fn=level_mask,
                                use_obb=config.use_obb,
                                carry_geometry=config.backend == "pallas")
-    bn = binning.bin_gaussians(prep, gx, gy, cap, tile_mask_fn=level_mask,
-                               use_obb=config.use_obb,
-                               carry_geometry=config.backend == "pallas")
 
     if colors_override is None:
         fov_colors = compute_fov_colors(means3d, shs_rest, shs_dcs,
