@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--mode", default="fov", choices=["ps1", "fov"])
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--ply", default=None,
+                    help="real composed-model PLY (ours_composed schema); "
+                         "replaces the synthetic cloud when provided")
     args = ap.parse_args()
     if args.pair_capacity is None:
         args.pair_capacity = 3 << 20 if args.mode == "fov" else 1 << 22
@@ -69,6 +72,36 @@ def main():
     import numpy as np
 
     from fovsplat.data.cameras import look_at_camera
+
+    if args.ply is not None:
+        # Real scene: a ps1 checkpoint PLY or a composed-model PLY
+        # (models/gaussians.py schemas). hl/per-level arrays fall back to
+        # single-level broadcasts when the PLY is a plain checkpoint.
+        from fovsplat.models import gaussians as G
+        params, extras = G.load_ply(args.ply)
+        n = params.xyz.shape[0]
+        means = params.xyz
+        scales = params.get_scaling()
+        quats = params.get_rotation()
+        opac = params.get_opacity()
+        colors = jnp.clip(0.5 + 0.282095 * params.features_dc[:, 0, :], 0, 1)
+        fovdata = None
+        if args.mode == "fov":
+            nl = 4
+            hl = jnp.asarray(extras.get(
+                "ecc_thresh", np.full((n,), nl - 1.0, np.float32)))
+            sd = extras.get("shs_dcs")
+            if sd is None:
+                sd = np.broadcast_to(
+                    np.asarray(params.features_dc[:, 0:1, :]), (n, nl, 3))
+            fovdata = (hl, jnp.asarray(np.ascontiguousarray(sd), jnp.float32),
+                       jnp.broadcast_to(opac[:, None], (n, nl)),
+                       params.features_rest)
+        cam = look_at_camera([0.4, -0.3, -4.0], [0, 0, 0], [0, -1, 0],
+                             fovx=1.1, fovy=0.7, width=args.width,
+                             height=args.height)
+        arrays = (means, scales, quats, opac, colors, fovdata)
+        return run_bench(args, cam, arrays, n)
 
     rng = np.random.default_rng(0)
     n = args.n
@@ -90,7 +123,14 @@ def main():
                          fovx=1.1, fovy=0.7, width=args.width,
                          height=args.height)
     arrays = (means, scales, quats, opac, colors, fovdata)
+    return run_bench(args, cam, arrays, n)
 
+
+def run_bench(args, cam, arrays, n):
+    import sys
+    import time
+
+    means, scales, quats = arrays[0], arrays[1], arrays[2]
     backend = args.backend
     fn = build_render(args, cam, arrays, backend)
     try:
@@ -117,9 +157,10 @@ def main():
     fps = 1.0 / dt
     rays_per_s = args.width * args.height * fps
 
+    src = "real scene" if args.ply else "synthetic"
     print(json.dumps({
         "metric": f"render FPS ({args.mode}/{backend}, "
-                  f"{args.width}x{args.height}, {n} gaussians, synthetic, "
+                  f"{args.width}x{args.height}, {n} gaussians, {src}, "
                   "1 chip)",
         "value": round(fps, 2),
         "unit": "frames/s",
