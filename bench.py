@@ -114,7 +114,13 @@ def main():
     colors = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
     fovdata = None
     if args.mode == "fov":
-        fovdata = (jnp.asarray(rng.integers(0, 4, (n,)), jnp.float32),
+        # highest_level distribution matched to the reference's composed
+        # bicycle model (fov3dgs/pnum/ours-Q/bicycle.txt, SURVEY.md §6:
+        # survivors per level 1161358 / 465471 / 252678 / 202263) — a
+        # uniform draw would over-populate the coarse levels ~2x and make
+        # the synthetic frame artificially heavier than the real workload.
+        hl = rng.choice(4, size=(n,), p=[0.5992, 0.1832, 0.0434, 0.1742])
+        fovdata = (jnp.asarray(hl, jnp.float32),
                    jnp.asarray(rng.normal(0, 0.8, (n, 4, 3)), jnp.float32),
                    jnp.asarray(rng.uniform(0.2, 0.95, (n, 4)), jnp.float32),
                    jnp.asarray(rng.normal(0, 0.05, (n, 15, 3)), jnp.float32))

@@ -84,7 +84,9 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
                   tile_mask_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
                   use_obb: bool = True,
                   carry_geometry: bool = False,
-                  gauss_attrs=None) -> Binned:
+                  gauss_attrs=None,
+                  attr_table=None,
+                  pair_fn=None) -> Binned:
     """Bin preprocessed Gaussians into depth-ordered per-tile pair segments.
 
     tile_mask_fn(orig_gauss_idx, tile_idx) -> bool: extra per-pair cull
@@ -93,6 +95,15 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
     payload operands — post-sort attribute gathers (slow on TPU) disappear.
     gauss_attrs: optional (N, K) f32 per-Gaussian columns carried the same
     way (e.g. opacity + RGB for the single-level path).
+
+    attr_table/pair_fn: derived per-PAIR attribute hook. attr_table (N, K2)
+    is expanded with ONE extra row gather (kept separate from the binning
+    table: TPU row-gather cost is flat up to ~128-byte rows, then triples);
+    pair_fn(orig, tx, ty, tile, rows2) -> (keep_mask | None, [attr, ...])
+    computes per-pair values (e.g. foveated level selection) pre-sort, and
+    the results ride the tile sort as payloads — measured FREE on TPU
+    (lax.sort at 3M pairs costs ~32 ms for 1 or 13 payload operands alike),
+    whereas every post-sort CAP-sized gather costs ~45-55 ms.
     """
     n = prep.depth.shape[0]
     num_tiles = grid_x * grid_y
@@ -175,12 +186,20 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
     if tile_mask_fn is not None:
         keep = keep & tile_mask_fn(orig, tile)
 
+    derived = []
+    if pair_fn is not None:
+        rows2 = attr_table[jnp.minimum(orig, n - 1)] \
+            if attr_table is not None else None             # (CAP, K2)
+        extra_keep, derived = pair_fn(orig, tx, ty, tile, rows2)
+        if extra_keep is not None:
+            keep = keep & extra_keep
+
     key = jnp.where(keep, tile, num_tiles).astype(jnp.int32)
 
     # 4. Stable sort by tile id; payloads = Gaussian index (+ carried attrs).
     if carry_geometry:
         carried = [rows[:, 5], rows[:, 6]] + \
-                  [rows[:, 14 + k] for k in range(n_extra)]
+                  [rows[:, 14 + k] for k in range(n_extra)] + list(derived)
         res = jax.lax.sort((key, orig, *carried), num_keys=1, is_stable=True)
         sorted_key, sorted_orig = res[0], res[1]
         pair_attrs = jnp.stack(res[2:], axis=0)             # (2+K, CAP)

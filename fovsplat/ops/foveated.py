@@ -84,6 +84,94 @@ def compute_fov_colors(means3d, shs_rest, shs_dcs, cam_center,
     return jnp.maximum(sh.SH_C0 * shs_dcs + rest[:, None, :], 0.0)
 
 
+def _bin_fov_fused(prep, opacities, fov_colors, hl, gaze, alpha, gx, gy,
+                   cap, camera, fov_cfg, interpret):
+    """Fused-Pallas foveated binning: expansion + OBB + level cull + per-pair
+    level selection in one kernel (ops/pallas/expand_fov), then ONE stable
+    tile sort whose payloads are the finished kernel SoA rows.
+
+    Returns (packed (16, CAP2) f32 sorted SoA, seg_start (T+1,), num_pairs,
+    overflow, CAP2) — CAP2 is cap rounded up to the kernel chunking."""
+    from fovsplat.ops.pallas import expand_fov as pex
+
+    n = prep.depth.shape[0]
+    num_tiles = gx * gy
+    L = fov_cfg.fov_num
+    chunk, kbatch = 512, 8
+    cap2 = ((cap + chunk * kbatch - 1) // (chunk * kbatch)) * (chunk * kbatch)
+
+    # Depth presort (invalid Gaussians pushed to the back).
+    sort_key = jnp.where(prep.valid, prep.depth, jnp.inf)
+    depth_order = jnp.argsort(sort_key)
+
+    # Two (N, <=17)-column tables (one would be 32 cols = past the ~96-byte
+    # row-gather cost cliff); gathered into depth order, then transposed to
+    # the kernel's attribute-major layout.
+    t1 = jnp.stack([
+        prep.rect_min[:, 0].astype(jnp.float32),
+        prep.rect_min[:, 1].astype(jnp.float32),
+        jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0],
+                    1).astype(jnp.float32),
+        prep.tiles_touched.astype(jnp.float32),   # -> cum_excl after cumsum
+        prep.mean2d[:, 0], prep.mean2d[:, 1],
+        prep.eigen_vec[:, 0, 0], prep.eigen_vec[:, 0, 1],
+        prep.eigen_vec[:, 1, 0], prep.eigen_vec[:, 1, 1],
+        prep.eigen_len[:, 0], prep.eigen_len[:, 1],
+        prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+        hl,
+    ], axis=1)                                        # (N, 16)
+    t2 = jnp.concatenate(
+        [opacities, fov_colors[:, :, 0], fov_colors[:, :, 1],
+         fov_colors[:, :, 2]], axis=1)                # (N, 4L) = (N, 16)
+
+    t1d = t1[depth_order]
+    t2d = t2[depth_order]
+    tnum = t1d[:, 3]
+    cum_incl = jnp.cumsum(tnum)
+    total_f = cum_incl[-1]
+    cum_excl = cum_incl - tnum
+    t1d = t1d.at[:, 3].set(cum_excl)
+    total = jnp.minimum(total_f, cap2).astype(jnp.int32)
+    overflow = jnp.maximum(total_f.astype(jnp.int32) - cap2, 0)
+
+    wsize = chunk + pex.WPAD
+    n_pad = max(((n + 127) // 128) * 128, wsize)
+    dtable = jnp.concatenate([t1d, t2d], axis=1).T    # (32, N)
+    dtable = jnp.pad(dtable, ((0, 0), (0, n_pad - n)))
+
+    # pair -> depth-rank map via boundary-scatter + cumsum.
+    ce_i = cum_excl.astype(jnp.int32)
+    marks = jnp.zeros(cap2, jnp.int32).at[ce_i[1:]].add(
+        jnp.ones((), jnp.int32), mode='drop')
+    g = jnp.minimum(jnp.cumsum(marks), n - 1).astype(jnp.int32)
+    gstarts = g.reshape(-1, chunk)[:, 0]
+
+    gaze_dir = jnp.stack(foveation._ncd2dir(
+        gaze[0], gaze[1], fov_cfg.real_image_width,
+        camera.height / camera.width * fov_cfg.real_image_width,
+        fov_cfg.real_viewing_distance))
+
+    key, attrs = pex.expand_fov_pallas(
+        dtable, g, gstarts, total, gaze_dir, jnp.float32(alpha),
+        chunk=chunk, batch=kbatch, grid_x=gx, grid_y=gy,
+        width=camera.width, height=camera.height,
+        real_w=fov_cfg.real_image_width,
+        real_h=camera.height / camera.width * fov_cfg.real_image_width,
+        dist=fov_cfg.real_viewing_distance, fov_num=L,
+        sqrt_max_ps=fov_cfg.sqrt_max_ps, interpret=interpret)
+
+    res = jax.lax.sort((key, *(attrs[i] for i in range(attrs.shape[0]))),
+                       num_keys=1, is_stable=True)
+    sorted_key = res[0]
+    packed = jnp.concatenate(
+        [jnp.stack(res[1:], axis=0),
+         jnp.zeros((2, cap2), jnp.float32)], axis=0)   # (16, CAP2)
+    seg_start = jnp.searchsorted(
+        sorted_key, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+        side='left').astype(jnp.int32)
+    return packed, seg_start, seg_start[-1], overflow, cap2
+
+
 def _dual_blend(pair_tile, pair_mean2d, pair_conic, pair_op1, pair_op2,
                 pair_col1, pair_col2, pair_l2_cull, seg_start, num_pairs,
                 tile_l1_active, tile_l2_active,
@@ -224,10 +312,6 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
     if _CLIP_LEVEL_RECTS:
         prep = _clip_rects_to_levels(prep, levels, hl, gx, gy, L)
 
-    bn = binning.bin_gaussians(prep, gx, gy, cap, tile_mask_fn=level_mask,
-                               use_obb=config.use_obb,
-                               carry_geometry=config.backend == "pallas")
-
     if colors_override is None:
         fov_colors = compute_fov_colors(means3d, shs_rest, shs_dcs,
                                         camera.cam_center, sh_degree)
@@ -235,6 +319,53 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
         fov_colors = colors_override                       # (N, L, 3)
     if opacity_shared is not None:
         opacities = jnp.broadcast_to(opacity_shared[:, None], (n, L))
+
+    fused = None
+    if config.backend == "pallas" and config.pallas_fused_expand:
+        fused = _bin_fov_fused(prep, opacities, fov_colors, hl, gaze,
+                               alpha, gx, gy, cap, camera, fov_cfg,
+                               config.pallas_interpret)
+        bn = None
+    elif config.backend == "pallas":
+        # Pre-sort per-pair attribute derivation (see bin_gaussians): the
+        # tile's fractional level is recomputed analytically per pair
+        # (cheaper than a CAP gather from the per-tile table), the
+        # level-dependent opacity/color/cull are selected elementwise from
+        # ONE expanded (N, 4L+1) attr table, and all 9 derived values ride
+        # the tile sort as free payload operands. This removes every
+        # post-sort CAP-sized gather from the foveated hot path.
+        attr_table = jnp.concatenate(
+            [opacities, fov_colors[:, :, 0], fov_colors[:, :, 1],
+             fov_colors[:, :, 2], hl[:, None]], axis=1)    # (N, 4L+1)
+
+        def pair_fn(orig, tx, ty, tile, rows2):
+            lv = foveation.tile_levels_at(tx, ty, gaze, camera.width,
+                                          camera.height, alpha, fov_cfg)
+            hl_row = rows2[:, 4 * L]
+            keep = lv < hl_row + 1.0                       # level cull
+            p1 = lv.astype(jnp.int32)
+            p2 = jnp.minimum(p1 + 1, L - 1)
+
+            def sel(pk):
+                out = []
+                for c in range(4):                          # op, r, g, b
+                    v = rows2[:, c * L]
+                    for k in range(1, L):
+                        v = jnp.where(pk == k, rows2[:, c * L + k], v)
+                    out.append(v)
+                return out
+
+            o1, r1, g1, b1 = sel(p1)
+            o2, r2, g2, b2 = sel(p2)
+            cull = ((hl_row + 1.0) < (lv + 1.0)).astype(jnp.float32)
+            return keep, [o1, r1, g1, b1, o2, r2, g2, b2, cull]
+
+        bn = binning.bin_gaussians(prep, gx, gy, cap, use_obb=config.use_obb,
+                                   carry_geometry=True,
+                                   attr_table=attr_table, pair_fn=pair_fn)
+    else:
+        bn = binning.bin_gaussians(prep, gx, gy, cap, tile_mask_fn=level_mask,
+                                   use_obb=config.use_obb)
 
     # Per-tile level indices and per-pixel estimated level.
     l1_i = levels.astype(jnp.int32)
@@ -251,43 +382,48 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
                           jnp.ones((num_tiles, PIX), bool))
     l2_active = jnp.broadcast_to(tile_blend[:, None], (num_tiles, PIX))
 
-    gid = jnp.minimum(bn.pair_gauss, n - 1)
-    kt_safe = jnp.minimum(bn.pair_tile, num_tiles - 1)
-    pl1 = l1_i[kt_safe]
-    pl2 = l2_i[kt_safe]
-    # One packed (N*L, 5) table -> two row gathers per pair instead of six
-    # scalar gathers (TPU gathers cost per row, not per byte).
-    lvl_table = jnp.concatenate([
-        fov_colors.reshape(n * L, 3),
-        opacities.reshape(n * L, 1),
-        jnp.broadcast_to(hl[:, None, None], (n, L, 1)).reshape(n * L, 1),
-    ], axis=1)                                           # (N*L, 5)
-    row1 = lvl_table[gid * L + pl1]
-    row2 = lvl_table[gid * L + pl2]
-    col1 = row1[:, 0:3]
-    op1 = row1[:, 3]
-    col2 = row2[:, 0:3]
-    op2 = row2[:, 3]
-    l2_cull = (row1[:, 4] + 1.0) < (levels[kt_safe] + 1.0)  # hl+1 < L2_f
-
     if config.backend == "pallas":
         from fovsplat.ops.pallas import blend_fov as pkf
-        # Geometry rides through the sort; only the tile-level-dependent
-        # per-level rows are gathered post-sort.
-        geo = bn.pair_attrs                              # (5, CAP)
-        packed = pkf.pack_fov_pairs(geo[0:2].T, geo[2:5].T,
-                                    op1, col1, op2, col2, l2_cull)
+        if fused is not None:
+            packed, seg_start, num_pairs, overflow, _cap2 = fused
+            bn = binning.Binned(pair_gauss=None, pair_tile=None,
+                                seg_start=seg_start, num_pairs=num_pairs,
+                                overflow=overflow, depth_order=None)
+        else:
+            # bn.pair_attrs already IS the kernel SoA minus padding:
+            # [mx, my, ca, cb, cc, op1, r1, g1, b1, op2, r2, g2, b2, l2cull]
+            # — geometry and the pre-sort-derived per-level values all rode
+            # the tile sort as payloads; no post-sort gathers remain.
+            packed = jnp.concatenate(
+                [bn.pair_attrs, jnp.zeros((2, cap), jnp.float32)], axis=0)
+            seg_start = bn.seg_start
         tile_act = jnp.stack([
             l1_active.astype(jnp.float32), l2_active.astype(jnp.float32),
             jnp.zeros_like(l1_active, jnp.float32),
             jnp.zeros_like(l1_active, jnp.float32)], axis=-1)
         c1, t1, c2, t2 = pkf.blend_fov_pallas(
-            packed, bn.seg_start[:-1], bn.seg_start[1:], tile_act, gx, gy,
+            packed, seg_start[:-1], seg_start[1:], tile_act, gx, gy,
             config.pallas_chunk, config.power_cutoff, config.pallas_interpret)
     else:
+        # XLA fallback (CPU tests/oracle): per-level rows gathered post-sort
+        # from one packed (N*L, 5) table — two row gathers per pair instead
+        # of six scalar gathers.
+        gid = jnp.minimum(bn.pair_gauss, n - 1)
+        kt_safe = jnp.minimum(bn.pair_tile, num_tiles - 1)
+        pl1 = l1_i[kt_safe]
+        pl2 = l2_i[kt_safe]
+        lvl_table = jnp.concatenate([
+            fov_colors.reshape(n * L, 3),
+            opacities.reshape(n * L, 1),
+            jnp.broadcast_to(hl[:, None, None], (n, L, 1)).reshape(n * L, 1),
+        ], axis=1)                                           # (N*L, 5)
+        row1 = lvl_table[gid * L + pl1]
+        row2 = lvl_table[gid * L + pl2]
+        l2_cull = (row1[:, 4] + 1.0) < (levels[kt_safe] + 1.0)  # hl+1 < L2_f
         c1, c2, t1, t2 = _dual_blend(
-            bn.pair_tile, prep.mean2d[gid], prep.conic[gid], op1, op2, col1,
-            col2, l2_cull, bn.seg_start, bn.num_pairs, l1_active, l2_active,
+            bn.pair_tile, prep.mean2d[gid], prep.conic[gid], row1[:, 3],
+            row2[:, 3], row1[:, 0:3], row2[:, 0:3], l2_cull, bn.seg_start,
+            bn.num_pairs, l1_active, l2_active,
             gx, gy, config.chunk, config.power_cutoff)
 
     bg = (jnp.zeros(3, jnp.float32) if bg_color is None

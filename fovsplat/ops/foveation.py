@@ -41,16 +41,13 @@ def ps2level(ps, cfg: FoveationConfig):
     return jnp.where(ps <= 1.0, 0.0, (jnp.sqrt(jnp.maximum(ps, 1.0)) - 1.0) / step)
 
 
-def compute_tile_levels(gaze, width: int, height: int, alpha,
-                        cfg: FoveationConfig = FoveationConfig()) -> jnp.ndarray:
-    """gaze: (2,) NDC in [0,1]. Returns (grid_y*grid_x,) fractional levels."""
-    gx = (width + TILE - 1) // TILE
-    gy = (height + TILE - 1) // TILE
-    t = jnp.arange(gx * gy)
-    tx = (t % gx).astype(jnp.float32)
-    ty = (t // gx).astype(jnp.float32)
-    px = tx * TILE + TILE / 2
-    py = ty * TILE + TILE / 2
+def tile_levels_at(tx, ty, gaze, width: int, height: int, alpha,
+                   cfg: FoveationConfig = FoveationConfig()) -> jnp.ndarray:
+    """Fractional foveation level at tile coords (tx, ty) — pure elementwise
+    math, usable per-tile OR per-(Gaussian, tile) pair (recomputing per pair
+    is ~10x cheaper than a CAP-sized gather from the per-tile table)."""
+    px = tx.astype(jnp.float32) * TILE + TILE / 2
+    py = ty.astype(jnp.float32) * TILE + TILE / 2
     real_w = cfg.real_image_width
     real_h = height / width * real_w
     dist = cfg.real_viewing_distance
@@ -75,6 +72,15 @@ def compute_tile_levels(gaze, width: int, height: int, alpha,
     ps = jnp.sqrt(jnp.maximum(area, 0.0)) * (width / real_w)
     level = ps2level(ps, cfg)
     return jnp.minimum(level, cfg.fov_num - 0.1)
+
+
+def compute_tile_levels(gaze, width: int, height: int, alpha,
+                        cfg: FoveationConfig = FoveationConfig()) -> jnp.ndarray:
+    """gaze: (2,) NDC in [0,1]. Returns (grid_y*grid_x,) fractional levels."""
+    gx = (width + TILE - 1) // TILE
+    gy = (height + TILE - 1) // TILE
+    t = jnp.arange(gx * gy)
+    return tile_levels_at(t % gx, t // gx, gaze, width, height, alpha, cfg)
 
 
 def compute_tile_level_infos(levels: jnp.ndarray, width: int, height: int,

@@ -43,26 +43,8 @@ def pack_fov_pairs(mean2d, conic, op1, col1, op2, col2, l2cull):
 
 def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
                 buf, sem, *, grid_x: int, chunk: int, power_cutoff: float,
-                cap: int):
-    t = pl.program_id(0)
-    start = seg_start_ref[t]
-    end = seg_end_ref[t]
-    px, py = _pixel_coords(t, grid_x)
-    base = pl.multiple_of((start // 128) * 128, 128)
-    num_chunks = pl.cdiv(end - base, chunk)
-
-    act = act_ref[0]                       # (PIX, 4)
-    l1_active = act[:, 0:1] > 0            # (PIX, 1)
-    l2_active = act[:, 1:2] > 0
-
-    def get_dma(slot, k):
-        src = pl.multiple_of(jnp.minimum(base + k * chunk, cap - chunk), 128)
-        return pltpu.make_async_copy(pairs_hbm.at[:, pl.ds(src, chunk)],
-                                     buf.at[slot], sem.at[slot])
-
-    @pl.when(num_chunks > 0)
-    def _():
-        get_dma(0, 0).start()
+                cap: int, batch: int):
+    tb = pl.program_id(0)
 
     # CRITICAL: a prefetch may only be started if it is guaranteed to be
     # waited on. The loop therefore decides continuation BEFORE issuing the
@@ -82,89 +64,166 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
         delta = jnp.sum(logs, axis=1, keepdims=True)
         return T_pix * jnp.exp(delta), cr, cg, cb_
 
-    def body(state):
-        k, cont, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b = state
-        del cont
-        get_dma(k % 2, k).wait()
-        data = buf[k % 2]
-        src = pl.multiple_of(jnp.minimum(base + k * chunk, cap - chunk), 128)
-        gid = src + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        in_seg = (gid >= start) & (gid < end)
+    # batch consecutive tiles per grid program: per-program launch overhead
+    # (~9 us) dwarfs one tile's compute (~2 us), so amortize it.
+    def per_tile(b, _):
+        t = tb * batch + b
+        start = seg_start_ref[t]
+        end = seg_end_ref[t]
+        px, py = _pixel_coords(t, grid_x)
+        base = pl.multiple_of((start // 128) * 128, 128)
+        num_chunks = pl.cdiv(end - base, chunk)
 
-        mx = data[0:1, :]
-        my = data[1:2, :]
-        dx = mx - px
-        dy = my - py
-        ca = data[2:3, :]
-        cb = data[3:4, :]
-        cc = data[4:5, :]
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        G = jnp.exp(jnp.minimum(power, 0.0))
-        geo_ok = (power <= 0.0) & (power >= power_cutoff) & in_seg
+        act = act_ref[b]                       # (PIX, 4)
+        l1_active = act[:, 0:1] > 0            # (PIX, 1)
+        l2_active = act[:, 1:2] > 0
+        # Per-tile specialization (the reference's renderCUDA vs
+        # renderCUDA_blending split, rasterizer_impl.cu:897,922): plain
+        # tiles run a single-chain loop — the second transmittance chain
+        # (log/exp/matmul per pair-pixel) is the bulk of the VPU work.
+        is_blend = jnp.max(act[:, 1]) > 0
 
-        triu = _triu_strict(chunk)
-        a1 = jnp.minimum(ALPHA_MAX, data[5:6, :] * G)
-        ok1 = geo_ok & (a1 >= ALPHA_MIN) & l1_active
-        T1, c1r, c1g, c1b = chain(jnp.where(ok1, a1, 0.0), T1, c1r, c1g,
-                                  c1b, data[6:7, :], data[7:8, :],
-                                  data[8:9, :], triu)
+        def get_dma(slot, k):
+            src = pl.multiple_of(jnp.minimum(base + k * chunk, cap - chunk),
+                                 128)
+            return pltpu.make_async_copy(pairs_hbm.at[:, pl.ds(src, chunk)],
+                                         buf.at[slot], sem.at[slot])
 
-        a2 = jnp.minimum(ALPHA_MAX, data[9:10, :] * G)
-        ok2 = geo_ok & (a2 >= ALPHA_MIN) & l2_active \
-            & (data[13:14, :] < 0.5)
-        T2, c2r, c2g, c2b = chain(jnp.where(ok2, a2, 0.0), T2, c2r, c2g,
-                                  c2b, data[10:11, :], data[11:12, :],
-                                  data[12:13, :], triu)
-
-        alive1 = jnp.max(jnp.where(l1_active, T1, 0.0)) >= T_EPS
-        alive2 = jnp.max(jnp.where(l2_active, T2, 0.0)) >= T_EPS
-        cont = (k + 1 < num_chunks) & (alive1 | alive2)
-
-        @pl.when(cont)
+        @pl.when(num_chunks > 0)
         def _():
-            get_dma((k + 1) % 2, k + 1).start()
+            get_dma(0, 0).start()
 
-        return k + 1, cont, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b
+        def chunk_geo(k):
+            data = buf[k % 2]
+            src = pl.multiple_of(jnp.minimum(base + k * chunk, cap - chunk),
+                                 128)
+            gid = src + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            in_seg = (gid >= start) & (gid < end)
+            mx = data[0:1, :]
+            my = data[1:2, :]
+            dx = mx - px
+            dy = my - py
+            ca = data[2:3, :]
+            cb = data[3:4, :]
+            cc = data[4:5, :]
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            G = jnp.exp(jnp.minimum(power, 0.0))
+            geo_ok = (power <= 0.0) & (power >= power_cutoff) & in_seg
+            return data, G, geo_ok
 
-    def cond(state):
-        return state[1]
+        def body_dual(state):
+            k, cont, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b = state
+            del cont
+            get_dma(k % 2, k).wait()
+            data, G, geo_ok = chunk_geo(k)
 
-    zc = jnp.zeros((PIX, 1), jnp.float32)
-    one = jnp.ones((PIX, 1), jnp.float32)
-    st = jax.lax.while_loop(cond, body,
-                            (jnp.int32(0), num_chunks > 0, one, zc, zc, zc,
-                             one, zc, zc, zc))
-    _, _, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b = st
-    out_ref[0] = jnp.concatenate([c1r, c1g, c1b, T1, c2r, c2g, c2b, T2],
-                                 axis=1)
+            triu = _triu_strict(chunk)
+            a1 = jnp.minimum(ALPHA_MAX, data[5:6, :] * G)
+            ok1 = geo_ok & (a1 >= ALPHA_MIN) & l1_active
+            T1, c1r, c1g, c1b = chain(jnp.where(ok1, a1, 0.0), T1, c1r, c1g,
+                                      c1b, data[6:7, :], data[7:8, :],
+                                      data[8:9, :], triu)
+
+            a2 = jnp.minimum(ALPHA_MAX, data[9:10, :] * G)
+            ok2 = geo_ok & (a2 >= ALPHA_MIN) & l2_active \
+                & (data[13:14, :] < 0.5)
+            T2, c2r, c2g, c2b = chain(jnp.where(ok2, a2, 0.0), T2, c2r, c2g,
+                                      c2b, data[10:11, :], data[11:12, :],
+                                      data[12:13, :], triu)
+
+            alive1 = jnp.max(jnp.where(l1_active, T1, 0.0)) >= T_EPS
+            alive2 = jnp.max(jnp.where(l2_active, T2, 0.0)) >= T_EPS
+            cont = (k + 1 < num_chunks) & (alive1 | alive2)
+
+            @pl.when(cont)
+            def _():
+                get_dma((k + 1) % 2, k + 1).start()
+
+            return k + 1, cont, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b
+
+        def body_single(state):
+            k, cont, T1, c1r, c1g, c1b = state
+            del cont
+            get_dma(k % 2, k).wait()
+            data, G, geo_ok = chunk_geo(k)
+
+            a1 = jnp.minimum(ALPHA_MAX, data[5:6, :] * G)
+            ok1 = geo_ok & (a1 >= ALPHA_MIN)
+            T1, c1r, c1g, c1b = chain(jnp.where(ok1, a1, 0.0), T1, c1r, c1g,
+                                      c1b, data[6:7, :], data[7:8, :],
+                                      data[8:9, :], _triu_strict(chunk))
+
+            cont = (k + 1 < num_chunks) & (jnp.max(T1) >= T_EPS)
+
+            @pl.when(cont)
+            def _():
+                get_dma((k + 1) % 2, k + 1).start()
+
+            return k + 1, cont, T1, c1r, c1g, c1b
+
+        zc = jnp.zeros((PIX, 1), jnp.float32)
+        one = jnp.ones((PIX, 1), jnp.float32)
+
+        @pl.when(is_blend)
+        def _():
+            st = jax.lax.while_loop(
+                lambda s: s[1], body_dual,
+                (jnp.int32(0), num_chunks > 0, one, zc, zc, zc, one, zc, zc,
+                 zc))
+            _, _, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b = st
+            out_ref[b] = jnp.concatenate(
+                [c1r, c1g, c1b, T1, c2r, c2g, c2b, T2], axis=1)
+
+        @pl.when(jnp.logical_not(is_blend))
+        def _():
+            st = jax.lax.while_loop(
+                lambda s: s[1], body_single,
+                (jnp.int32(0), num_chunks > 0, one, zc, zc, zc))
+            _, _, T1, c1r, c1g, c1b = st
+            out_ref[b] = jnp.concatenate(
+                [c1r, c1g, c1b, T1, zc, zc, zc, one], axis=1)
+
+        return 0
+
+    jax.lax.fori_loop(0, batch, per_tile, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_x", "grid_y", "chunk",
-                                             "power_cutoff", "interpret"))
+                                             "power_cutoff", "interpret",
+                                             "batch"))
 def blend_fov_pallas(pair_data, seg_start, seg_end, tile_act,
                      grid_x, grid_y, chunk=256, power_cutoff=-4.5,
-                     interpret=False):
+                     interpret=False, batch=8):
     """pair_data (FROW, CAP); tile_act (T, PIX, 4).
 
     Returns (C1 [T,PIX,3], T1 [T,PIX], C2 [T,PIX,3], T2 [T,PIX])."""
     num_tiles = grid_x * grid_y
     cap = pair_data.shape[1]
+    t_pad = ((num_tiles + batch - 1) // batch) * batch
+    if t_pad != num_tiles:
+        pad = t_pad - num_tiles
+        seg_start = jnp.concatenate([seg_start, jnp.zeros(pad, jnp.int32)])
+        seg_end = jnp.concatenate([seg_end, jnp.zeros(pad, jnp.int32)])
+        tile_act = jnp.concatenate(
+            [tile_act, jnp.zeros((pad, PIX, 4), jnp.float32)], axis=0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(t_pad // batch,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec((1, PIX, 4), lambda t, *_: (t, 0, 0),
+                  pl.BlockSpec((batch, PIX, 4), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((1, PIX, 8), lambda t, *_: (t, 0, 0),
+        out_specs=[pl.BlockSpec((batch, PIX, 8), lambda t, *_: (t, 0, 0),
                                 memory_space=pltpu.VMEM)],
         scratch_shapes=[pltpu.VMEM((2, FROW, chunk), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
     )
     kernel = functools.partial(_fov_kernel, grid_x=grid_x, chunk=chunk,
-                               power_cutoff=power_cutoff, cap=cap)
+                               power_cutoff=power_cutoff, cap=cap,
+                               batch=batch)
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((num_tiles, PIX, 8), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((t_pad, PIX, 8), jnp.float32)],
         interpret=interpret,
     )(seg_start, seg_end, pair_data, tile_act)[0]
+    out = out[:num_tiles]
     return out[:, :, 0:3], out[:, :, 3], out[:, :, 4:7], out[:, :, 7]

@@ -117,8 +117,24 @@ def _alpha_from_chunk(data, px, py, power_cutoff):
 
 def _fwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, nc_ref,
                 buf, sem, *, grid_x: int, chunk: int, power_cutoff: float,
-                cap: int):
-    t = pl.program_id(0)
+                cap: int, batch: int):
+    tb = pl.program_id(0)
+    # batch consecutive tiles per grid program: per-program launch overhead
+    # (~9 us) dwarfs one tile's compute (~2 us), so amortize it.
+    jax.lax.fori_loop(
+        0, batch,
+        functools.partial(_fwd_one_tile, tb=tb, seg_start_ref=seg_start_ref,
+                          seg_end_ref=seg_end_ref, pairs_hbm=pairs_hbm,
+                          out_ref=out_ref, nc_ref=nc_ref, buf=buf, sem=sem,
+                          grid_x=grid_x, chunk=chunk,
+                          power_cutoff=power_cutoff, cap=cap, batch=batch),
+        0)
+
+
+def _fwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
+                  out_ref, nc_ref, buf, sem, grid_x: int, chunk: int,
+                  power_cutoff: float, cap: int, batch: int):
+    t = tb * batch + b
     start = seg_start_ref[t]
     end = seg_end_ref[t]
     px, py = _pixel_coords(t, grid_x)
@@ -194,36 +210,44 @@ def _fwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, nc_ref,
             jnp.zeros((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32))
     _, _, T_pix, cr, cg, cb_, nc = jax.lax.while_loop(cond, body, init)
 
-    out_ref[0] = jnp.concatenate([cr, cg, cb_, T_pix], axis=1)  # (PIX, 4)
-    nc_ref[0] = nc.astype(jnp.int32)
+    out_ref[b] = jnp.concatenate([cr, cg, cb_, T_pix], axis=1)  # (PIX, 4)
+    nc_ref[b] = nc.astype(jnp.int32)
+    return carry
 
 
 def _forward(pair_data, seg_start, seg_end, grid_x: int, grid_y: int,
-             chunk: int, power_cutoff: float, interpret: bool):
+             chunk: int, power_cutoff: float, interpret: bool,
+             batch: int = 8):
     num_tiles = grid_x * grid_y
     cap = pair_data.shape[1]
+    t_pad = ((num_tiles + batch - 1) // batch) * batch
+    if t_pad != num_tiles:
+        pad = t_pad - num_tiles
+        seg_start = jnp.concatenate([seg_start, jnp.zeros(pad, jnp.int32)])
+        seg_end = jnp.concatenate([seg_end, jnp.zeros(pad, jnp.int32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(t_pad // batch,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, PIX, 4), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((batch, PIX, 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((batch, PIX, 1), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((2, ROW, chunk), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
     )
     kernel = functools.partial(_fwd_kernel, grid_x=grid_x, chunk=chunk,
-                               power_cutoff=power_cutoff, cap=cap)
+                               power_cutoff=power_cutoff, cap=cap,
+                               batch=batch)
     out, nc = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((num_tiles, PIX, 4), jnp.float32),
-                   jax.ShapeDtypeStruct((num_tiles, PIX, 1), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((t_pad, PIX, 4), jnp.float32),
+                   jax.ShapeDtypeStruct((t_pad, PIX, 1), jnp.int32)],
         interpret=interpret,
     )(seg_start, seg_end, pair_data)
-    return out, nc
+    return out[:num_tiles], nc[:num_tiles]
 
 
 # --------------------------------------------------------------- backward

@@ -41,6 +41,9 @@ class RasterizeConfig:
     pallas_interpret: bool = False    # interpreter mode (CPU tests)
     pallas_fwd_only: bool = False     # inference: skip segment alignment
                                       # (not differentiable)
+    pallas_fused_expand: bool = True  # foveated path: fused Pallas
+                                      # expansion/cull/derive kernel
+                                      # (ops/pallas/expand_fov)
 
     def padded_capacity(self) -> int:
         c = self.chunk

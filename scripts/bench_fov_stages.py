@@ -1,6 +1,6 @@
 """Per-stage TPU timing of the foveated render path (mirrors
 ops/foveated.rasterize_fov's current stage composition: level-rect clip,
-carried geometry payloads, 3M pair capacity)."""
+pre-sort attribute derivation riding the tile sort, 3M pair capacity)."""
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -52,54 +52,76 @@ prep = timeit(jax.jit(lambda m, s, q: projection.preprocess(m, s, q, cam)),
               means, scales, quats, reps=5, label="preprocess")
 
 levels = foveation.compute_tile_levels(gaze, cam.width, cam.height, 0.05)
-gradx, grady, _, tb = foveation.compute_tile_level_infos(levels, cam.width,
-                                                         cam.height)
-
-
-def bin_fov(prep, hl):
-    def level_mask(orig, tile):
-        t = jnp.minimum(tile, num_tiles - 1)
-        return levels[t] < hl[orig] + 1.0
-    prep = fov._clip_rects_to_levels(prep, levels, hl, gx, gy, L)
-    return binning.bin_gaussians(prep, gx, gy, cap, tile_mask_fn=level_mask,
-                                 carry_geometry=True)
-
-
-bn = timeit(jax.jit(bin_fov), prep, hl, reps=5, label="clip+bin+cull+sort")
-print("pairs", int(bn.num_pairs), "overflow", int(bn.overflow), flush=True)
 
 colors_f = timeit(jax.jit(lambda m, r, d: fov.compute_fov_colors(
     m, r, d, cam.cam_center)), means, rest, shs_dcs, reps=5,
     label="fov colors")
 
 
-def gather_pack(bn, colors_f, opac4, hl):
-    gid = jnp.minimum(bn.pair_gauss, n - 1)
-    kt_safe = jnp.minimum(bn.pair_tile, num_tiles - 1)
-    l1 = levels.astype(jnp.int32)
-    l2 = jnp.minimum(l1 + 1, L - 1)
-    pl1 = l1[kt_safe]
-    pl2 = l2[kt_safe]
-    tab = jnp.concatenate([colors_f.reshape(n * L, 3),
-                           opac4.reshape(n * L, 1),
-                           jnp.broadcast_to(hl[:, None, None],
-                                            (n, L, 1)).reshape(n * L, 1)], 1)
-    r1 = tab[gid * L + pl1]
-    r2 = tab[gid * L + pl2]
-    cull = (r1[:, 4] + 1.0) < (levels[kt_safe] + 1.0)
-    geo = bn.pair_attrs
-    return pkf.pack_fov_pairs(geo[0:2].T, geo[2:5].T,
-                              r1[:, 3], r1[:, 0:3], r2[:, 3], r2[:, 0:3],
-                              cull)
+def bin_fov(prep, hl, colors_f, opac4):
+    prep = fov._clip_rects_to_levels(prep, levels, hl, gx, gy, L)
+    attr_table = jnp.concatenate(
+        [opac4, colors_f[:, :, 0], colors_f[:, :, 1], colors_f[:, :, 2],
+         hl[:, None]], axis=1)
+
+    def pair_fn(orig, tx, ty, tile, rows2):
+        lv = foveation.tile_levels_at(tx, ty, gaze, cam.width, cam.height,
+                                      0.05)
+        hl_row = rows2[:, 4 * L]
+        keep = lv < hl_row + 1.0
+        p1 = lv.astype(jnp.int32)
+        p2 = jnp.minimum(p1 + 1, L - 1)
+
+        def sel(pk):
+            out = []
+            for c in range(4):
+                v = rows2[:, c * L]
+                for k in range(1, L):
+                    v = jnp.where(pk == k, rows2[:, c * L + k], v)
+                out.append(v)
+            return out
+
+        o1, r1, g1, b1 = sel(p1)
+        o2, r2, g2, b2 = sel(p2)
+        cull = ((hl_row + 1.0) < (lv + 1.0)).astype(jnp.float32)
+        return keep, [o1, r1, g1, b1, o2, r2, g2, b2, cull]
+
+    return binning.bin_gaussians(prep, gx, gy, cap, carry_geometry=True,
+                                 attr_table=attr_table, pair_fn=pair_fn)
 
 
-packed = timeit(jax.jit(gather_pack), bn, colors_f, opac4, hl, reps=5,
-                label="lvl-gather+pack")
+FUSED = "--fused" in sys.argv
+
+if FUSED:
+    def bin_fused(prep, hl, colors_f, opac4):
+        prep = fov._clip_rects_to_levels(prep, levels, hl, gx, gy, L)
+        return fov._bin_fov_fused(prep, opac4, colors_f, hl, gaze, 0.05,
+                                  gx, gy, cap, cam, fov.FoveationConfig(),
+                                  False)
+
+    fus = timeit(jax.jit(bin_fused), prep, hl, colors_f, opac4, reps=5,
+                 label="clip+fused-expand+sort")
+    packed, seg_start, num_pairs, overflow, cap2 = fus
+    print("pairs", int(num_pairs), "overflow", int(overflow), "cap2", cap2,
+          flush=True)
+    bn_seg = (seg_start[:-1], seg_start[1:])
+else:
+    bn = timeit(jax.jit(bin_fov), prep, hl, colors_f, opac4, reps=5,
+                label="clip+bin+derive+sort")
+    print("pairs", int(bn.num_pairs), "overflow", int(bn.overflow),
+          flush=True)
+
+    def pack(bn):
+        return jnp.concatenate(
+            [bn.pair_attrs, jnp.zeros((2, cap), jnp.float32)], axis=0)
+
+    packed = timeit(jax.jit(pack), bn, reps=5, label="pack")
+    bn_seg = (bn.seg_start[:-1], bn.seg_start[1:])
 
 act = jnp.zeros((num_tiles, 256, 4), jnp.float32).at[:, :, 0].set(1.0)
 kern = jax.jit(lambda p, s, e, a: pkf.blend_fov_pallas(
     p, s, e, a, gx, gy, chunk, -4.5, False))
-timeit(kern, packed, bn.seg_start[:-1], bn.seg_start[1:], act, reps=10,
+timeit(kern, packed, bn_seg[0], bn_seg[1], act, reps=10,
        label="fov kernel")
 
 # End-to-end for cross-checking against the stage sum.
@@ -109,4 +131,4 @@ e2e = jax.jit(lambda m, s, q, o4, sd, re, h: fov.rasterize_fov(
     m, s, q, o4, sd, re, h, cam, gaze=gaze, alpha=0.05, blending=True,
     config=cfg)["render"])
 timeit(e2e, means, scales, quats, opac4, shs_dcs, rest, hl, reps=10,
-       label="end-to-end")
+      label="end-to-end")
