@@ -39,12 +39,25 @@ def make_fov_render(params, composed, config, fov_cfg=None, alpha=0.05,
         opac = jnp.asarray(composed.opacities)
         dcs = jnp.asarray(composed.shs_dcs)
 
-        def render(camera, gaze):
-            return fov.rasterize_fov(
+        if config.backend == "pallas" and config.pallas_fused_expand:
+            # SoA fast path; the live mask folds into highest_levels
+            # (hl = -1 => level < hl+1 never holds => fully culled).
+            model = fov.pack_fov_model(
                 p.xyz, p.get_scaling(), p.get_rotation(), opac, dcs,
-                p.features_rest, hl, camera, gaze=gaze, alpha=alpha,
-                blending=blending, config=config, fov_cfg=fov_cfg,
-                live_mask=live)["render"]
+                p.features_rest, jnp.where(live, hl, -1.0))
+
+            def render(camera, gaze):
+                return fov.rasterize_fov_soa(
+                    model, camera, gaze=gaze, alpha=alpha,
+                    blending=blending, config=config,
+                    fov_cfg=fov_cfg)["render"]
+        else:
+            def render(camera, gaze):
+                return fov.rasterize_fov(
+                    p.xyz, p.get_scaling(), p.get_rotation(), opac, dcs,
+                    p.features_rest, hl, camera, gaze=gaze, alpha=alpha,
+                    blending=blending, config=config, fov_cfg=fov_cfg,
+                    live_mask=live)["render"]
     else:  # naive SM-FR: shared model, per-level arrays broadcast
         def render(camera, gaze):
             return fov.rasterize_fov(
@@ -67,18 +80,22 @@ def fps_benchmark(render_fn, cameras, gazes=GAZES, warmups: int = 10,
                   reps: int = 5, log=print) -> dict:
     """render_fn(camera, gaze (2,) f32) -> image. Returns per-gaze FPS means
     + overall average (the reference's .txt layout)."""
+    def force(x):
+        # A host read per rep: block_until_ready does not serialize under
+        # the remote-TPU backend (memory: timing pitfall).
+        return float(np.asarray(jax.device_get(x.ravel()[0])))
+
     per_gaze = []
     for gz in gazes:
         gaze = jnp.asarray(gz, jnp.float32)
-        jax.block_until_ready(render_fn(cameras[0], gaze))
+        force(render_fn(cameras[0], gaze))
         for _ in range(warmups):
-            jax.block_until_ready(render_fn(cameras[0], gaze))
+            force(render_fn(cameras[0], gaze))
         times = []
         for cam in cameras:
             t0 = time.perf_counter()
             for _ in range(reps):
-                out = render_fn(cam, gaze)
-            jax.block_until_ready(out)
+                force(render_fn(cam, gaze))
             times.append((time.perf_counter() - t0) / reps)
         fps = 1.0 / float(np.mean(times))
         per_gaze.append(fps)

@@ -218,6 +218,64 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
                   pair_attrs=pair_attrs)
 
 
+def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
+                  pair_capacity: int, interpret: bool = False):
+    """Single-level fused-Pallas binning (ops/pallas/expand_fov._ps1_kernel):
+    ONE depth-order row gather of a 20-col table, pair expansion + OBB cull
+    in-kernel, one stable tile sort carrying the finished blend-kernel SoA.
+
+    t1cols: 19 (N,) f32 columns [rx0, ry0, rw, tnum, mx, my, v1x, v1y, v2x,
+    v2y, len1, len2, ca, cb, cc, op, r, g, b].
+
+    Returns (packed (ROW=16, CAP2) f32 sorted SoA rows
+    [mx,my,ca,cb,cc,op,r,g,b,...pad], seg_start (T+1,), num_pairs, overflow,
+    CAP2)."""
+    from fovsplat.ops.pallas import expand_fov as pex
+
+    n = depth.shape[0]
+    num_tiles = grid_x * grid_y
+    chunk, kbatch = 512, 8
+    cap2 = ((pair_capacity + chunk * kbatch - 1) // (chunk * kbatch)) \
+        * (chunk * kbatch)
+
+    sort_key = jnp.where(valid, depth, jnp.inf)
+    depth_order = jnp.argsort(sort_key)
+
+    t1 = jnp.stack(t1cols + [jnp.zeros(n, jnp.float32)], axis=1)  # (N, 20)
+    t1d = t1[depth_order]
+    tnum = t1d[:, 3]
+    cum_incl = jnp.cumsum(tnum)
+    total_f = cum_incl[-1]
+    cum_excl = cum_incl - tnum
+    t1d = t1d.at[:, 3].set(cum_excl)
+    total = jnp.minimum(total_f, cap2).astype(jnp.int32)
+    overflow = jnp.maximum(total_f.astype(jnp.int32) - cap2, 0)
+
+    wsize = chunk + pex.WPAD
+    n_pad = max(((n + 127) // 128) * 128, wsize)
+    dtable = jnp.pad(t1d.T, ((0, 0), (0, n_pad - n)))   # (20, N_pad)
+
+    ce_i = cum_excl.astype(jnp.int32)
+    marks = jnp.zeros(cap2, jnp.int32).at[ce_i[1:]].add(
+        jnp.ones((), jnp.int32), mode='drop')
+    g = jnp.minimum(jnp.cumsum(marks), n - 1).astype(jnp.int32)
+    gstarts = g.reshape(-1, chunk)[:, 0]
+
+    key, attrs = pex.expand_ps1_pallas(
+        dtable, g, gstarts, total, chunk=chunk, batch=kbatch,
+        grid_x=grid_x, grid_y=grid_y, interpret=interpret)
+
+    res = jax.lax.sort((key, *(attrs[i] for i in range(attrs.shape[0]))),
+                       num_keys=1, is_stable=True)
+    packed = jnp.concatenate(
+        [jnp.stack(res[1:], axis=0),
+         jnp.zeros((7, cap2), jnp.float32)], axis=0)    # (16, CAP2)
+    seg_start = jnp.searchsorted(
+        res[0], jnp.arange(num_tiles + 1, dtype=jnp.int32),
+        side='left').astype(jnp.int32)
+    return packed, seg_start, seg_start[-1], overflow, cap2
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class AlignedBinned:

@@ -84,45 +84,35 @@ def compute_fov_colors(means3d, shs_rest, shs_dcs, cam_center,
     return jnp.maximum(sh.SH_C0 * shs_dcs + rest[:, None, :], 0.0)
 
 
-def _bin_fov_fused(prep, opacities, fov_colors, hl, gaze, alpha, gx, gy,
+def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
                    cap, camera, fov_cfg, interpret):
     """Fused-Pallas foveated binning: expansion + OBB + level cull + per-pair
     level selection in one kernel (ops/pallas/expand_fov), then ONE stable
     tile sort whose payloads are the finished kernel SoA rows.
 
+    t1cols: 16 (N,) f32 columns [rx0, ry0, rw, tnum, mx, my, v1x, v1y, v2x,
+    v2y, len1, len2, ca, cb, cc, hl]; t2cols: 4L (N,) columns
+    [op_0..op_L-1, r_*, g_*, b_*].
+
     Returns (packed (16, CAP2) f32 sorted SoA, seg_start (T+1,), num_pairs,
     overflow, CAP2) — CAP2 is cap rounded up to the kernel chunking."""
     from fovsplat.ops.pallas import expand_fov as pex
 
-    n = prep.depth.shape[0]
+    n = depth.shape[0]
     num_tiles = gx * gy
     L = fov_cfg.fov_num
     chunk, kbatch = 512, 8
     cap2 = ((cap + chunk * kbatch - 1) // (chunk * kbatch)) * (chunk * kbatch)
 
     # Depth presort (invalid Gaussians pushed to the back).
-    sort_key = jnp.where(prep.valid, prep.depth, jnp.inf)
+    sort_key = jnp.where(valid, depth, jnp.inf)
     depth_order = jnp.argsort(sort_key)
 
     # Two (N, <=17)-column tables (one would be 32 cols = past the ~96-byte
     # row-gather cost cliff); gathered into depth order, then transposed to
     # the kernel's attribute-major layout.
-    t1 = jnp.stack([
-        prep.rect_min[:, 0].astype(jnp.float32),
-        prep.rect_min[:, 1].astype(jnp.float32),
-        jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0],
-                    1).astype(jnp.float32),
-        prep.tiles_touched.astype(jnp.float32),   # -> cum_excl after cumsum
-        prep.mean2d[:, 0], prep.mean2d[:, 1],
-        prep.eigen_vec[:, 0, 0], prep.eigen_vec[:, 0, 1],
-        prep.eigen_vec[:, 1, 0], prep.eigen_vec[:, 1, 1],
-        prep.eigen_len[:, 0], prep.eigen_len[:, 1],
-        prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
-        hl,
-    ], axis=1)                                        # (N, 16)
-    t2 = jnp.concatenate(
-        [opacities, fov_colors[:, :, 0], fov_colors[:, :, 1],
-         fov_colors[:, :, 2]], axis=1)                # (N, 4L) = (N, 16)
+    t1 = jnp.stack(t1cols, axis=1)                    # (N, 16)
+    t2 = jnp.stack(t2cols, axis=1)                    # (N, 4L) = (N, 16)
 
     t1d = t1[depth_order]
     t2d = t2[depth_order]
@@ -322,7 +312,22 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
 
     fused = None
     if config.backend == "pallas" and config.pallas_fused_expand:
-        fused = _bin_fov_fused(prep, opacities, fov_colors, hl, gaze,
+        t1cols = [
+            prep.rect_min[:, 0].astype(jnp.float32),
+            prep.rect_min[:, 1].astype(jnp.float32),
+            jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0],
+                        1).astype(jnp.float32),
+            prep.tiles_touched.astype(jnp.float32),
+            prep.mean2d[:, 0], prep.mean2d[:, 1],
+            prep.eigen_vec[:, 0, 0], prep.eigen_vec[:, 0, 1],
+            prep.eigen_vec[:, 1, 0], prep.eigen_vec[:, 1, 1],
+            prep.eigen_len[:, 0], prep.eigen_len[:, 1],
+            prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+            hl,
+        ]
+        t2cols = ([opacities[:, l] for l in range(L)]
+                  + [fov_colors[:, l, c] for c in range(3) for l in range(L)])
+        fused = _bin_fov_fused(t1cols, t2cols, prep.valid, prep.depth, gaze,
                                alpha, gx, gy, cap, camera, fov_cfg,
                                config.pallas_interpret)
         bn = None
@@ -443,3 +448,161 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
             "radii": jnp.where(prep.valid, prep.radius, 0),
             "tile_levels": levels, "tile_blend": tile_blend,
             "binned": bn}
+
+
+# --------------------------------------------------------- SoA fast path
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FovModelSoA:
+    """Foveated model packed once for the render loop: every per-frame
+    consumer reads full-lane (…, N)-last arrays, so no frame pays the
+    (N, K, 3)->(3, K, N) transposes or minor-dim-layout loads (measured
+    ~70 ms/frame at 1.16M Gaussians on a v5e)."""
+    xyz: Any        # (N, 3)
+    scales: Any     # (N, 3) activated
+    rotations: Any  # (N, 4) unit quats
+    rest_t: Any     # (3, K, N) SH coeffs, zero DC at index 0
+    dc_t: Any       # (3, L, N) per-level DC
+    opac_t: Any     # (L, N) activated per-level opacity
+    hl: Any         # (N,) f32 highest levels
+
+
+def pack_fov_model(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
+                   highest_levels) -> FovModelSoA:
+    """One-time layout conversion (the reference loads its composed model
+    once per FPS run too, render_compose_gazes_fps.py:81-90)."""
+    n = means3d.shape[0]
+    rest_t = jnp.concatenate(
+        [jnp.zeros((3, 1, n), jnp.float32),
+         jnp.asarray(shs_rest, jnp.float32).transpose(2, 1, 0)], axis=1)
+    return FovModelSoA(
+        xyz=jnp.asarray(means3d, jnp.float32),
+        scales=jnp.asarray(scales, jnp.float32),
+        rotations=jnp.asarray(rotations, jnp.float32),
+        rest_t=rest_t,
+        dc_t=jnp.asarray(shs_dcs, jnp.float32).transpose(2, 1, 0),
+        opac_t=jnp.asarray(opacities, jnp.float32).T,
+        hl=jnp.asarray(highest_levels, jnp.float32))
+
+
+def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
+                      blending: bool = True, bg_color=None,
+                      sh_degree: int = 3,
+                      config: RasterizeConfig = RasterizeConfig(),
+                      fov_cfg: FoveationConfig = FoveationConfig()):
+    """Foveated render over a pre-packed SoA model (pallas backend only).
+
+    Same output as rasterize_fov (same kernels, same binning); the
+    difference is purely input layout: all per-Gaussian math runs on (N,)
+    columns end to end."""
+    gx, gy = _grid(camera)
+    num_tiles = gx * gy
+    cap = config.padded_capacity()
+    L = fov_cfg.fov_num
+    hl = model.hl
+
+    pc = projection.preprocess_cols(model.xyz, model.scales, model.rotations,
+                                    camera,
+                                    scale_modifier=config.scale_modifier)
+
+    levels = foveation.compute_tile_levels(gaze, camera.width, camera.height,
+                                           alpha, fov_cfg)
+    grad_x, grad_y, _, tile_blend = foveation.compute_tile_level_infos(
+        levels, camera.width, camera.height, fov_cfg)
+    if not blending:
+        tile_blend = jnp.zeros_like(tile_blend)
+
+    # Level-rect clip on columns (see _clip_rects_to_levels): bbox per level
+    # selected by where-chain over L scalars — no (N, 4) gather.
+    lv2d = levels.reshape(gy, gx)
+    txs = jax.lax.broadcasted_iota(jnp.int32, (gy, gx), 1)
+    tys = jax.lax.broadcasted_iota(jnp.int32, (gy, gx), 0)
+    big = jnp.int32(1 << 20)
+    hli = jnp.clip(hl.astype(jnp.int32), 0, L - 1)
+    bx0 = by0 = None
+    for h in range(L):
+        ok = lv2d < (h + 1.0)
+        x0 = jnp.min(jnp.where(ok, txs, big))
+        y0 = jnp.min(jnp.where(ok, tys, big))
+        x1 = jnp.max(jnp.where(ok, txs + 1, 0))
+        y1 = jnp.max(jnp.where(ok, tys + 1, 0))
+        if h == 0:
+            bx0, by0, bx1, by1 = (jnp.full_like(hli, x0),
+                                  jnp.full_like(hli, y0),
+                                  jnp.full_like(hli, x1),
+                                  jnp.full_like(hli, y1))
+        else:
+            m = hli == h
+            bx0 = jnp.where(m, x0, bx0)
+            by0 = jnp.where(m, y0, by0)
+            bx1 = jnp.where(m, x1, bx1)
+            by1 = jnp.where(m, y1, by1)
+    rx0 = jnp.maximum(pc.rx0, bx0)
+    ry0 = jnp.maximum(pc.ry0, by0)
+    rx1 = jnp.minimum(pc.rx1, bx1)
+    ry1 = jnp.minimum(pc.ry1, by1)
+    tnum = (jnp.maximum(rx1 - rx0, 0) * jnp.maximum(ry1 - ry0, 0))
+    # hl < 0 encodes "dead" rows (eval/fps folds the live mask in this way).
+    valid = pc.valid & (tnum > 0) & (hl >= 0.0)
+    tnum = jnp.where(valid, tnum, 0)
+    rx1 = jnp.maximum(rx1, rx0)
+
+    # Per-level colors as columns: shared SH-rest term + per-level DC.
+    dx_ = model.xyz[:, 0] - camera.cam_center[0]
+    dy_ = model.xyz[:, 1] - camera.cam_center[1]
+    dz_ = model.xyz[:, 2] - camera.cam_center[2]
+    inv = jax.lax.rsqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
+    rest_c = sh._eval_sh_nlast(sh_degree, model.rest_t, dx_ * inv, dy_ * inv,
+                               dz_ * inv) + 0.5          # (3, N)
+
+    t1cols = [
+        rx0.astype(jnp.float32), ry0.astype(jnp.float32),
+        jnp.maximum(rx1 - rx0, 1).astype(jnp.float32),
+        tnum.astype(jnp.float32),
+        pc.mx, pc.my, pc.v1x, pc.v1y, pc.v2x, pc.v2y, pc.len1, pc.len2,
+        pc.ca, pc.cb, pc.cc, hl,
+    ]
+    t2cols = ([model.opac_t[l] for l in range(L)]
+              + [jnp.maximum(sh.SH_C0 * model.dc_t[c, l] + rest_c[c], 0.0)
+                 for c in range(3) for l in range(L)])
+
+    packed, seg_start, num_pairs, overflow, _cap2 = _bin_fov_fused(
+        t1cols, t2cols, valid, pc.depth, gaze, alpha, gx, gy, cap, camera,
+        fov_cfg, config.pallas_interpret)
+
+    # Per-tile activity + blend + smoothstep merge (same as rasterize_fov).
+    l1_i = levels.astype(jnp.int32)
+    lx = jnp.arange(PIX, dtype=jnp.float32) % TILE
+    ly = jnp.floor(jnp.arange(PIX, dtype=jnp.float32) / TILE)
+    est = (levels[:, None]
+           + (lx[None, :] * grad_x[:, None] + ly[None, :] * grad_y[:, None])
+           / TILE)
+    l1_active = jnp.where(tile_blend[:, None],
+                          est <= (l1_i + 1)[:, None].astype(jnp.float32),
+                          jnp.ones((num_tiles, PIX), bool))
+    l2_active = jnp.broadcast_to(tile_blend[:, None], (num_tiles, PIX))
+
+    from fovsplat.ops.pallas import blend_fov as pkf
+    tile_act = jnp.stack([
+        l1_active.astype(jnp.float32), l2_active.astype(jnp.float32),
+        jnp.zeros_like(l1_active, jnp.float32),
+        jnp.zeros_like(l1_active, jnp.float32)], axis=-1)
+    c1, t1, c2, t2 = pkf.blend_fov_pallas(
+        packed, seg_start[:-1], seg_start[1:], tile_act, gx, gy,
+        config.pallas_chunk, config.power_cutoff, config.pallas_interpret)
+
+    bg = (jnp.zeros(3, jnp.float32) if bg_color is None
+          else jnp.asarray(bg_color, jnp.float32))
+    c1 = c1 + t1[..., None] * bg
+    c2 = c2 + t2[..., None] * bg
+    x = jnp.abs(est - (l1_i[:, None].astype(jnp.float32) + fov_cfg.start_blend))
+    x = jnp.clip(x / fov_cfg.blend_width, 0.0, 1.0)
+    blend_T = 3 * x * x - 2 * x * x * x
+    l1_w = 1.0 - blend_T
+    merged = c1 * l1_w[..., None] + c2 * (1.0 - l1_w[..., None])
+    tile_color = jnp.where(tile_blend[:, None, None], merged, c1)
+
+    image = tiles_to_image(tile_color, gx, gy, camera.width, camera.height)
+    return {"render": image, "tile_levels": levels, "tile_blend": tile_blend,
+            "num_pairs": num_pairs, "overflow": overflow}

@@ -228,6 +228,159 @@ def _kernel(ints_ref, dtable_hbm, g_hbm, consts_ref, out_hbm,
         out_dma((batch - 2) % 2, batch - 2).wait()
 
 
+# ------------------------------------------------------------- plain path
+
+PROWS = 20           # ps1 dtable rows
+POROWS = 16          # ps1 output rows (key + 9 attrs + pad)
+
+
+def _ps1_kernel(ints_ref, dtable_hbm, g_hbm, out_hbm,
+                win, gbuf, obuf, insem, gsem, outsem,
+                *, chunk: int, wsize: int, batch: int, grid_x: int,
+                num_tiles: int, n_pad: int):
+    """Plain (single-level) pair expansion + OBB cull + key emission.
+
+    dtable rows (PROWS=20): [rx0, ry0, rw, cum_excl, mx, my, v1x, v1y, v2x,
+    v2y, len1, len2, ca, cb, cc, op, r, g, b, pad].
+    Output rows (POROWS=16): [keybits, mx, my, ca, cb, cc, op, r, g, b,
+    pad x6] — rows 1..9 are exactly the blend_fwd ROW prefix."""
+    cb_ = pl.program_id(0)
+    total = ints_ref[0]
+
+    def win_dma(slot, k):
+        c = cb_ * batch + k
+        w0 = pl.multiple_of(jnp.minimum((ints_ref[1 + c] // 128) * 128,
+                                        n_pad - wsize), 128)
+        return pltpu.make_async_copy(dtable_hbm.at[:, pl.ds(w0, wsize)],
+                                     win.at[slot], insem.at[slot])
+
+    def g_dma(slot, k):
+        c = cb_ * batch + k
+        src = pl.multiple_of(c * chunk, 128)
+        return pltpu.make_async_copy(g_hbm.at[:, pl.ds(src, chunk)],
+                                     gbuf.at[slot], gsem.at[slot])
+
+    def out_dma(slot, k):
+        c = cb_ * batch + k
+        src = pl.multiple_of(c * chunk, 128)
+        return pltpu.make_async_copy(obuf.at[slot],
+                                     out_hbm.at[:, pl.ds(src, chunk)],
+                                     outsem.at[slot])
+
+    win_dma(0, 0).start()
+    g_dma(0, 0).start()
+
+    def body(k, carry):
+        slot = k % 2
+        win_dma(slot, k).wait()
+        g_dma(slot, k).wait()
+
+        @pl.when(k + 1 < batch)
+        def _():
+            win_dma(1 - slot, k + 1).start()
+            g_dma(1 - slot, k + 1).start()
+
+        c = cb_ * batch + k
+        w0 = jnp.minimum((ints_ref[1 + c] // 128) * 128, n_pad - wsize)
+        rel = jnp.clip(gbuf[slot] - w0, 0, wsize - 1)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (wsize, chunk), 0)
+                  == rel).astype(jnp.float32)
+        ex = jax.lax.dot_general(
+            win[slot], onehot, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)          # (PROWS, chunk)
+
+        p = (c * chunk
+             + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1))
+        in_range = p < total
+
+        rw = jnp.maximum(ex[2:3, :], 1.0)
+        local = p.astype(jnp.float32) - ex[3:4, :]
+        ty_off = jnp.floor((local + 0.5) / rw)
+        tx = ex[0:1, :] + (local - ty_off * rw)
+        ty = ex[1:2, :] + ty_off
+        tile = (ty * grid_x + tx).astype(jnp.int32)
+
+        half = TILE / 2.0
+        cx = ex[4:5, :] - (tx * TILE + half)
+        cy = ex[5:6, :] - (ty * TILE + half)
+        v1x, v1y = ex[6:7, :], ex[7:8, :]
+        v2x, v2y = ex[8:9, :], ex[9:10, :]
+        l1e, l2e = ex[10:11, :], ex[11:12, :]
+        ext_x = jnp.abs(l1e * v1x) + jnp.abs(l2e * v2x)
+        ext_y = jnp.abs(l1e * v1y) + jnp.abs(l2e * v2y)
+        b1 = -(cx * v1x + cy * v1y)
+        b2 = -(cx * v2x + cy * v2y)
+        e1 = half * (jnp.abs(v1x) + jnp.abs(v1y))
+        e2 = half * (jnp.abs(v2x) + jnp.abs(v2y))
+        obb = ((jnp.abs(cx) <= half + ext_x) & (jnp.abs(cy) <= half + ext_y)
+               & (jnp.abs(b1) <= l1e + e1) & (jnp.abs(b2) <= l2e + e2))
+        obb = obb | (l1e <= 0.0)
+
+        keep = in_range & obb
+        key = jnp.where(keep, tile, num_tiles)
+
+        @pl.when(k >= 2)
+        def _():
+            out_dma(slot, k - 2).wait()
+
+        obuf[slot] = jnp.concatenate(
+            [pltpu.bitcast(key, jnp.float32), ex[4:6, :], ex[12:19, :],
+             jnp.zeros((POROWS - 10, chunk), jnp.float32)], axis=0)
+        out_dma(slot, k).start()
+        return carry
+
+    jax.lax.fori_loop(0, batch, body, 0)
+    out_dma((batch - 1) % 2, batch - 1).wait()
+
+    @pl.when(batch >= 2)
+    def _():
+        out_dma((batch - 2) % 2, batch - 2).wait()
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "chunk", "batch", "grid_x", "grid_y", "interpret"))
+def expand_ps1_pallas(dtable, g, gstarts, total,
+                      *, chunk=512, batch=8, grid_x, grid_y,
+                      interpret=False):
+    """dtable (PROWS, N_pad) f32; g (CAP,) i32; gstarts (CAP//chunk,) i32;
+    total () i32. Returns (key (CAP,) i32, attrs (9, CAP) f32
+    [mx, my, ca, cb, cc, op, r, g, b])."""
+    n_pad = dtable.shape[1]
+    cap = g.shape[0]
+    assert cap % (chunk * batch) == 0, (cap, chunk, batch)
+    num_chunks = cap // chunk
+    wsize = chunk + WPAD
+    assert n_pad >= wsize, (n_pad, wsize)
+
+    ints = jnp.concatenate([total[None].astype(jnp.int32),
+                            gstarts.astype(jnp.int32)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks // batch,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.VMEM((2, PROWS, wsize), jnp.float32),
+                        pltpu.VMEM((2, 1, chunk), jnp.int32),
+                        pltpu.VMEM((2, POROWS, chunk), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )
+    kernel = functools.partial(
+        _ps1_kernel, chunk=chunk, wsize=wsize, batch=batch, grid_x=grid_x,
+        num_tiles=grid_x * grid_y, n_pad=n_pad)
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((POROWS, cap), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ints, dtable, g.reshape(1, cap))[0]
+    key = jax.lax.bitcast_convert_type(out[0], jnp.int32)
+    return key, out[1:10]
+
+
 @functools.partial(jax.jit, static_argnames=(
     "chunk", "batch", "grid_x", "grid_y", "width", "height", "real_w",
     "real_h", "dist", "fov_num", "sqrt_max_ps", "interpret"))

@@ -149,6 +149,26 @@ def ndc2pix(v: jnp.ndarray, size) -> jnp.ndarray:
     return ((v + 1.0) * size - 1.0) * 0.5
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PreprocessedCols:
+    """preprocess() as flat (N,) columns — full-lane layout end to end.
+
+    The stacked ``Preprocessed`` arrays ((N,2)/(N,3)/(N,2,2)) put 2-4
+    elements in a 128-lane vector register; pipelines that consume columns
+    (the fused foveated path builds a (32, N) SoA table anyway) skip the
+    stack/unstack entirely."""
+    depth: Any
+    valid: Any
+    mx: Any; my: Any                      # pixel-space center
+    ca: Any; cb: Any; cc: Any             # conic
+    v1x: Any; v1y: Any; v2x: Any; v2y: Any
+    len1: Any; len2: Any
+    rx0: Any; ry0: Any; rx1: Any; ry1: Any   # int32 tile rect
+    tnum: Any                             # int32
+    radius: Any                           # f32 (pre-valid-mask)
+
+
 def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
                camera, scale_modifier: float = 1.0,
                cov3d_precomp: jnp.ndarray | None = None,
@@ -159,6 +179,29 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray
     keeps parameters at a fixed capacity and prunes via this mask so jitted
     steps never change shape (SURVEY.md §7 "optimizer-state surgery").
     """
+    c = preprocess_cols(means3d, scales, rotations, camera,
+                        scale_modifier=scale_modifier,
+                        cov3d_precomp=cov3d_precomp, live_mask=live_mask)
+    return Preprocessed(
+        mean2d=jnp.stack([c.mx, c.my], -1),
+        depth=c.depth,
+        conic=jnp.stack([c.ca, c.cb, c.cc], -1),
+        radius=jnp.where(c.valid, c.radius, 0.0).astype(jnp.int32),
+        valid=c.valid,
+        eigen_len=jnp.stack([c.len1, c.len2], -1),
+        eigen_vec=jnp.stack([jnp.stack([c.v1x, c.v1y], -1),
+                             jnp.stack([c.v2x, c.v2y], -1)], -2),
+        rect_min=jnp.stack([c.rx0, c.ry0], -1),
+        rect_max=jnp.stack([c.rx1, c.ry1], -1),
+        tiles_touched=c.tnum,
+    )
+
+
+def preprocess_cols(means3d: jnp.ndarray, scales: jnp.ndarray,
+                    rotations: jnp.ndarray, camera,
+                    scale_modifier: float = 1.0,
+                    cov3d_precomp: jnp.ndarray | None = None,
+                    live_mask: jnp.ndarray | None = None) -> PreprocessedCols:
     W, H = camera.width, camera.height
     grid_x = (W + TILE - 1) // TILE
     grid_y = (H + TILE - 1) // TILE
@@ -188,7 +231,6 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray
     det_ok = det != 0.0
     safe_det = jnp.where(det_ok, det, 1.0)
     det_inv = 1.0 / safe_det
-    conic = jnp.stack([cyy * det_inv, -cxy * det_inv, cxx * det_inv], axis=-1)
 
     mid = 0.5 * (cxx + cyy)
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - safe_det))
@@ -196,13 +238,14 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray
     lambda2 = mid - disc
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, lambda2)))
 
-    mean2d = jnp.stack([ndc2pix(p_proj[..., 0], W), ndc2pix(p_proj[..., 1], H)], -1)
+    px = ndc2pix(p_proj[..., 0], W)
+    py = ndc2pix(p_proj[..., 1], H)
 
     # Tile rect (getRect, auxiliary.h): min inclusive, max exclusive.
-    rx0 = jnp.clip(((mean2d[..., 0] - radius_f) / TILE).astype(jnp.int32), 0, grid_x)
-    ry0 = jnp.clip(((mean2d[..., 1] - radius_f) / TILE).astype(jnp.int32), 0, grid_y)
-    rx1 = jnp.clip(((mean2d[..., 0] + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, grid_x)
-    ry1 = jnp.clip(((mean2d[..., 1] + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, grid_y)
+    rx0 = jnp.clip(((px - radius_f) / TILE).astype(jnp.int32), 0, grid_x)
+    ry0 = jnp.clip(((py - radius_f) / TILE).astype(jnp.int32), 0, grid_y)
+    rx1 = jnp.clip(((px + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, grid_x)
+    ry1 = jnp.clip(((py + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, grid_y)
     tiles_touched = (rx1 - rx0) * (ry1 - ry0)
 
     valid = in_front & det_ok & (tiles_touched > 0)
@@ -215,27 +258,15 @@ def preprocess(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray
     multi = tiles_touched > 1
     a1 = cxx - lambda1
     a2 = cxx - lambda2
-    v1 = jnp.stack([-cxy, a1], -1)
-    v2 = jnp.stack([-cxy, a2], -1)
-
-    def _norm(v):
-        n = jax.lax.rsqrt(jnp.maximum(jnp.sum(v * v, -1, keepdims=True), 1e-20))
-        return v * n
-
-    v1 = _norm(v1)
-    v2 = _norm(v2)
+    n1 = jax.lax.rsqrt(jnp.maximum(cxy * cxy + a1 * a1, 1e-20))
+    n2 = jax.lax.rsqrt(jnp.maximum(cxy * cxy + a2 * a2, 1e-20))
     len1 = jnp.where(multi, 3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)), 0.0)
     len2 = jnp.where(multi, 3.0 * jnp.sqrt(jnp.maximum(lambda2, 0.0)), 0.0)
 
-    return Preprocessed(
-        mean2d=mean2d,
-        depth=depth,
-        conic=conic,
-        radius=jnp.where(valid, radius_f, 0.0).astype(jnp.int32),
-        valid=valid,
-        eigen_len=jnp.stack([len1, len2], -1),
-        eigen_vec=jnp.stack([v1, v2], -2),
-        rect_min=jnp.stack([rx0, ry0], -1),
-        rect_max=jnp.stack([rx1, ry1], -1),
-        tiles_touched=tiles_touched,
-    )
+    return PreprocessedCols(
+        depth=depth, valid=valid, mx=px, my=py,
+        ca=cyy * det_inv, cb=-cxy * det_inv, cc=cxx * det_inv,
+        v1x=-cxy * n1, v1y=a1 * n1, v2x=-cxy * n2, v2y=a2 * n2,
+        len1=len1, len2=len2,
+        rx0=rx0, ry0=ry0, rx1=rx1, ry1=ry1,
+        tnum=tiles_touched, radius=radius_f)

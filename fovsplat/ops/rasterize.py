@@ -98,15 +98,43 @@ def rasterize(means3d, scales, rotations, opacities, camera,
     opacities = jnp.asarray(opacities)
 
     fwd_only = cfg.backend == "pallas" and cfg.pallas_fwd_only
-    bn = binning.bin_gaussians(
-        prep, gx, gy, cap, tile_mask_fn=tile_mask_fn, use_obb=cfg.use_obb,
-        carry_geometry=fwd_only,
-        gauss_attrs=jnp.stack([opacities, colors[:, 0], colors[:, 1],
-                               colors[:, 2]], axis=1) if fwd_only else None)
+    fused = fwd_only and cfg.pallas_fused_expand and tile_mask_fn is None \
+        and cfg.use_obb
+    if fused:
+        t1cols = [
+            prep.rect_min[:, 0].astype(jnp.float32),
+            prep.rect_min[:, 1].astype(jnp.float32),
+            jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0],
+                        1).astype(jnp.float32),
+            prep.tiles_touched.astype(jnp.float32),
+            prep.mean2d[:, 0], prep.mean2d[:, 1],
+            prep.eigen_vec[:, 0, 0], prep.eigen_vec[:, 0, 1],
+            prep.eigen_vec[:, 1, 0], prep.eigen_vec[:, 1, 1],
+            prep.eigen_len[:, 0], prep.eigen_len[:, 1],
+            prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+            opacities, colors[:, 0], colors[:, 1], colors[:, 2],
+        ]
+        packed, seg_start, num_pairs, overflow, _cap2 = binning.bin_fused_ps1(
+            t1cols, prep.valid, prep.depth, gx, gy, cap,
+            cfg.pallas_interpret)
+        bn = binning.Binned(pair_gauss=None, pair_tile=None,
+                            seg_start=seg_start, num_pairs=num_pairs,
+                            overflow=overflow, depth_order=None)
+    else:
+        bn = binning.bin_gaussians(
+            prep, gx, gy, cap, tile_mask_fn=tile_mask_fn,
+            use_obb=cfg.use_obb, carry_geometry=fwd_only,
+            gauss_attrs=jnp.stack([opacities, colors[:, 0], colors[:, 1],
+                                   colors[:, 2]], axis=1) if fwd_only
+            else None)
 
     if cfg.backend == "pallas":
         from fovsplat.ops.pallas import blend_fwd as pk
-        if cfg.pallas_fwd_only:
+        if fused:
+            tile_color, final_T, n_contrib = pk.blend_pallas_fwd_only(
+                packed, seg_start[:-1], seg_start[1:], gx, gy,
+                cfg.pallas_chunk, cfg.power_cutoff, cfg.pallas_interpret)
+        elif cfg.pallas_fwd_only:
             # Inference path: attributes were carried through the sort
             # (zero post-sort gathers); the kernel handles unaligned
             # segments by flooring DMA windows, so no alignment pass either.

@@ -138,3 +138,37 @@ def test_pallas_fov_matches_xla():
     out_p = jax.jit(lambda: run(cfg_p))()
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fov_soa_matches_plain():
+    """rasterize_fov_soa (packed SoA model) == rasterize_fov (same kernels,
+    different input layout)."""
+    from fovsplat.ops import foveated as fov
+    rng = np.random.default_rng(43)
+    n = 300
+    means, scales, quats, ops_, colors = synthetic_cloud(n=n, seed=43)
+    hl = rng.integers(0, 4, (n,)).astype(np.float32)
+    shs_dcs = rng.normal(0, 0.6, (n, 4, 3)).astype(np.float32)
+    opac4 = np.clip(ops_[:, None] + rng.normal(0, 0.1, (n, 4)),
+                    0.05, 0.95).astype(np.float32)
+    rest = rng.normal(0, 0.03, (n, 15, 3)).astype(np.float32)
+    cam = make_test_camera(width=96, height=64)
+    cfg = rasterize.RasterizeConfig(pair_capacity=1 << 13, chunk=256,
+                                    backend="pallas", pallas_chunk=128,
+                                    pallas_interpret=True)
+    gaze = jnp.array([0.45, 0.55], jnp.float32)
+    bg = jnp.array([0.1, 0.0, 0.2])
+
+    out_p = jax.jit(lambda: fov.rasterize_fov(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(opac4), jnp.asarray(shs_dcs), jnp.asarray(rest),
+        jnp.asarray(hl), cam, gaze=gaze, alpha=0.3, blending=True,
+        bg_color=bg, config=cfg)["render"])()
+
+    model = fov.pack_fov_model(means, scales, quats, opac4, shs_dcs, rest,
+                               hl)
+    out_s = jax.jit(lambda: fov.rasterize_fov_soa(
+        model, cam, gaze=gaze, alpha=0.3, blending=True, bg_color=bg,
+        config=cfg)["render"])()
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_p),
+                               rtol=1e-4, atol=1e-5)
