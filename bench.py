@@ -40,18 +40,18 @@ def build_render(args, cam, arrays, backend):
         if backend == "pallas":
             # Pack once outside the frame loop (the reference also loads its
             # composed model once per FPS run); per-frame math then runs on
-            # full-lane (..., N)-last layouts.
-            def build(m, s, q):
-                return fov.pack_fov_model(m, s, q, opac4, shs_dcs, rest, hl)
+            # full-lane (..., N)-last layouts. NOTE: all big arrays must be
+            # jit ARGUMENTS — closure captures inline them as HLO constants
+            # and blow the remote compile service's size limit (HTTP 413).
             packed = {}
-
+            build = jax.jit(fov.pack_fov_model)
             fn = jax.jit(lambda mdl: fov.rasterize_fov_soa(
                 mdl, cam, gaze=gaze, alpha=0.05, blending=True,
                 config=cfg)["render"])
 
             def render(m, s, q):
                 if "mdl" not in packed:
-                    packed["mdl"] = jax.jit(build)(m, s, q)
+                    packed["mdl"] = build(m, s, q, opac4, shs_dcs, rest, hl)
                 return fn(packed["mdl"])
             return render
 
@@ -83,7 +83,10 @@ def main():
                          "replaces the synthetic cloud when provided")
     args = ap.parse_args()
     if args.pair_capacity is None:
-        args.pair_capacity = 3 << 20 if args.mode == "fov" else 1 << 22
+        # fov: pnum-matched hl + level-rect clip -> ~1.5M surviving /
+        # ~2M candidate pairs at 1080p (scripts/count_fov_pairs.py);
+        # 2.5M leaves ~25% headroom (overflow counter reports any excess).
+        args.pair_capacity = 2_621_440 if args.mode == "fov" else 1 << 22
 
     import jax
     import jax.numpy as jnp

@@ -241,7 +241,8 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
     sort_key = jnp.where(valid, depth, jnp.inf)
     depth_order = jnp.argsort(sort_key)
 
-    t1 = jnp.stack(t1cols + [jnp.zeros(n, jnp.float32)], axis=1)  # (N, 20)
+    t1 = jnp.stack(t1cols + [jnp.zeros(n, jnp.float32)] * 5,
+                   axis=1)                                     # (N, 24)
     t1d = t1[depth_order]
     tnum = t1d[:, 3]
     cum_incl = jnp.cumsum(tnum)
@@ -252,17 +253,22 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
     overflow = jnp.maximum(total_f.astype(jnp.int32) - cap2, 0)
 
     wsize = chunk + pex.WPAD
-    n_pad = max(((n + 127) // 128) * 128, wsize)
+    n_pad = max(((n + 127) // 128) * 128, wsize + 1)
     dtable = jnp.pad(t1d.T, ((0, 0), (0, n_pad - n)))   # (20, N_pad)
 
-    ce_i = cum_excl.astype(jnp.int32)
-    marks = jnp.zeros(cap2, jnp.int32).at[ce_i[1:]].add(
-        jnp.ones((), jnp.int32), mode='drop')
-    g = jnp.minimum(jnp.cumsum(marks), n - 1).astype(jnp.int32)
-    gstarts = g.reshape(-1, chunk)[:, 0]
+    # Interval one-hot inputs (see expand_fov_pallas): exclusive cumsum
+    # with a sentinel at n and unreachable padding, plus per-chunk owners.
+    cum_pad = jnp.full((n_pad + 128,), jnp.float32(1 << 30))
+    cum_pad = cum_pad.at[:n].set(cum_excl.astype(jnp.float32))
+    cum_pad = cum_pad.at[n].set(total_f)
+    chunk_firsts = jnp.arange(0, cap2, chunk, dtype=jnp.float32)
+    gstarts = jnp.clip(
+        jnp.searchsorted(cum_excl, chunk_firsts, side='right').astype(
+            jnp.int32) - 1, 0, n - 1)
 
     key, attrs = pex.expand_ps1_pallas(
-        dtable, g, gstarts, total, chunk=chunk, batch=kbatch,
+        dtable, cum_pad[None, :], gstarts, total, cap=cap2,
+        chunk=chunk, batch=kbatch,
         grid_x=grid_x, grid_y=grid_y, interpret=interpret)
 
     res = jax.lax.sort((key, *(attrs[i] for i in range(attrs.shape[0]))),

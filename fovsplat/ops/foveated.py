@@ -125,16 +125,22 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
     overflow = jnp.maximum(total_f.astype(jnp.int32) - cap2, 0)
 
     wsize = chunk + pex.WPAD
-    n_pad = max(((n + 127) // 128) * 128, wsize)
+    n_pad = max(((n + 127) // 128) * 128, wsize + 1)
     dtable = jnp.concatenate([t1d, t2d], axis=1).T    # (32, N)
     dtable = jnp.pad(dtable, ((0, 0), (0, n_pad - n)))
 
-    # pair -> depth-rank map via boundary-scatter + cumsum.
-    ce_i = cum_excl.astype(jnp.int32)
-    marks = jnp.zeros(cap2, jnp.int32).at[ce_i[1:]].add(
-        jnp.ones((), jnp.int32), mode='drop')
-    g = jnp.minimum(jnp.cumsum(marks), n - 1).astype(jnp.int32)
-    gstarts = g.reshape(-1, chunk)[:, 0]
+    # The kernel builds its expansion one-hot from cum_excl intervals; the
+    # sentinel row n closes the last Gaussian's interval at `total` and the
+    # padding rows past it can never match.
+    cum_pad = jnp.full((n_pad + 128,), jnp.float32(1 << 30))
+    cum_pad = cum_pad.at[:n].set(cum_excl.astype(jnp.float32))
+    cum_pad = cum_pad.at[n].set(total_f)
+    # Per-chunk first owner: ~CAP/chunk queries only (searchsorted is fine
+    # at this size; it is per-PAIR searchsorted that is slow on TPU).
+    chunk_firsts = jnp.arange(0, cap2, chunk, dtype=jnp.float32)
+    gstarts = jnp.clip(
+        jnp.searchsorted(cum_excl, chunk_firsts, side='right').astype(
+            jnp.int32) - 1, 0, n - 1)
 
     gaze_dir = jnp.stack(foveation._ncd2dir(
         gaze[0], gaze[1], fov_cfg.real_image_width,
@@ -142,7 +148,8 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
         fov_cfg.real_viewing_distance))
 
     key, attrs = pex.expand_fov_pallas(
-        dtable, g, gstarts, total, gaze_dir, jnp.float32(alpha),
+        dtable, cum_pad[None, :], gstarts, total, gaze_dir,
+        jnp.float32(alpha), cap=cap2,
         chunk=chunk, batch=kbatch, grid_x=gx, grid_y=gy,
         width=camera.width, height=camera.height,
         real_w=fov_cfg.real_image_width,

@@ -96,8 +96,8 @@ def _fov_level(tx, ty, gdx, gdy, gdz, alpha, *, width, height, real_w,
     return jnp.minimum(lv, fov_num - 0.1)
 
 
-def _kernel(ints_ref, dtable_hbm, g_hbm, consts_ref, out_hbm,
-            win, gbuf, obuf, insem, gsem, outsem,
+def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm,
+            win, cbuf, obuf, insem, gsem, outsem,
             *, chunk: int, wsize: int, batch: int, grid_x: int,
             num_tiles: int, n_pad: int,
             width: int, height: int, real_w: float, real_h: float,
@@ -117,11 +117,12 @@ def _kernel(ints_ref, dtable_hbm, g_hbm, consts_ref, out_hbm,
         return pltpu.make_async_copy(dtable_hbm.at[:, pl.ds(w0, wsize)],
                                      win.at[slot], insem.at[slot])
 
-    def g_dma(slot, k):
+    def cum_dma(slot, k):
         c = cb_ * batch + k
-        src = pl.multiple_of(c * chunk, 128)
-        return pltpu.make_async_copy(g_hbm.at[:, pl.ds(src, chunk)],
-                                     gbuf.at[slot], gsem.at[slot])
+        w0 = pl.multiple_of(jnp.minimum((ints_ref[1 + c] // 128) * 128,
+                                        n_pad - wsize), 128)
+        return pltpu.make_async_copy(cum_hbm.at[:, pl.ds(w0, wsize + 128)],
+                                     cbuf.at[slot], gsem.at[slot])
 
     def out_dma(slot, k):
         c = cb_ * batch + k
@@ -131,26 +132,37 @@ def _kernel(ints_ref, dtable_hbm, g_hbm, consts_ref, out_hbm,
                                      outsem.at[slot])
 
     win_dma(0, 0).start()
-    g_dma(0, 0).start()
+    cum_dma(0, 0).start()
 
     def body(k, carry):
         slot = k % 2
         win_dma(slot, k).wait()
-        g_dma(slot, k).wait()
+        cum_dma(slot, k).wait()
 
         @pl.when(k + 1 < batch)
         def _():
             win_dma(1 - slot, k + 1).start()
-            g_dma(1 - slot, k + 1).start()
+            cum_dma(1 - slot, k + 1).start()
 
         c = cb_ * batch + k
-        w0 = jnp.minimum((ints_ref[1 + c] // 128) * 128, n_pad - wsize)
-        gv = gbuf[slot]                                  # (1, chunk) i32
-        rel = jnp.clip(gv - w0, 0, wsize - 1)            # (1, chunk)
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (wsize, chunk), 0)
-                  == rel).astype(jnp.float32)
+        # Interval one-hot straight from the exclusive-cumsum column:
+        # onehot[w, j] = (cum[w] <= p_j < cum[w+1]) — no pair->Gaussian
+        # index array (and no CAP-sized scatter+cumsum to build one).
+        # Empty rows (cum[w] == cum[w+1]) match nothing by construction.
+        p_row = (c * chunk
+                 + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+                 ).astype(jnp.float32)
+        p_col = (c * chunk
+                 + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+                 ).astype(jnp.float32)
+        cumv = cbuf[slot][0:1, :]                        # (1, wsize+128)
+        cum_lo = cumv[:, 0:wsize]
+        # next row's cum: rotate left one lane (positive-shift roll form).
+        cum_hi = pltpu.roll(cumv, wsize + 127, 1)[:, 0:wsize]
+        onehot_t = ((cum_lo <= p_col)
+                    & (p_col < cum_hi)).astype(jnp.float32)  # (chunk, wsize)
         ex = jax.lax.dot_general(
-            win[slot], onehot, (((1,), (0,)), ((), ())),
+            win[slot], onehot_t, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)          # (DROWS, chunk)
 
@@ -159,7 +171,7 @@ def _kernel(ints_ref, dtable_hbm, g_hbm, consts_ref, out_hbm,
         in_range = p < total
 
         rw = jnp.maximum(ex[2:3, :], 1.0)
-        local = p.astype(jnp.float32) - ex[3:4, :]
+        local = p_row - ex[3:4, :]
         ty_off = jnp.floor((local + 0.5) / rw)
         tx = ex[0:1, :] + (local - ty_off * rw)          # f32 tile coords
         ty = ex[1:2, :] + ty_off
@@ -230,18 +242,18 @@ def _kernel(ints_ref, dtable_hbm, g_hbm, consts_ref, out_hbm,
 
 # ------------------------------------------------------------- plain path
 
-PROWS = 20           # ps1 dtable rows
+PROWS = 24           # ps1 dtable rows (sublane-dim DMA slices must be 8-aligned)
 POROWS = 16          # ps1 output rows (key + 9 attrs + pad)
 
 
-def _ps1_kernel(ints_ref, dtable_hbm, g_hbm, out_hbm,
-                win, gbuf, obuf, insem, gsem, outsem,
+def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm,
+                win, cbuf, obuf, insem, gsem, outsem,
                 *, chunk: int, wsize: int, batch: int, grid_x: int,
                 num_tiles: int, n_pad: int):
     """Plain (single-level) pair expansion + OBB cull + key emission.
 
     dtable rows (PROWS=20): [rx0, ry0, rw, cum_excl, mx, my, v1x, v1y, v2x,
-    v2y, len1, len2, ca, cb, cc, op, r, g, b, pad].
+    v2y, len1, len2, ca, cb, cc, op, r, g, b, pad x5].
     Output rows (POROWS=16): [keybits, mx, my, ca, cb, cc, op, r, g, b,
     pad x6] — rows 1..9 are exactly the blend_fwd ROW prefix."""
     cb_ = pl.program_id(0)
@@ -254,11 +266,12 @@ def _ps1_kernel(ints_ref, dtable_hbm, g_hbm, out_hbm,
         return pltpu.make_async_copy(dtable_hbm.at[:, pl.ds(w0, wsize)],
                                      win.at[slot], insem.at[slot])
 
-    def g_dma(slot, k):
+    def cum_dma(slot, k):
         c = cb_ * batch + k
-        src = pl.multiple_of(c * chunk, 128)
-        return pltpu.make_async_copy(g_hbm.at[:, pl.ds(src, chunk)],
-                                     gbuf.at[slot], gsem.at[slot])
+        w0 = pl.multiple_of(jnp.minimum((ints_ref[1 + c] // 128) * 128,
+                                        n_pad - wsize), 128)
+        return pltpu.make_async_copy(cum_hbm.at[:, pl.ds(w0, wsize + 128)],
+                                     cbuf.at[slot], gsem.at[slot])
 
     def out_dma(slot, k):
         c = cb_ * batch + k
@@ -268,25 +281,33 @@ def _ps1_kernel(ints_ref, dtable_hbm, g_hbm, out_hbm,
                                      outsem.at[slot])
 
     win_dma(0, 0).start()
-    g_dma(0, 0).start()
+    cum_dma(0, 0).start()
 
     def body(k, carry):
         slot = k % 2
         win_dma(slot, k).wait()
-        g_dma(slot, k).wait()
+        cum_dma(slot, k).wait()
 
         @pl.when(k + 1 < batch)
         def _():
             win_dma(1 - slot, k + 1).start()
-            g_dma(1 - slot, k + 1).start()
+            cum_dma(1 - slot, k + 1).start()
 
         c = cb_ * batch + k
-        w0 = jnp.minimum((ints_ref[1 + c] // 128) * 128, n_pad - wsize)
-        rel = jnp.clip(gbuf[slot] - w0, 0, wsize - 1)
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (wsize, chunk), 0)
-                  == rel).astype(jnp.float32)
+        p_row = (c * chunk
+                 + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+                 ).astype(jnp.float32)
+        p_col = (c * chunk
+                 + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+                 ).astype(jnp.float32)
+        cumv = cbuf[slot][0:1, :]                        # (1, wsize+128)
+        cum_lo = cumv[:, 0:wsize]
+        # next row's cum: rotate left one lane (positive-shift roll form).
+        cum_hi = pltpu.roll(cumv, wsize + 127, 1)[:, 0:wsize]
+        onehot_t = ((cum_lo <= p_col)
+                    & (p_col < cum_hi)).astype(jnp.float32)  # (chunk, wsize)
         ex = jax.lax.dot_general(
-            win[slot], onehot, (((1,), (0,)), ((), ())),
+            win[slot], onehot_t, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)          # (PROWS, chunk)
 
@@ -295,7 +316,7 @@ def _ps1_kernel(ints_ref, dtable_hbm, g_hbm, out_hbm,
         in_range = p < total
 
         rw = jnp.maximum(ex[2:3, :], 1.0)
-        local = p.astype(jnp.float32) - ex[3:4, :]
+        local = p_row - ex[3:4, :]
         ty_off = jnp.floor((local + 0.5) / rw)
         tx = ex[0:1, :] + (local - ty_off * rw)
         ty = ex[1:2, :] + ty_off
@@ -339,15 +360,15 @@ def _ps1_kernel(ints_ref, dtable_hbm, g_hbm, out_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "chunk", "batch", "grid_x", "grid_y", "interpret"))
-def expand_ps1_pallas(dtable, g, gstarts, total,
-                      *, chunk=512, batch=8, grid_x, grid_y,
+    "cap", "chunk", "batch", "grid_x", "grid_y", "interpret"))
+def expand_ps1_pallas(dtable, cum, gstarts, total,
+                      *, cap, chunk=512, batch=8, grid_x, grid_y,
                       interpret=False):
-    """dtable (PROWS, N_pad) f32; g (CAP,) i32; gstarts (CAP//chunk,) i32;
-    total () i32. Returns (key (CAP,) i32, attrs (9, CAP) f32
+    """dtable (PROWS, N_pad) f32; cum (1, N_pad + 128) f32 exclusive cumsum
+    in depth order (padding past the total; +128 for aligned window reads); gstarts (CAP//chunk,) i32; total () i32.
+    Returns (key (CAP,) i32, attrs (9, CAP) f32
     [mx, my, ca, cb, cc, op, r, g, b])."""
     n_pad = dtable.shape[1]
-    cap = g.shape[0]
     assert cap % (chunk * batch) == 0, (cap, chunk, batch)
     num_chunks = cap // chunk
     wsize = chunk + WPAD
@@ -362,7 +383,7 @@ def expand_ps1_pallas(dtable, g, gstarts, total,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[pltpu.VMEM((2, PROWS, wsize), jnp.float32),
-                        pltpu.VMEM((2, 1, chunk), jnp.int32),
+                        pltpu.VMEM((2, 1, wsize + 128), jnp.float32),
                         pltpu.VMEM((2, POROWS, chunk), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,)),
@@ -376,26 +397,27 @@ def expand_ps1_pallas(dtable, g, gstarts, total,
         out_shape=[jax.ShapeDtypeStruct((POROWS, cap), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ints, dtable, g.reshape(1, cap))[0]
+    )(ints, dtable, cum)[0]
     key = jax.lax.bitcast_convert_type(out[0], jnp.int32)
     return key, out[1:10]
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "chunk", "batch", "grid_x", "grid_y", "width", "height", "real_w",
-    "real_h", "dist", "fov_num", "sqrt_max_ps", "interpret"))
-def expand_fov_pallas(dtable, g, gstarts, total, gaze_dir, alpha,
-                      *, chunk=512, batch=8, grid_x, grid_y, width, height,
+    "cap", "chunk", "batch", "grid_x", "grid_y", "width", "height",
+    "real_w", "real_h", "dist", "fov_num", "sqrt_max_ps", "interpret"))
+def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
+                      chunk=512, batch=8, grid_x, grid_y, width, height,
                       real_w, real_h, dist, fov_num, sqrt_max_ps,
                       interpret=False):
-    """dtable (DROWS, N_pad) f32 (N_pad multiple of 128, >= wsize);
-    g (CAP,) i32 non-decreasing pair->depth-rank map; gstarts (CAP//chunk,)
-    i32 = g[c*chunk]; total () i32 valid pair count; gaze_dir (3,) f32 unit
-    gaze direction; alpha () f32.
+    """dtable (DROWS, N_pad) f32 (N_pad multiple of 128, >= wsize+1);
+    cum (1, N_pad + 128) f32 exclusive cumsum of tiles_touched in depth
+    order (padding rows set past the pair total; +128 so the kernel's
+    8-row-aligned window reads never run off the end); gstarts (CAP//chunk,) i32 =
+    first depth-rank owning pair c*chunk; total () i32 valid pair count;
+    gaze_dir (3,) f32 unit gaze direction; alpha () f32.
 
     Returns (key (CAP,) i32, attrs (14, CAP) f32)."""
     n_pad = dtable.shape[1]
-    cap = g.shape[0]
     assert cap % (chunk * batch) == 0, (cap, chunk, batch)
     num_chunks = cap // chunk
     wsize = chunk + WPAD
@@ -416,7 +438,7 @@ def expand_fov_pallas(dtable, g, gstarts, total, gaze_dir, alpha,
                                memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[pltpu.VMEM((2, DROWS, wsize), jnp.float32),
-                        pltpu.VMEM((2, 1, chunk), jnp.int32),
+                        pltpu.VMEM((2, 1, wsize + 128), jnp.float32),
                         pltpu.VMEM((2, OROWS, chunk), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,)),
@@ -432,6 +454,6 @@ def expand_fov_pallas(dtable, g, gstarts, total, gaze_dir, alpha,
         out_shape=[jax.ShapeDtypeStruct((OROWS, cap), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ints, dtable, g.reshape(1, cap), consts)[0]
+    )(ints, dtable, cum, consts)[0]
     key = jax.lax.bitcast_convert_type(out[0], jnp.int32)
     return key, out[1:15]

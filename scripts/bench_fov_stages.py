@@ -132,3 +132,9 @@ e2e = jax.jit(lambda m, s, q, o4, sd, re, h: fov.rasterize_fov(
     config=cfg)["render"])
 timeit(e2e, means, scales, quats, opac4, shs_dcs, rest, hl, reps=10,
       label="end-to-end")
+
+model = jax.jit(fov.pack_fov_model)(means, scales, quats, opac4, shs_dcs,
+                                    rest, hl)
+e2e_soa = jax.jit(lambda mdl: fov.rasterize_fov_soa(
+    mdl, cam, gaze=gaze, alpha=0.05, blending=True, config=cfg)["render"])
+timeit(e2e_soa, model, reps=10, label="end-to-end (SoA model)")

@@ -1,0 +1,93 @@
+"""Reference-comparable foveated FPS harness on synthetic data.
+
+Mirrors fov3dgs/render_compose_gazes_fps.py semantics: eval resolution
+1237x822 (Mip360 bicycle images_4 capped at 1600px width -> the resolution
+behind the published 702.12 avg FPS, SURVEY.md §6), 9 gazes, warmups, timed
+reps, composed-model stats matched to pnum/ours-Q/bicycle.txt. The cloud is
+synthetic (no scene data on this machine); pair counts land in the same
+regime as the real composed model.
+
+Usage: python scripts/bench_fps_ninegaze.py [--views 8] [--reps 5]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_161_358)
+    ap.add_argument("--width", type=int, default=1237)
+    ap.add_argument("--height", type=int, default=822)
+    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--warmups", type=int, default=10)
+    ap.add_argument("--pair-capacity", type=int, default=2_097_152)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fovsplat.data.cameras import look_at_camera
+    from fovsplat.ops import foveated as fov
+    from fovsplat.ops.rasterize import RasterizeConfig
+
+    rng = np.random.default_rng(0)
+    n = args.n
+    means = jnp.asarray(rng.normal(0, 1.2, (n, 3)), jnp.float32)
+    scales = jnp.asarray(rng.uniform(0.002, 0.012, (n, 3)), jnp.float32)
+    quats = rng.normal(0, 1, (n, 4))
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    quats = jnp.asarray(quats, jnp.float32)
+    hl = jnp.asarray(rng.choice(4, size=(n,),
+                                p=[0.5992, 0.1832, 0.0434, 0.1742]),
+                     jnp.float32)
+    shs_dcs = jnp.asarray(rng.normal(0, 0.8, (n, 4, 3)), jnp.float32)
+    opac4 = jnp.asarray(rng.uniform(0.2, 0.95, (n, 4)), jnp.float32)
+    rest = jnp.asarray(rng.normal(0, 0.05, (n, 15, 3)), jnp.float32)
+
+    cams = [look_at_camera(
+        [0.4 + 0.25 * np.cos(2 * np.pi * i / args.views), -0.3,
+         -4.0 + 0.25 * np.sin(2 * np.pi * i / args.views)],
+        [0, 0, 0], [0, -1, 0], fovx=1.1, fovy=0.76,
+        width=args.width, height=args.height) for i in range(args.views)]
+
+    cfg = RasterizeConfig(pair_capacity=args.pair_capacity, chunk=4096,
+                          backend="pallas", pallas_chunk=256,
+                          pallas_fwd_only=True)
+
+    model = jax.jit(fov.pack_fov_model)(means, scales, quats, opac4,
+                                        shs_dcs, rest, hl)
+    render = jax.jit(lambda mdl, cam, gaze: fov.rasterize_fov_soa(
+        mdl, cam, gaze=gaze, alpha=0.05, blending=True,
+        config=cfg)["render"])
+
+    def force(x):
+        return float(np.asarray(jax.device_get(x.ravel()[0])))
+
+    gazes = [(x, y) for y in (0.2, 0.5, 0.8) for x in (0.2, 0.5, 0.8)]
+    per_gaze = []
+    for gz in gazes:
+        gaze = jnp.asarray(gz, jnp.float32)
+        for _ in range(args.warmups):
+            force(render(model, cams[0], gaze))
+        times = []
+        for cam in cams:
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                force(render(model, cam, gaze))
+            times.append((time.perf_counter() - t0) / args.reps)
+        fps = 1.0 / float(np.mean(times))
+        per_gaze.append(fps)
+        print(f"gaze={gz} fps={fps:.2f}", flush=True)
+    print(f"avg FPS over 9 gazes x {len(cams)} views: "
+          f"{float(np.mean(per_gaze)):.2f} "
+          f"(reference ours-Q bicycle: 702.12)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

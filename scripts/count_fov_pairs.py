@@ -33,7 +33,10 @@ def main():
     quats = rng.normal(0, 1, (n, 4))
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
     quats = jnp.asarray(quats, jnp.float32)
-    hl = jnp.asarray(rng.integers(0, 4, (n,)), jnp.float32)
+    # Matches bench.py's pnum-derived highest_level distribution.
+    hl = jnp.asarray(rng.choice(4, size=(n,),
+                                p=[0.5992, 0.1832, 0.0434, 0.1742]),
+                     jnp.float32)
     shs_dcs = jnp.asarray(rng.normal(0, 0.8, (n, 4, 3)), jnp.float32)
     opac4 = jnp.asarray(rng.uniform(0.2, 0.95, (n, 4)), jnp.float32)
     rest = jnp.asarray(rng.normal(0, 0.05, (n, 15, 3)), jnp.float32)
