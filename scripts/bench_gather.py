@@ -45,3 +45,16 @@ for k in (1, 3, 5, 9, 13):
     timeit(jax.jit(lambda key, *v: jax.lax.sort((key, *v), num_keys=1,
                                                 is_stable=True)[0]),
            key, *vals[:k], reps=5, label=f"sort key+{k} payloads")
+
+
+# Depth-reorder formulations for the fused-expansion dtable build:
+# (N,16) row gather + transpose vs direct lane-dim gather of (16, N).
+cols16 = [jnp.asarray(rng.normal(0, 1, (N,)), jnp.float32)
+          for _ in range(16)]
+dorder = jnp.asarray(rng.permutation(N), jnp.int32)
+timeit(jax.jit(lambda do, *c: jnp.stack(c, 1)[do].T), dorder, *cols16,
+       reps=5, label="stack(ax1)+rowgather+T -> (16,N)")
+timeit(jax.jit(lambda do, *c: jnp.stack(c, 0)[:, do]), dorder, *cols16,
+       reps=5, label="stack(ax0)+lanegather -> (16,N)")
+timeit(jax.jit(lambda do, *c: jnp.stack([x[do] for x in c], 0)), dorder,
+       *cols16, reps=5, label="16x (N,) gathers + stack(ax0)")
