@@ -28,19 +28,6 @@ from fovsplat.ops.pallas.blend_fwd import (ALPHA_MAX, ALPHA_MIN, PIX, T_EPS,
 FROW = 16
 
 
-def pack_fov_pairs(mean2d, conic, op1, col1, op2, col2, l2cull):
-    """All (CAP,...) -> (FROW, CAP) f32."""
-    cap = mean2d.shape[0]
-    zeros = jnp.zeros(cap, jnp.float32)
-    return jnp.stack([
-        mean2d[:, 0], mean2d[:, 1],
-        conic[:, 0], conic[:, 1], conic[:, 2],
-        op1, col1[:, 0], col1[:, 1], col1[:, 2],
-        op2, col2[:, 0], col2[:, 1], col2[:, 2],
-        l2cull.astype(jnp.float32), zeros, zeros,
-    ], axis=0)
-
-
 def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
                 buf, sem, *, grid_x: int, chunk: int, power_cutoff: float,
                 cap: int, batch: int):

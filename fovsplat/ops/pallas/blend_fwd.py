@@ -254,20 +254,35 @@ def _forward(pair_data, seg_start, seg_end, grid_x: int, grid_y: int,
 
 def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
                 buf, gbuf, sem, gsem, *, grid_x: int, chunk: int,
-                power_cutoff: float, cap: int):
-    """fin_ref: blocked (1, PIX, 8) per tile = [g_r, g_g, g_b, g_T, final_T,
+                power_cutoff: float, cap: int, batch: int):
+    """fin_ref: blocked (batch, PIX, 8) = [g_r, g_g, g_b, g_T, final_T,
     n_contrib, pad, pad] along the last axis. grads_hbm: (ROW, CAP) output.
 
     Only chunks up to the deepest contributing pair (max n_contrib) are
-    processed; the caller zero-masks the rest.
-    """
-    t = pl.program_id(0)
+    processed; the caller zero-masks the rest. batch consecutive tiles per
+    grid program (amortizes per-program launch overhead)."""
+    tb = pl.program_id(0)
+    jax.lax.fori_loop(
+        0, batch,
+        functools.partial(_bwd_one_tile, tb=tb, seg_start_ref=seg_start_ref,
+                          seg_end_ref=seg_end_ref, pairs_hbm=pairs_hbm,
+                          fin_ref=fin_ref, grads_hbm=grads_hbm, buf=buf,
+                          gbuf=gbuf, sem=sem, gsem=gsem, grid_x=grid_x,
+                          chunk=chunk, power_cutoff=power_cutoff, cap=cap,
+                          batch=batch),
+        0)
+
+
+def _bwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
+                  fin_ref, grads_hbm, buf, gbuf, sem, gsem, grid_x: int,
+                  chunk: int, power_cutoff: float, cap: int, batch: int):
+    t = tb * batch + b
     start = seg_start_ref[t]
     end = seg_end_ref[t]
     n = end - start
     px, py = _pixel_coords(t, grid_x)
 
-    fin = fin_ref[0]                         # (PIX, 8)
+    fin = fin_ref[b]                         # (PIX, 8)
     g_r = fin[:, 0:1]                        # (PIX, 1)
     g_g = fin[:, 1:2]
     g_b = fin[:, 2:3]
@@ -379,18 +394,27 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
     zero_col = jnp.zeros((PIX, 1), jnp.float32)
     jax.lax.while_loop(cond, body, (num_chunks, Tf, zero_col, zero_col,
                                     zero_col))
+    return carry
 
 
 def _backward(pair_data, seg_start, seg_end, fin, n_contrib_max,
               grid_x: int, grid_y: int, chunk: int, power_cutoff: float,
-              interpret: bool):
+              interpret: bool, batch: int = 8):
     num_tiles = grid_x * grid_y
     cap = pair_data.shape[1]
+    seg_start0, seg_end0 = seg_start, seg_end
+    t_pad = ((num_tiles + batch - 1) // batch) * batch
+    if t_pad != num_tiles:
+        pad = t_pad - num_tiles
+        seg_start = jnp.concatenate([seg_start, jnp.zeros(pad, jnp.int32)])
+        seg_end = jnp.concatenate([seg_end, jnp.zeros(pad, jnp.int32)])
+        fin = jnp.concatenate(
+            [fin, jnp.zeros((pad, PIX, 8), jnp.float32)], axis=0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(t_pad // batch,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec((1, PIX, 8), lambda t, *_: (t, 0, 0),
+                  pl.BlockSpec((batch, PIX, 8), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[pltpu.VMEM((2, ROW, chunk), jnp.float32),
@@ -399,7 +423,8 @@ def _backward(pair_data, seg_start, seg_end, fin, n_contrib_max,
                         pltpu.SemaphoreType.DMA((2,))],
     )
     kernel = functools.partial(_bwd_kernel, grid_x=grid_x, chunk=chunk,
-                               power_cutoff=power_cutoff, cap=cap)
+                               power_cutoff=power_cutoff, cap=cap,
+                               batch=batch)
     grads = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((ROW, cap), jnp.float32)],
@@ -410,14 +435,14 @@ def _backward(pair_data, seg_start, seg_end, fin, n_contrib_max,
     # or outside any segment) are uninitialized: zero them. Row->tile lookup
     # via boundary-scatter + cumsum (searchsorted over millions of rows is
     # very slow on TPU).
-    seg_chunks = (jnp.maximum(seg_end - seg_start, 0) + chunk - 1) // chunk
+    seg_chunks = (jnp.maximum(seg_end0 - seg_start0, 0) + chunk - 1) // chunk
     done_chunks = jnp.minimum(seg_chunks,
                               (n_contrib_max + chunk - 1) // chunk)
-    marks = jnp.zeros(cap, jnp.int32).at[seg_start[1:]].add(1, mode='drop')
+    marks = jnp.zeros(cap, jnp.int32).at[seg_start0[1:]].add(1, mode='drop')
     idx = jnp.cumsum(marks)                                  # tile per row
     row = jnp.arange(cap, dtype=jnp.int32)
-    within = (row >= jnp.take(seg_start, idx)) & \
-             (row < jnp.take(seg_start, idx)
+    within = (row >= jnp.take(seg_start0, idx)) & \
+             (row < jnp.take(seg_start0, idx)
               + jnp.take(done_chunks, idx) * chunk)
     return jnp.where(within[None, :], grads, 0.0)
 

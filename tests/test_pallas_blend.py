@@ -172,3 +172,35 @@ def test_fov_soa_matches_plain():
         config=cfg)["render"])()
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_p),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fov_unfused_expand_matches_xla():
+    """The non-fused pallas expansion (pair_fn payload path,
+    pallas_fused_expand=False) stays equivalent to the XLA reference."""
+    from fovsplat.ops import foveated as fov
+    rng = np.random.default_rng(44)
+    n = 256
+    means, scales, quats, ops_, colors = synthetic_cloud(n=n, seed=44)
+    hl = rng.integers(0, 4, (n,)).astype(np.float32)
+    shs_dcs = rng.normal(0, 0.6, (n, 4, 3)).astype(np.float32)
+    opac4 = np.clip(ops_[:, None] + rng.normal(0, 0.1, (n, 4)),
+                    0.05, 0.95).astype(np.float32)
+    rest = rng.normal(0, 0.03, (n, 15, 3)).astype(np.float32)
+    cam = make_test_camera(width=96, height=64)
+    base = dict(pair_capacity=1 << 13, chunk=256)
+    cfg_x = rasterize.RasterizeConfig(**base)
+    cfg_p = rasterize.RasterizeConfig(**base, backend="pallas",
+                                      pallas_chunk=128, pallas_interpret=True,
+                                      pallas_fused_expand=False)
+
+    def run(cfg):
+        return fov.rasterize_fov(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac4), jnp.asarray(shs_dcs), jnp.asarray(rest),
+            jnp.asarray(hl), cam, gaze=jnp.array([0.4, 0.6], jnp.float32),
+            alpha=0.3, blending=True, config=cfg)["render"]
+
+    out_x = jax.jit(lambda: run(cfg_x))()
+    out_p = jax.jit(lambda: run(cfg_p))()
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=1e-4, atol=1e-5)
