@@ -221,8 +221,15 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
 def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
                   pair_capacity: int, interpret: bool = False):
     """Single-level fused-Pallas binning (ops/pallas/expand_fov._ps1_kernel):
-    ONE depth-order row gather of a 20-col table, pair expansion + OBB cull
-    in-kernel, one stable tile sort carrying the finished blend-kernel SoA.
+    pair expansion + OBB cull in-kernel, one 2-key (tile, depth) sort
+    carrying the finished blend-kernel SoA.
+
+    NO depth presort (an argsort + (N, 24) row gather costs tens of ms at
+    1M rows; payload sorts with 20+ operands wedge the XLA TPU compiler):
+    the table stays in ORIGINAL order and every invalid row contributes one
+    dummy pair (valid=0, culled in-kernel) so the expand kernel's bounded
+    window property holds; per-pair depth is emitted by the kernel and
+    becomes the sort's second key. Capacity grows by one slot per row.
 
     t1cols: 19 (N,) f32 columns [rx0, ry0, rw, tnum, mx, my, v1x, v1y, v2x,
     v2y, len1, len2, ca, cb, cc, op, r, g, b].
@@ -235,26 +242,29 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
     n = depth.shape[0]
     num_tiles = grid_x * grid_y
     chunk, kbatch = 512, 8
-    cap2 = ((pair_capacity + chunk * kbatch - 1) // (chunk * kbatch)) \
+    cap_d = pair_capacity + n
+    cap2 = ((cap_d + chunk * kbatch - 1) // (chunk * kbatch)) \
         * (chunk * kbatch)
 
-    sort_key = jnp.where(valid, depth, jnp.inf)
-    depth_order = jnp.argsort(sort_key)
-
-    t1 = jnp.stack(t1cols + [jnp.zeros(n, jnp.float32)] * 5,
-                   axis=1)                                     # (N, 24)
-    t1d = t1[depth_order]
-    tnum = t1d[:, 3]
+    validf = valid.astype(jnp.float32)
+    cols = list(t1cols) + [validf, depth,
+                           jnp.zeros(n, jnp.float32)]          # rows 0..21
+    tnum = jnp.where(valid, cols[3], 1.0)
+    cols[0] = jnp.where(valid, cols[0], 0.0)
+    cols[1] = jnp.where(valid, cols[1], 0.0)
+    cols[2] = jnp.where(valid, cols[2], 1.0)
     cum_incl = jnp.cumsum(tnum)
     total_f = cum_incl[-1]
     cum_excl = cum_incl - tnum
-    t1d = t1d.at[:, 3].set(cum_excl)
+    cols[3] = cum_excl
     total = jnp.minimum(total_f, cap2).astype(jnp.int32)
     overflow = jnp.maximum(total_f.astype(jnp.int32) - cap2, 0)
 
     wsize = chunk + pex.WPAD
     n_pad = max(((n + 127) // 128) * 128, wsize + 1)
-    dtable = jnp.pad(t1d.T, ((0, 0), (0, n_pad - n)))   # (20, N_pad)
+    dtable = jnp.stack(cols, axis=0)                    # (22, N)
+    dtable = jnp.pad(dtable,
+                     ((0, pex.PROWS - len(cols)), (0, n_pad - n)))
 
     # Interval one-hot inputs (see expand_fov_pallas): exclusive cumsum
     # with a sentinel at n and unreachable padding, plus per-chunk owners.
@@ -266,15 +276,16 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
         jnp.searchsorted(cum_excl, chunk_firsts, side='right').astype(
             jnp.int32) - 1, 0, n - 1)
 
-    key, attrs = pex.expand_ps1_pallas(
+    key, pdepth, attrs = pex.expand_ps1_pallas(
         dtable, cum_pad[None, :], gstarts, total, cap=cap2,
         chunk=chunk, batch=kbatch,
         grid_x=grid_x, grid_y=grid_y, interpret=interpret)
 
-    res = jax.lax.sort((key, *(attrs[i] for i in range(attrs.shape[0]))),
-                       num_keys=1, is_stable=True)
+    res = jax.lax.sort((key, pdepth,
+                        *(attrs[i] for i in range(attrs.shape[0]))),
+                       num_keys=2)
     packed = jnp.concatenate(
-        [jnp.stack(res[1:], axis=0),
+        [jnp.stack(res[2:], axis=0),
          jnp.zeros((7, cap2), jnp.float32)], axis=0)    # (16, CAP2)
     seg_start = jnp.searchsorted(
         res[0], jnp.arange(num_tiles + 1, dtype=jnp.int32),

@@ -102,32 +102,34 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
     num_tiles = gx * gy
     L = fov_cfg.fov_num
     chunk, kbatch = 512, 8
-    cap2 = ((cap + chunk * kbatch - 1) // (chunk * kbatch)) * (chunk * kbatch)
+    # NO depth presort. A 33-operand payload sort wedges the XLA TPU
+    # compiler (>20 min compile); argsort + row gathers cost ~72 ms at
+    # 1.16M rows. Instead: every INVALID row contributes exactly one dummy
+    # pair (tnum=1, hl=-2 so the kernel's level cull drops it), which keeps
+    # the pair->row map advancing >=1 row per pair — the expand kernel's
+    # bounded-window property holds in ORIGINAL order. Depth rides the
+    # kernel output and the tile sort orders (tile, depth) with num_keys=2.
+    # Capacity grows by one slot per row to hold the dummies.
+    cap_d = cap + n
+    cap2 = ((cap_d + chunk * kbatch - 1) // (chunk * kbatch)) * (chunk * kbatch)
 
-    # Depth presort (invalid Gaussians pushed to the back).
-    sort_key = jnp.where(valid, depth, jnp.inf)
-    depth_order = jnp.argsort(sort_key)
-
-    # Two (N, <=17)-column tables (one would be 32 cols = past the ~96-byte
-    # row-gather cost cliff); gathered into depth order, then transposed to
-    # the kernel's attribute-major layout.
-    t1 = jnp.stack(t1cols, axis=1)                    # (N, 16)
-    t2 = jnp.stack(t2cols, axis=1)                    # (N, 4L) = (N, 16)
-
-    t1d = t1[depth_order]
-    t2d = t2[depth_order]
-    tnum = t1d[:, 3]
+    cols = list(t1cols) + list(t2cols) + [depth]
+    tnum = jnp.where(valid, cols[3], 1.0)
+    cols[0] = jnp.where(valid, cols[0], 0.0)          # rx0
+    cols[1] = jnp.where(valid, cols[1], 0.0)          # ry0
+    cols[2] = jnp.where(valid, cols[2], 1.0)          # rw
+    cols[15] = jnp.where(valid, cols[15], -2.0)       # hl: dummy culled
     cum_incl = jnp.cumsum(tnum)
     total_f = cum_incl[-1]
     cum_excl = cum_incl - tnum
-    t1d = t1d.at[:, 3].set(cum_excl)
+    cols[3] = cum_excl
     total = jnp.minimum(total_f, cap2).astype(jnp.int32)
     overflow = jnp.maximum(total_f.astype(jnp.int32) - cap2, 0)
 
     wsize = chunk + pex.WPAD
     n_pad = max(((n + 127) // 128) * 128, wsize + 1)
-    dtable = jnp.concatenate([t1d, t2d], axis=1).T    # (32, N)
-    dtable = jnp.pad(dtable, ((0, 0), (0, n_pad - n)))
+    dtable = jnp.stack(cols, axis=0)                  # (33, N)
+    dtable = jnp.pad(dtable, ((0, pex.DROWS - len(cols)), (0, n_pad - n)))
 
     # The kernel builds its expansion one-hot from cum_excl intervals; the
     # sentinel row n closes the last Gaussian's interval at `total` and the
@@ -147,7 +149,7 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
         camera.height / camera.width * fov_cfg.real_image_width,
         fov_cfg.real_viewing_distance))
 
-    key, attrs = pex.expand_fov_pallas(
+    key, pdepth, attrs = pex.expand_fov_pallas(
         dtable, cum_pad[None, :], gstarts, total, gaze_dir,
         jnp.float32(alpha), cap=cap2,
         chunk=chunk, batch=kbatch, grid_x=gx, grid_y=gy,
@@ -157,11 +159,12 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
         dist=fov_cfg.real_viewing_distance, fov_num=L,
         sqrt_max_ps=fov_cfg.sqrt_max_ps, interpret=interpret)
 
-    res = jax.lax.sort((key, *(attrs[i] for i in range(attrs.shape[0]))),
-                       num_keys=1, is_stable=True)
+    res = jax.lax.sort((key, pdepth,
+                        *(attrs[i] for i in range(attrs.shape[0]))),
+                       num_keys=2)
     sorted_key = res[0]
     packed = jnp.concatenate(
-        [jnp.stack(res[1:], axis=0),
+        [jnp.stack(res[2:], axis=0),
          jnp.zeros((2, cap2), jnp.float32)], axis=0)   # (16, CAP2)
     seg_start = jnp.searchsorted(
         sorted_key, jnp.arange(num_tiles + 1, dtype=jnp.int32),

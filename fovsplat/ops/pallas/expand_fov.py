@@ -26,17 +26,24 @@ lookup). arccos/tan are evaluated as series (Mosaic has no trig lowering):
 its fractional level sits within that distance of an integer boundary,
 where the smoothstep blend makes adjacent levels near-identical anyway.
 
-dtable row layout (DROWS=32, N_pad), depth-ordered columns:
+dtable row layout (DROWS=40, N_pad), ORIGINAL Gaussian order (no depth
+presort — a 33-operand payload sort wedges the XLA TPU compiler for tens of
+minutes, and argsort+row-gathers cost ~72 ms at 1.16M rows; instead every
+invalid row contributes one dummy culled pair (hl = -2) so the pair->row
+map still advances at least one row per pair and the window bound holds in
+any order; depth rides the kernel output and the tile sort orders
+(tile, depth) with num_keys=2):
   0 rmin_x | 1 rmin_y | 2 rw | 3 cum_excl | 4 mx | 5 my
   6 v1x | 7 v1y | 8 v2x | 9 v2y | 10 len1 | 11 len2
   12 ca | 13 cb | 14 cc | 15 hl
   16..19 op[0..3] | 20..23 r[0..3] | 24..27 g[0..3] | 28..31 b[0..3]
+  32 depth | 33..39 pad (sublane-dim DMA slices must be 8-aligned)
 
 Output (OROWS=16, CAP) f32:
   row 0: tile-sort key (i32 bit pattern; num_tiles when culled)
-  rows 1..14: [mx, my, ca, cb, cc, op1, r1, g1, b1, op2, r2, g2, b2, l2cull]
-  row 15: pad
-— rows 1..14 are exactly the tile-sort payload set of rasterize_fov.
+  row 1: view-space depth (second sort key)
+  rows 2..15: [mx, my, ca, cb, cc, op1, r1, g1, b1, op2, r2, g2, b2, l2cull]
+— rows 2..15 are exactly the tile-sort payload set of rasterize_fov.
 """
 
 from __future__ import annotations
@@ -50,8 +57,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fovsplat.ops.projection import TILE
 
-DROWS = 32           # dtable rows
-OROWS = 16           # output rows (key + 14 attrs + pad)
+DROWS = 40           # dtable rows (33 used; 8-aligned for sublane DMA)
+OROWS = 16           # output rows (key + depth + 14 attrs)
 WPAD = 256           # window slack: 128 (w0 floor) + 128 (g span margin)
 
 
@@ -225,9 +232,10 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm,
             out_dma(slot, k - 2).wait()
 
         obuf[slot] = jnp.concatenate(
-            [pltpu.bitcast(key, jnp.float32), ex[4:6, :], ex[12:15, :],
-             o1, r1c, g1c, b1c, o2, r2c, g2c, b2c, cull,
-             jnp.zeros((1, chunk), jnp.float32)], axis=0)  # (OROWS, chunk)
+            [pltpu.bitcast(key, jnp.float32), ex[32:33, :],
+             ex[4:6, :], ex[12:15, :],
+             o1, r1c, g1c, b1c, o2, r2c, g2c, b2c, cull], axis=0)
+        # (OROWS, chunk): key | depth | 14 attrs
         out_dma(slot, k).start()
         return carry
 
@@ -252,10 +260,12 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm,
                 num_tiles: int, n_pad: int):
     """Plain (single-level) pair expansion + OBB cull + key emission.
 
-    dtable rows (PROWS=20): [rx0, ry0, rw, cum_excl, mx, my, v1x, v1y, v2x,
-    v2y, len1, len2, ca, cb, cc, op, r, g, b, pad x5].
-    Output rows (POROWS=16): [keybits, mx, my, ca, cb, cc, op, r, g, b,
-    pad x6] — rows 1..9 are exactly the blend_fwd ROW prefix."""
+    dtable rows (PROWS=24), ORIGINAL Gaussian order (no depth presort —
+    invalid rows carry one dummy pair with valid=0; see module docstring):
+    [rx0, ry0, rw, cum_excl, mx, my, v1x, v1y, v2x, v2y, len1, len2,
+    ca, cb, cc, op, r, g, b, valid, depth, pad x3].
+    Output rows (POROWS=16): [keybits, depth, mx, my, ca, cb, cc, op, r, g,
+    b, pad x5] — rows 2..10 are exactly the blend_fwd ROW prefix."""
     cb_ = pl.program_id(0)
     total = ints_ref[0]
 
@@ -338,7 +348,7 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm,
                & (jnp.abs(b1) <= l1e + e1) & (jnp.abs(b2) <= l2e + e2))
         obb = obb | (l1e <= 0.0)
 
-        keep = in_range & obb
+        keep = in_range & obb & (ex[19:20, :] > 0.0)
         key = jnp.where(keep, tile, num_tiles)
 
         @pl.when(k >= 2)
@@ -346,8 +356,9 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm,
             out_dma(slot, k - 2).wait()
 
         obuf[slot] = jnp.concatenate(
-            [pltpu.bitcast(key, jnp.float32), ex[4:6, :], ex[12:19, :],
-             jnp.zeros((POROWS - 10, chunk), jnp.float32)], axis=0)
+            [pltpu.bitcast(key, jnp.float32), ex[20:21, :],
+             ex[4:6, :], ex[12:19, :],
+             jnp.zeros((POROWS - 11, chunk), jnp.float32)], axis=0)
         out_dma(slot, k).start()
         return carry
 
@@ -364,9 +375,11 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm,
 def expand_ps1_pallas(dtable, cum, gstarts, total,
                       *, cap, chunk=512, batch=8, grid_x, grid_y,
                       interpret=False):
-    """dtable (PROWS, N_pad) f32; cum (1, N_pad + 128) f32 exclusive cumsum
-    in depth order (padding past the total; +128 for aligned window reads); gstarts (CAP//chunk,) i32; total () i32.
-    Returns (key (CAP,) i32, attrs (9, CAP) f32
+    """dtable (PROWS, N_pad) f32 in ORIGINAL order (valid flag row 19,
+    depth row 20); cum (1, N_pad + 128) f32 exclusive cumsum (dummy pairs
+    for invalid rows; padding past the total; +128 for aligned window
+    reads); gstarts (CAP//chunk,) i32; total () i32.
+    Returns (key (CAP,) i32, depth (CAP,) f32, attrs (9, CAP) f32
     [mx, my, ca, cb, cc, op, r, g, b])."""
     n_pad = dtable.shape[1]
     assert cap % (chunk * batch) == 0, (cap, chunk, batch)
@@ -399,7 +412,7 @@ def expand_ps1_pallas(dtable, cum, gstarts, total,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ints, dtable, cum)[0]
     key = jax.lax.bitcast_convert_type(out[0], jnp.int32)
-    return key, out[1:10]
+    return key, out[1], out[2:11]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -416,7 +429,7 @@ def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
     first depth-rank owning pair c*chunk; total () i32 valid pair count;
     gaze_dir (3,) f32 unit gaze direction; alpha () f32.
 
-    Returns (key (CAP,) i32, attrs (14, CAP) f32)."""
+    Returns (key (CAP,) i32, depth (CAP,) f32, attrs (14, CAP) f32)."""
     n_pad = dtable.shape[1]
     assert cap % (chunk * batch) == 0, (cap, chunk, batch)
     num_chunks = cap // chunk
@@ -456,4 +469,4 @@ def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ints, dtable, cum, consts)[0]
     key = jax.lax.bitcast_convert_type(out[0], jnp.int32)
-    return key, out[1:15]
+    return key, out[1], out[2:16]

@@ -1,6 +1,11 @@
-"""Per-stage TPU timing of the foveated render path (mirrors
-ops/foveated.rasterize_fov's current stage composition: level-rect clip,
-pre-sort attribute derivation riding the tile sort, 3M pair capacity)."""
+"""Per-stage TPU timing of the foveated SoA render path
+(ops/foveated.rasterize_fov_soa — the 9-gaze headline configuration:
+1237x822, 1.16M Gaussians, 2M pair capacity).
+
+Current flow has NO depth presort: invalid rows become dummy culled pairs,
+the expand kernel emits depth, and the tile sort is a 2-key (tile, depth)
+sort. (History: argsort+gather presort = 72 ms; a 33-operand payload sort
+wedges the XLA compiler for >20 min.)"""
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -9,9 +14,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from fovsplat.data.cameras import look_at_camera
-from fovsplat.ops import binning, foveation, projection
+from fovsplat.ops import foveation, projection, sh
 from fovsplat.ops import foveated as fov
 from fovsplat.ops.pallas import blend_fov as pkf
+from fovsplat.ops.pallas import expand_fov as pex
 from fovsplat.ops.rasterize import RasterizeConfig, _grid
 
 rng = np.random.default_rng(0)
@@ -21,21 +27,26 @@ means = jnp.asarray(rng.normal(0, 1.2, (n, 3)), jnp.float32)
 scales = jnp.asarray(rng.uniform(0.002, 0.012, (n, 3)), jnp.float32)
 quats = rng.normal(0, 1, (n, 4)); quats /= np.linalg.norm(quats, axis=1, keepdims=True)
 quats = jnp.asarray(quats, jnp.float32)
-hl = jnp.asarray(rng.integers(0, 4, (n,)), jnp.float32)
+hl = jnp.asarray(rng.choice(4, size=(n,), p=[0.5992, 0.1832, 0.0434, 0.1742]),
+                 jnp.float32)
 shs_dcs = jnp.asarray(rng.normal(0, 0.8, (n, 4, 3)), jnp.float32)
 opac4 = jnp.asarray(rng.uniform(0.2, 0.95, (n, 4)), jnp.float32)
 rest = jnp.asarray(rng.normal(0, 0.05, (n, 15, 3)), jnp.float32)
 gaze = jnp.array([0.5, 0.5], jnp.float32)
+alpha = 0.05
 cam = look_at_camera([0.4, -0.3, -4.0], [0, 0, 0], [0, -1, 0],
-                     fovx=1.1, fovy=0.7, width=1920, height=1080)
+                     fovx=1.1, fovy=0.76, width=1237, height=822)
 gx, gy = _grid(cam)
 num_tiles = gx * gy
-cap = 3 << 20
+cap = 2_097_152
 chunk = 256
+fov_cfg = fov.FoveationConfig()
+cfg = RasterizeConfig(pair_capacity=cap, chunk=4096, backend="pallas",
+                      pallas_chunk=chunk, pallas_fwd_only=True)
 
 
 def force(x):
-    return float(jax.tree.leaves(x)[0].ravel()[0])
+    return float(np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[0])))
 
 
 def timeit(f, *a, reps=10, label=""):
@@ -48,93 +59,155 @@ def timeit(f, *a, reps=10, label=""):
     return out
 
 
-prep = timeit(jax.jit(lambda m, s, q: projection.preprocess(m, s, q, cam)),
-              means, scales, quats, reps=5, label="preprocess")
-
-levels = foveation.compute_tile_levels(gaze, cam.width, cam.height, 0.05)
-
-colors_f = timeit(jax.jit(lambda m, r, d: fov.compute_fov_colors(
-    m, r, d, cam.cam_center)), means, rest, shs_dcs, reps=5,
-    label="fov colors")
-
-
-def bin_fov(prep, hl, colors_f, opac4):
-    prep = fov._clip_rects_to_levels(prep, levels, hl, gx, gy, L)
-    attr_table = jnp.concatenate(
-        [opac4, colors_f[:, :, 0], colors_f[:, :, 1], colors_f[:, :, 2],
-         hl[:, None]], axis=1)
-
-    def pair_fn(orig, tx, ty, tile, rows2):
-        lv = foveation.tile_levels_at(tx, ty, gaze, cam.width, cam.height,
-                                      0.05)
-        hl_row = rows2[:, 4 * L]
-        keep = lv < hl_row + 1.0
-        p1 = lv.astype(jnp.int32)
-        p2 = jnp.minimum(p1 + 1, L - 1)
-
-        def sel(pk):
-            out = []
-            for c in range(4):
-                v = rows2[:, c * L]
-                for k in range(1, L):
-                    v = jnp.where(pk == k, rows2[:, c * L + k], v)
-                out.append(v)
-            return out
-
-        o1, r1, g1, b1 = sel(p1)
-        o2, r2, g2, b2 = sel(p2)
-        cull = ((hl_row + 1.0) < (lv + 1.0)).astype(jnp.float32)
-        return keep, [o1, r1, g1, b1, o2, r2, g2, b2, cull]
-
-    return binning.bin_gaussians(prep, gx, gy, cap, carry_geometry=True,
-                                 attr_table=attr_table, pair_fn=pair_fn)
-
-
-FUSED = "--fused" in sys.argv
-
-if FUSED:
-    def bin_fused(prep, hl, colors_f, opac4):
-        prep = fov._clip_rects_to_levels(prep, levels, hl, gx, gy, L)
-        return fov._bin_fov_fused(prep, opac4, colors_f, hl, gaze, 0.05,
-                                  gx, gy, cap, cam, fov.FoveationConfig(),
-                                  False)
-
-    fus = timeit(jax.jit(bin_fused), prep, hl, colors_f, opac4, reps=5,
-                 label="clip+fused-expand+sort")
-    packed, seg_start, num_pairs, overflow, cap2 = fus
-    print("pairs", int(num_pairs), "overflow", int(overflow), "cap2", cap2,
-          flush=True)
-    bn_seg = (seg_start[:-1], seg_start[1:])
-else:
-    bn = timeit(jax.jit(bin_fov), prep, hl, colors_f, opac4, reps=5,
-                label="clip+bin+derive+sort")
-    print("pairs", int(bn.num_pairs), "overflow", int(bn.overflow),
-          flush=True)
-
-    def pack(bn):
-        return jnp.concatenate(
-            [bn.pair_attrs, jnp.zeros((2, cap), jnp.float32)], axis=0)
-
-    packed = timeit(jax.jit(pack), bn, reps=5, label="pack")
-    bn_seg = (bn.seg_start[:-1], bn.seg_start[1:])
-
-act = jnp.zeros((num_tiles, 256, 4), jnp.float32).at[:, :, 0].set(1.0)
-kern = jax.jit(lambda p, s, e, a: pkf.blend_fov_pallas(
-    p, s, e, a, gx, gy, chunk, -4.5, False))
-timeit(kern, packed, bn_seg[0], bn_seg[1], act, reps=10,
-       label="fov kernel")
-
-# End-to-end for cross-checking against the stage sum.
-cfg = RasterizeConfig(pair_capacity=cap, chunk=4096, backend="pallas",
-                      pallas_chunk=chunk, pallas_fwd_only=True)
-e2e = jax.jit(lambda m, s, q, o4, sd, re, h: fov.rasterize_fov(
-    m, s, q, o4, sd, re, h, cam, gaze=gaze, alpha=0.05, blending=True,
-    config=cfg)["render"])
-timeit(e2e, means, scales, quats, opac4, shs_dcs, rest, hl, reps=10,
-      label="end-to-end")
-
 model = jax.jit(fov.pack_fov_model)(means, scales, quats, opac4, shs_dcs,
                                     rest, hl)
-e2e_soa = jax.jit(lambda mdl: fov.rasterize_fov_soa(
-    mdl, cam, gaze=gaze, alpha=0.05, blending=True, config=cfg)["render"])
-timeit(e2e_soa, model, reps=10, label="end-to-end (SoA model)")
+
+levels = foveation.compute_tile_levels(gaze, cam.width, cam.height, alpha,
+                                       fov_cfg)
+
+
+def build_cols(model):
+    """Per-Gaussian column math: preprocess + level clip + SH + tables."""
+    pc = projection.preprocess_cols(model.xyz, model.scales, model.rotations,
+                                    cam)
+    lv2d = levels.reshape(gy, gx)
+    txs = jax.lax.broadcasted_iota(jnp.int32, (gy, gx), 1)
+    tys = jax.lax.broadcasted_iota(jnp.int32, (gy, gx), 0)
+    big = jnp.int32(1 << 20)
+    hli = jnp.clip(model.hl.astype(jnp.int32), 0, L - 1)
+    for h in range(L):
+        ok = lv2d < (h + 1.0)
+        x0 = jnp.min(jnp.where(ok, txs, big)); y0 = jnp.min(jnp.where(ok, tys, big))
+        x1 = jnp.max(jnp.where(ok, txs + 1, 0)); y1 = jnp.max(jnp.where(ok, tys + 1, 0))
+        if h == 0:
+            bx0, by0, bx1, by1 = (jnp.full_like(hli, x0), jnp.full_like(hli, y0),
+                                  jnp.full_like(hli, x1), jnp.full_like(hli, y1))
+        else:
+            m = hli == h
+            bx0 = jnp.where(m, x0, bx0); by0 = jnp.where(m, y0, by0)
+            bx1 = jnp.where(m, x1, bx1); by1 = jnp.where(m, y1, by1)
+    rx0 = jnp.maximum(pc.rx0, bx0); ry0 = jnp.maximum(pc.ry0, by0)
+    rx1 = jnp.minimum(pc.rx1, bx1); ry1 = jnp.minimum(pc.ry1, by1)
+    tnum = (jnp.maximum(rx1 - rx0, 0) * jnp.maximum(ry1 - ry0, 0))
+    valid = pc.valid & (tnum > 0) & (model.hl >= 0.0)
+    tnum = jnp.where(valid, tnum, 0)
+    rx1 = jnp.maximum(rx1, rx0)
+
+    dx_ = model.xyz[:, 0] - cam.cam_center[0]
+    dy_ = model.xyz[:, 1] - cam.cam_center[1]
+    dz_ = model.xyz[:, 2] - cam.cam_center[2]
+    inv = jax.lax.rsqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
+    rest_c = sh._eval_sh_nlast(3, model.rest_t, dx_ * inv, dy_ * inv,
+                               dz_ * inv) + 0.5
+
+    t1cols = [rx0.astype(jnp.float32), ry0.astype(jnp.float32),
+              jnp.maximum(rx1 - rx0, 1).astype(jnp.float32),
+              tnum.astype(jnp.float32),
+              pc.mx, pc.my, pc.v1x, pc.v1y, pc.v2x, pc.v2y, pc.len1, pc.len2,
+              pc.ca, pc.cb, pc.cc, model.hl]
+    t2cols = ([model.opac_t[l] for l in range(L)]
+              + [jnp.maximum(sh.SH_C0 * model.dc_t[c, l] + rest_c[c], 0.0)
+                 for c in range(3) for l in range(L)])
+    return t1cols, t2cols, valid, pc.depth
+
+
+cols_out = timeit(jax.jit(build_cols), model, reps=10,
+                  label="per-gaussian cols")
+t1cols, t2cols, valid, depth = cols_out
+
+kchunk, kbatch = 512, 8
+cap_d = cap + n
+cap2 = ((cap_d + kchunk * kbatch - 1) // (kchunk * kbatch)) * (kchunk * kbatch)
+wsize = kchunk + pex.WPAD
+n_pad = max(((n + 127) // 128) * 128, wsize + 1)
+
+
+def build_table(t1cols, t2cols, valid, depth):
+    """Dummy-pair table build (no presort): cumsum + stack + cum/gstarts."""
+    cols = list(t1cols) + list(t2cols) + [depth]
+    tnum = jnp.where(valid, cols[3], 1.0)
+    cols[0] = jnp.where(valid, cols[0], 0.0)
+    cols[1] = jnp.where(valid, cols[1], 0.0)
+    cols[2] = jnp.where(valid, cols[2], 1.0)
+    cols[15] = jnp.where(valid, cols[15], -2.0)
+    cum_incl = jnp.cumsum(tnum)
+    total_f = cum_incl[-1]
+    cum_excl = cum_incl - tnum
+    cols[3] = cum_excl
+    total = jnp.minimum(total_f, cap2).astype(jnp.int32)
+    dtable = jnp.stack(cols, axis=0)
+    dtable = jnp.pad(dtable, ((0, pex.DROWS - len(cols)), (0, n_pad - n)))
+    cum_pad = jnp.full((n_pad + 128,), jnp.float32(1 << 30))
+    cum_pad = cum_pad.at[:n].set(cum_excl.astype(jnp.float32))
+    cum_pad = cum_pad.at[n].set(total_f)
+    chunk_firsts = jnp.arange(0, cap2, kchunk, dtype=jnp.float32)
+    gstarts = jnp.clip(
+        jnp.searchsorted(cum_excl, chunk_firsts, side='right').astype(
+            jnp.int32) - 1, 0, n - 1)
+    return dtable, cum_pad, gstarts, total, total_f
+
+
+dtable, cum_pad, gstarts, total, total_f = timeit(
+    jax.jit(build_table), t1cols, t2cols, valid, depth, reps=10,
+    label="table build (no presort)")
+print("pairs incl dummies:", int(jax.device_get(total_f)), "cap:", cap2,
+      flush=True)
+
+gaze_dir = jnp.stack(foveation._ncd2dir(
+    gaze[0], gaze[1], fov_cfg.real_image_width,
+    cam.height / cam.width * fov_cfg.real_image_width,
+    fov_cfg.real_viewing_distance))
+
+expand = jax.jit(lambda d, c, g, t: pex.expand_fov_pallas(
+    d, c[None, :], g, t, gaze_dir, jnp.float32(alpha), cap=cap2,
+    chunk=kchunk, batch=kbatch, grid_x=gx, grid_y=gy,
+    width=cam.width, height=cam.height,
+    real_w=fov_cfg.real_image_width,
+    real_h=cam.height / cam.width * fov_cfg.real_image_width,
+    dist=fov_cfg.real_viewing_distance, fov_num=L,
+    sqrt_max_ps=fov_cfg.sqrt_max_ps))
+key, pdepth, attrs = timeit(expand, dtable, cum_pad, gstarts, total, reps=10,
+                            label="expand kernel")
+
+
+def tile_sort(key, pdepth, attrs):
+    res = jax.lax.sort((key, pdepth,
+                        *(attrs[i] for i in range(attrs.shape[0]))),
+                       num_keys=2)
+    sorted_key = res[0]
+    packed = jnp.concatenate(
+        [jnp.stack(res[2:], axis=0), jnp.zeros((2, cap2), jnp.float32)],
+        axis=0)
+    seg_start = jnp.searchsorted(
+        sorted_key, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+        side='left').astype(jnp.int32)
+    return packed, seg_start
+
+
+packed, seg_start = timeit(jax.jit(tile_sort), key, pdepth, attrs, reps=10,
+                           label="tile sort (2-key)+pack+seg")
+
+grad_x, grad_y, _, tile_blend = foveation.compute_tile_level_infos(
+    levels, cam.width, cam.height, fov_cfg)
+l1_i = levels.astype(jnp.int32)
+lx = jnp.arange(256, dtype=jnp.float32) % 16
+ly = jnp.floor(jnp.arange(256, dtype=jnp.float32) / 16)
+est = (levels[:, None] + (lx[None, :] * grad_x[:, None]
+                          + ly[None, :] * grad_y[:, None]) / 16)
+l1_active = jnp.where(tile_blend[:, None],
+                      est <= (l1_i + 1)[:, None].astype(jnp.float32),
+                      jnp.ones((num_tiles, 256), bool))
+l2_active = jnp.broadcast_to(tile_blend[:, None], (num_tiles, 256))
+tile_act = jnp.stack([
+    l1_active.astype(jnp.float32), l2_active.astype(jnp.float32),
+    jnp.zeros_like(l1_active, jnp.float32),
+    jnp.zeros_like(l1_active, jnp.float32)], axis=-1)
+
+kern = jax.jit(lambda p, s, e, a: pkf.blend_fov_pallas(
+    p, s, e, a, gx, gy, chunk, -4.5, False))
+timeit(kern, packed, seg_start[:-1], seg_start[1:], tile_act, reps=10,
+       label="blend kernel")
+
+e2e_soa = jax.jit(lambda mdl, gz: fov.rasterize_fov_soa(
+    mdl, cam, gaze=gz, alpha=alpha, blending=True, config=cfg)["render"])
+timeit(e2e_soa, model, gaze, reps=10, label="end-to-end (SoA)")
