@@ -149,7 +149,7 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
         camera.height / camera.width * fov_cfg.real_image_width,
         fov_cfg.real_viewing_distance))
 
-    key, pdepth, attrs = pex.expand_fov_pallas(
+    key, attrs = pex.expand_fov_pallas(
         dtable, cum_pad[None, :], gstarts, total, gaze_dir,
         jnp.float32(alpha), cap=cap2,
         chunk=chunk, batch=kbatch, grid_x=gx, grid_y=gy,
@@ -159,15 +159,19 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
         dist=fov_cfg.real_viewing_distance, fov_num=L,
         sqrt_max_ps=fov_cfg.sqrt_max_ps, interpret=interpret)
 
-    res = jax.lax.sort((key, pdepth,
-                        *(attrs[i] for i in range(attrs.shape[0]))),
-                       num_keys=2)
+    # ONE single-key sort: depth rides inside the fused key, and the packed
+    # bf16 payloads keep the operand count at 10 (sort cost grows sharply
+    # past ~13 operands on TPU).
+    res = jax.lax.sort((key, *(attrs[i] for i in range(attrs.shape[0]))),
+                       num_keys=1)
     sorted_key = res[0]
     packed = jnp.concatenate(
-        [jnp.stack(res[2:], axis=0),
-         jnp.zeros((2, cap2), jnp.float32)], axis=0)   # (16, CAP2)
+        [jnp.stack(res[1:], axis=0),
+         jnp.zeros((17 - len(res), cap2), jnp.float32)], axis=0)  # (16, CAP2)
+    db = pex.key_depth_bits(num_tiles)
     seg_start = jnp.searchsorted(
-        sorted_key, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+        sorted_key,
+        jnp.arange(num_tiles + 1, dtype=jnp.int32) << db,
         side='left').astype(jnp.int32)
     return packed, seg_start, seg_start[-1], overflow, cap2
 
@@ -405,12 +409,19 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
                                 seg_start=seg_start, num_pairs=num_pairs,
                                 overflow=overflow, depth_order=None)
         else:
-            # bn.pair_attrs already IS the kernel SoA minus padding:
-            # [mx, my, ca, cb, cc, op1, r1, g1, b1, op2, r2, g2, b2, l2cull]
-            # — geometry and the pre-sort-derived per-level values all rode
-            # the tile sort as payloads; no post-sort gathers remain.
+            # bn.pair_attrs rows: [mx, my, ca, cb, cc, op1, r1, g1, b1, op2,
+            # r2, g2, b2, l2cull] — geometry and the pre-sort-derived
+            # per-level values all rode the tile sort as payloads; pack them
+            # into the kernel's bf16-pair layout (cheap elementwise).
+            A = bn.pair_attrs
+            o2s = jnp.where(A[13] > 0.5, jnp.float32(-1.0), A[9])
             packed = jnp.concatenate(
-                [bn.pair_attrs, jnp.zeros((2, cap), jnp.float32)], axis=0)
+                [A[0:5],
+                 jnp.stack([pkf.pack2bf16_xla(A[5], o2s),
+                            pkf.pack2bf16_xla(A[6], A[7]),
+                            pkf.pack2bf16_xla(A[8], A[10]),
+                            pkf.pack2bf16_xla(A[11], A[12])], axis=0),
+                 jnp.zeros((7, cap), jnp.float32)], axis=0)
             seg_start = bn.seg_start
         tile_act = jnp.stack([
             l1_active.astype(jnp.float32), l2_active.astype(jnp.float32),

@@ -6,8 +6,10 @@ blending tile are accumulated in ONE pass over the tile's pair segment with
 a shared exp(power) evaluation; plain tiles mask the second chain off. The
 smoothstep merge runs outside the kernel (cheap elementwise).
 
-Pair SoA rows (FROW=16):
-  [mx, my, ca, cb, cc, op1, r1, g1, b1, op2, r2, g2, b2, l2cull, pad, pad]
+Pair SoA rows (FROW=16), bf16-pair packed (see expand_fov _pack2_i32):
+  [mx, my, ca, cb, cc, P_op (op1|op2'), P_a (r1|g1), P_b (b1|r2),
+   P_c (g2|b2), pad x7]
+op2' < 0 encodes the L2 cull (a2 >= ALPHA_MIN rejects it for free).
 Tile-pixel input block (1, PIX, 4): [l1_active, l2_active, pad, pad].
 Output block (1, PIX, 8): [C1r, C1g, C1b, T1, C2r, C2g, C2b, T2].
 Accepts unaligned segments (DMA windows floored to 128).
@@ -27,6 +29,30 @@ from fovsplat.ops.pallas.blend_fwd import (ALPHA_MAX, ALPHA_MIN, PIX, T_EPS,
 
 FROW = 16
 
+_MASK_HI = -65536                     # 0xFFFF0000 (python int: literals
+                                      # inline; jnp scalars become captured
+                                      # constants inside pallas kernels)
+
+
+def _hi(p):
+    """High bf16 half of a packed lane, as f32."""
+    return pltpu.bitcast(pltpu.bitcast(p, jnp.int32) & _MASK_HI, jnp.float32)
+
+
+def _lo(p):
+    """Low bf16 half of a packed lane, as f32."""
+    return pltpu.bitcast(pltpu.bitcast(p, jnp.int32) << 16, jnp.float32)
+
+
+def pack2bf16_xla(a, b):
+    """XLA-side counterpart of expand_fov._pack2_i32 (round-to-nearest
+    bf16 pair packing) for payloads produced outside the expand kernel."""
+    ua = (jax.lax.bitcast_convert_type(a, jnp.uint32)
+          + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000)
+    ub = ((jax.lax.bitcast_convert_type(b, jnp.uint32)
+           + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000)) >> 16
+    return jax.lax.bitcast_convert_type(ua | ub, jnp.float32)
+
 
 def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
                 buf, sem, *, grid_x: int, chunk: int, power_cutoff: float,
@@ -42,7 +68,13 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
         # a GPU performance trick; skipping the freeze changes pixels by at
         # most T_EPS (< half an 8-bit LSB). This halves the MXU prefix work.
         logs = jnp.log1p(-a_eff)
-        excl = jnp.dot(logs, triu, preferred_element_type=jnp.float32)
+        # bf16 MXU prefix (f32 accumulate): each log term carries <=2^-9
+        # relative error, so the exclusive sum deviates by <=0.002*sum(a)
+        # in log space — under half a percent of transmittance at any pixel
+        # still visibly accumulating. Inference-only; the training kernel
+        # (blend_fwd) stays f32.
+        excl = jnp.dot(logs.astype(jnp.bfloat16), triu,
+                       preferred_element_type=jnp.float32)
         T_row = T_pix * jnp.exp(excl)
         weight = a_eff * T_row
         cr = cr + jnp.sum(weight * col_r, axis=1, keepdims=True)
@@ -104,19 +136,21 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
             get_dma(k % 2, k).wait()
             data, G, geo_ok = chunk_geo(k)
 
-            triu = _triu_strict(chunk)
-            a1 = jnp.minimum(ALPHA_MAX, data[5:6, :] * G)
+            triu = _triu_strict(chunk).astype(jnp.bfloat16)
+            a1 = jnp.minimum(ALPHA_MAX, _hi(data[5:6, :]) * G)
             ok1 = geo_ok & (a1 >= ALPHA_MIN) & l1_active
             T1, c1r, c1g, c1b = chain(jnp.where(ok1, a1, 0.0), T1, c1r, c1g,
-                                      c1b, data[6:7, :], data[7:8, :],
-                                      data[8:9, :], triu)
+                                      c1b, _hi(data[6:7, :]),
+                                      _lo(data[6:7, :]),
+                                      _hi(data[7:8, :]), triu)
 
-            a2 = jnp.minimum(ALPHA_MAX, data[9:10, :] * G)
-            ok2 = geo_ok & (a2 >= ALPHA_MIN) & l2_active \
-                & (data[13:14, :] < 0.5)
+            # op2' < 0 on L2-culled pairs -> a2 < 0 fails the ALPHA_MIN test.
+            a2 = jnp.minimum(ALPHA_MAX, _lo(data[5:6, :]) * G)
+            ok2 = geo_ok & (a2 >= ALPHA_MIN) & l2_active
             T2, c2r, c2g, c2b = chain(jnp.where(ok2, a2, 0.0), T2, c2r, c2g,
-                                      c2b, data[10:11, :], data[11:12, :],
-                                      data[12:13, :], triu)
+                                      c2b, _lo(data[7:8, :]),
+                                      _hi(data[8:9, :]),
+                                      _lo(data[8:9, :]), triu)
 
             alive1 = jnp.max(jnp.where(l1_active, T1, 0.0)) >= T_EPS
             alive2 = jnp.max(jnp.where(l2_active, T2, 0.0)) >= T_EPS
@@ -134,11 +168,14 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
             get_dma(k % 2, k).wait()
             data, G, geo_ok = chunk_geo(k)
 
-            a1 = jnp.minimum(ALPHA_MAX, data[5:6, :] * G)
+            a1 = jnp.minimum(ALPHA_MAX, _hi(data[5:6, :]) * G)
             ok1 = geo_ok & (a1 >= ALPHA_MIN)
             T1, c1r, c1g, c1b = chain(jnp.where(ok1, a1, 0.0), T1, c1r, c1g,
-                                      c1b, data[6:7, :], data[7:8, :],
-                                      data[8:9, :], _triu_strict(chunk))
+                                      c1b, _hi(data[6:7, :]),
+                                      _lo(data[6:7, :]),
+                                      _hi(data[7:8, :]),
+                                      _triu_strict(chunk).astype(
+                                          jnp.bfloat16))
 
             cont = (k + 1 < num_chunks) & (jnp.max(T1) >= T_EPS)
 

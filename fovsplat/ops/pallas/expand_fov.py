@@ -40,10 +40,20 @@ any order; depth rides the kernel output and the tile sort orders
   32 depth | 33..39 pad (sublane-dim DMA slices must be 8-aligned)
 
 Output (OROWS=16, CAP) f32:
-  row 0: tile-sort key (i32 bit pattern; num_tiles when culled)
-  row 1: view-space depth (second sort key)
-  rows 2..15: [mx, my, ca, cb, cc, op1, r1, g1, b1, op2, r2, g2, b2, l2cull]
-— rows 2..15 are exactly the tile-sort payload set of rasterize_fov.
+  row 0: FUSED tile-sort key (i32 bit pattern): tile << depth_bits |
+         f32_bits(depth) >> (32 - depth_bits). View-space depth is positive,
+         so its high float bits are order-preserving; one single-key sort
+         replaces the (tile, depth) 2-key sort. Culled pairs get
+         num_tiles << depth_bits. Ties (depths within ~2^-11 relative) blend
+         in arbitrary order — the reference's atomic scheduling is
+         non-deterministic at far smaller scales.
+  rows 1..9: [mx, my, ca, cb, cc, P_op, P_a, P_b, P_c] where P_* pack two
+         bf16 values per f32 lane (hi|lo, round-to-nearest):
+         P_op = op1 | op2' (op2' = -1 when the pair is L2-culled),
+         P_a = r1 | g1, P_b = b1 | r2, P_c = g2 | b2.
+         Colors/opacities are blend weights of an 8-bit image; bf16's 2^-9
+         relative step is invisible, and it cuts the sort payload from 14
+         to 9 operands (sort cost grows with operand count past ~13).
 """
 
 from __future__ import annotations
@@ -58,8 +68,32 @@ from jax.experimental.pallas import tpu as pltpu
 from fovsplat.ops.projection import TILE
 
 DROWS = 40           # dtable rows (33 used; 8-aligned for sublane DMA)
-OROWS = 16           # output rows (key + depth + 14 attrs)
+OROWS = 16           # output rows (fused key + 9 packed attrs + pad)
 WPAD = 256           # window slack: 128 (w0 floor) + 128 (g span margin)
+
+_MASK_HI = -65536                     # 0xFFFF0000 (python int: literals
+                                      # inline; jnp scalars become captured
+                                      # constants inside pallas kernels)
+
+
+def key_depth_bits(num_tiles: int) -> int:
+    """Bits of depth payload in the fused (tile | depth) sort key.
+
+    tile needs ceil_log2(num_tiles + 1) bits (num_tiles is the culled
+    sentinel); depth gets the rest of the non-negative int32 range, so the
+    max key ((num_tiles + 1) << depth_bits) - 1 always fits in int31."""
+    return 31 - int(num_tiles).bit_length()
+
+
+def _pack2_i32(a, b):
+    """Two f32 vectors -> one f32 whose lanes hold (bf16(a) << 16 | bf16(b)).
+
+    Round-to-nearest via +0x8000 before truncation (monotone, carries into
+    the exponent correctly; works for negatives in sign-magnitude IEEE)."""
+    ua = (pltpu.bitcast(a, jnp.int32) + 0x8000) & _MASK_HI
+    ub = jax.lax.shift_right_logical(
+        (pltpu.bitcast(b, jnp.int32) + 0x8000) & _MASK_HI, 16)
+    return pltpu.bitcast(ua | ub, jnp.float32)
 
 
 def _acos_poly(d):
@@ -106,7 +140,7 @@ def _fov_level(tx, ty, gdx, gdy, gdz, alpha, *, width, height, real_w,
 def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm,
             win, cbuf, obuf, insem, gsem, outsem,
             *, chunk: int, wsize: int, batch: int, grid_x: int,
-            num_tiles: int, n_pad: int,
+            num_tiles: int, n_pad: int, depth_bits: int,
             width: int, height: int, real_w: float, real_h: float,
             dist: float, fov_num: int, sqrt_max_ps: float):
     cb_ = pl.program_id(0)
@@ -206,7 +240,10 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm,
                         dist=dist, fov_num=fov_num, sqrt_max_ps=sqrt_max_ps)
         hl = ex[15:16, :]
         keep = in_range & obb & (lv < hl + 1.0)
-        key = jnp.where(keep, tile, num_tiles)
+        dpart = jax.lax.shift_right_logical(
+            pltpu.bitcast(ex[32:33, :], jnp.int32), 32 - depth_bits)
+        key = jnp.where(keep, (tile << depth_bits) | dpart,
+                        num_tiles << depth_bits)
 
         p1 = lv.astype(jnp.int32)
         p2 = jnp.minimum(p1 + 1, fov_num - 1)
@@ -224,7 +261,9 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm,
 
         o1, r1c, g1c, b1c = sel(p1)
         o2, r2c, g2c, b2c = sel(p2)
-        cull = ((hl + 1.0) < (lv + 1.0)).astype(jnp.float32)
+        # L2-cull folds into the sign of op2: the blend's a2 >= ALPHA_MIN
+        # test rejects negative opacity for free.
+        o2 = jnp.where((hl + 1.0) < (lv + 1.0), -1.0, o2)
 
         # Reuse of the output slot: wait for the DMA issued two chunks ago.
         @pl.when(k >= 2)
@@ -232,10 +271,12 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm,
             out_dma(slot, k - 2).wait()
 
         obuf[slot] = jnp.concatenate(
-            [pltpu.bitcast(key, jnp.float32), ex[32:33, :],
+            [pltpu.bitcast(key, jnp.float32),
              ex[4:6, :], ex[12:15, :],
-             o1, r1c, g1c, b1c, o2, r2c, g2c, b2c, cull], axis=0)
-        # (OROWS, chunk): key | depth | 14 attrs
+             _pack2_i32(o1, o2), _pack2_i32(r1c, g1c),
+             _pack2_i32(b1c, r2c), _pack2_i32(g2c, b2c),
+             jnp.zeros((OROWS - 10, chunk), jnp.float32)], axis=0)
+        # (OROWS, chunk): fused key | mx my ca cb cc | 4 packed bf16 pairs
         out_dma(slot, k).start()
         return carry
 
@@ -429,7 +470,8 @@ def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
     first depth-rank owning pair c*chunk; total () i32 valid pair count;
     gaze_dir (3,) f32 unit gaze direction; alpha () f32.
 
-    Returns (key (CAP,) i32, depth (CAP,) f32, attrs (14, CAP) f32)."""
+    Returns (key (CAP,) i32 fused (tile << depth_bits | depth bits) sort
+    key, attrs (9, CAP) f32 [mx, my, ca, cb, cc, P_op, P_a, P_b, P_c])."""
     n_pad = dtable.shape[1]
     assert cap % (chunk * batch) == 0, (cap, chunk, batch)
     num_chunks = cap // chunk
@@ -459,7 +501,9 @@ def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
     )
     kernel = functools.partial(
         _kernel, chunk=chunk, wsize=wsize, batch=batch, grid_x=grid_x,
-        num_tiles=grid_x * grid_y, n_pad=n_pad, width=width, height=height,
+        num_tiles=grid_x * grid_y, n_pad=n_pad,
+        depth_bits=key_depth_bits(grid_x * grid_y),
+        width=width, height=height,
         real_w=real_w, real_h=real_h, dist=dist, fov_num=fov_num,
         sqrt_max_ps=sqrt_max_ps)
     out = pl.pallas_call(
@@ -469,4 +513,4 @@ def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ints, dtable, cum, consts)[0]
     key = jax.lax.bitcast_convert_type(out[0], jnp.int32)
-    return key, out[1], out[2:16]
+    return key, out[1:10]

@@ -166,26 +166,26 @@ expand = jax.jit(lambda d, c, g, t: pex.expand_fov_pallas(
     real_h=cam.height / cam.width * fov_cfg.real_image_width,
     dist=fov_cfg.real_viewing_distance, fov_num=L,
     sqrt_max_ps=fov_cfg.sqrt_max_ps))
-key, pdepth, attrs = timeit(expand, dtable, cum_pad, gstarts, total, reps=10,
-                            label="expand kernel")
+key, attrs = timeit(expand, dtable, cum_pad, gstarts, total, reps=10,
+                    label="expand kernel")
 
 
-def tile_sort(key, pdepth, attrs):
-    res = jax.lax.sort((key, pdepth,
-                        *(attrs[i] for i in range(attrs.shape[0]))),
-                       num_keys=2)
+def tile_sort(key, attrs):
+    res = jax.lax.sort((key, *(attrs[i] for i in range(attrs.shape[0]))),
+                       num_keys=1)
     sorted_key = res[0]
     packed = jnp.concatenate(
-        [jnp.stack(res[2:], axis=0), jnp.zeros((2, cap2), jnp.float32)],
+        [jnp.stack(res[1:], axis=0), jnp.zeros((7, cap2), jnp.float32)],
         axis=0)
+    db = pex.key_depth_bits(num_tiles)
     seg_start = jnp.searchsorted(
-        sorted_key, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+        sorted_key, jnp.arange(num_tiles + 1, dtype=jnp.int32) << db,
         side='left').astype(jnp.int32)
     return packed, seg_start
 
 
-packed, seg_start = timeit(jax.jit(tile_sort), key, pdepth, attrs, reps=10,
-                           label="tile sort (2-key)+pack+seg")
+packed, seg_start = timeit(jax.jit(tile_sort), key, attrs, reps=10,
+                           label="tile sort (fused-key)+pack+seg")
 
 grad_x, grad_y, _, tile_blend = foveation.compute_tile_level_infos(
     levels, cam.width, cam.height, fov_cfg)
