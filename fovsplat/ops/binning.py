@@ -281,14 +281,25 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
         chunk=chunk, batch=kbatch,
         grid_x=grid_x, grid_y=grid_y, interpret=interpret)
 
-    res = jax.lax.sort((key, pdepth,
-                        *(attrs[i] for i in range(attrs.shape[0]))),
-                       num_keys=2)
-    packed = jnp.concatenate(
-        [jnp.stack(res[2:], axis=0),
-         jnp.zeros((7, cap2), jnp.float32)], axis=0)    # (16, CAP2)
+    # Fuse (tile, depth) into ONE i32 key (view-space depth is positive, so
+    # its high float bits are order-preserving under the tile id), and pack
+    # the 9 f32 payload rows as 4 i64 operands + 1 f32: lax.sort cost scales
+    # with operand bytes AND count — 11 -> 6 operands is ~9 ms at 3.26M.
+    from fovsplat.ops.foveated import _pack_i64, _unpack_i64
+    db = pex.key_depth_bits(num_tiles)
+    fused = (key << db) | jax.lax.shift_right_logical(
+        jax.lax.bitcast_convert_type(pdepth, jnp.int32), 32 - db)
+    with jax.enable_x64(True):
+        res = jax.lax.sort(
+            (fused, _pack_i64(attrs[0], attrs[1]),
+             _pack_i64(attrs[2], attrs[3]), _pack_i64(attrs[4], attrs[5]),
+             _pack_i64(attrs[6], attrs[7]), attrs[8]),
+            num_keys=1)
+        packed = jnp.concatenate(
+            [*(_unpack_i64(res[i]) for i in range(1, 5)), res[5][None, :],
+             jnp.zeros((7, cap2), jnp.float32)], axis=0)   # (16, CAP2)
     seg_start = jnp.searchsorted(
-        res[0], jnp.arange(num_tiles + 1, dtype=jnp.int32),
+        res[0], jnp.arange(num_tiles + 1, dtype=jnp.int32) << db,
         side='left').astype(jnp.int32)
     return packed, seg_start, seg_start[-1], overflow, cap2
 

@@ -42,6 +42,24 @@ from fovsplat.ops.rasterize import RasterizeConfig, _grid
 _CLIP_LEVEL_RECTS = True
 
 
+def _pack_i64(a, b):
+    """Two f32 vectors -> one i64 (bits of a in the high word). Lossless;
+    exists purely to halve lax.sort payload-operand count (sort cost is
+    per operand, not per byte)."""
+    ua = jax.lax.bitcast_convert_type(a, jnp.uint32).astype(jnp.uint64)
+    ub = jax.lax.bitcast_convert_type(b, jnp.uint32).astype(jnp.uint64)
+    return ((ua << 32) | ub).astype(jnp.int64)
+
+
+def _unpack_i64(q):
+    """Inverse of _pack_i64 -> (2, N) f32."""
+    uq = q.astype(jnp.uint64)
+    hi = jax.lax.bitcast_convert_type(
+        (uq >> 32).astype(jnp.uint32), jnp.float32)
+    lo = jax.lax.bitcast_convert_type(uq.astype(jnp.uint32), jnp.float32)
+    return jnp.stack([hi, lo], axis=0)
+
+
 def _clip_rects_to_levels(prep, levels, hl, gx, gy, L):
     """Clip per-Gaussian tile rects to the bbox of tiles their level reaches.
 
@@ -159,15 +177,21 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
         dist=fov_cfg.real_viewing_distance, fov_num=L,
         sqrt_max_ps=fov_cfg.sqrt_max_ps, interpret=interpret)
 
-    # ONE single-key sort: depth rides inside the fused key, and the packed
-    # bf16 payloads keep the operand count at 10 (sort cost grows sharply
-    # past ~13 operands on TPU).
-    res = jax.lax.sort((key, *(attrs[i] for i in range(attrs.shape[0]))),
-                       num_keys=1)
-    sorted_key = res[0]
-    packed = jnp.concatenate(
-        [jnp.stack(res[1:], axis=0),
-         jnp.zeros((17 - len(res), cap2), jnp.float32)], axis=0)  # (16, CAP2)
+    # ONE single-key sort: depth rides inside the fused key. Sort cost on
+    # TPU scales with operand COUNT, not bytes (~2.7 ms per extra operand at
+    # 3.26M elements; an i64 operand costs the same as an f32 one), so the
+    # 9 f32 payload rows ride as 4 bit-packed i64 operands + 1 f32 — a
+    # lossless 10->6 operand reduction worth ~10 ms/frame.
+    with jax.enable_x64(True):            # i64 scoped to the sort only
+        res = jax.lax.sort(
+            (key, _pack_i64(attrs[0], attrs[1]),
+             _pack_i64(attrs[2], attrs[3]), _pack_i64(attrs[4], attrs[5]),
+             _pack_i64(attrs[6], attrs[7]), attrs[8]),
+            num_keys=1)
+        sorted_key = res[0]
+        packed = jnp.concatenate(
+            [*(_unpack_i64(res[i]) for i in range(1, 5)), res[5][None, :],
+             jnp.zeros((7, cap2), jnp.float32)], axis=0)   # (16, CAP2)
     db = pex.key_depth_bits(num_tiles)
     seg_start = jnp.searchsorted(
         sorted_key,

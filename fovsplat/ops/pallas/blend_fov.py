@@ -75,13 +75,21 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
         # (blend_fwd) stays f32.
         excl = jnp.dot(logs.astype(jnp.bfloat16), triu,
                        preferred_element_type=jnp.float32)
-        T_row = T_pix * jnp.exp(excl)
-        weight = a_eff * T_row
-        cr = cr + jnp.sum(weight * col_r, axis=1, keepdims=True)
-        cg = cg + jnp.sum(weight * col_g, axis=1, keepdims=True)
-        cb_ = cb_ + jnp.sum(weight * col_b, axis=1, keepdims=True)
+        weight = a_eff * (T_pix * jnp.exp(excl))
+        # Color accumulation on the MXU: one (PIX,chunk)x(chunk,8) matmul
+        # replaces three multiply+lane-reduction passes on the VPU (the
+        # kernel is VPU-bound; colors/weights are bf16-precision already).
+        cols = jnp.concatenate(
+            [col_r, col_g, col_b,
+             jnp.zeros((5, col_r.shape[1]), jnp.float32)],
+            axis=0).astype(jnp.bfloat16)                       # (8, chunk)
+        acc = jax.lax.dot_general(
+            weight.astype(jnp.bfloat16), cols,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (PIX, 8)
         delta = jnp.sum(logs, axis=1, keepdims=True)
-        return T_pix * jnp.exp(delta), cr, cg, cb_
+        return (T_pix * jnp.exp(delta), cr + acc[:, 0:1],
+                cg + acc[:, 1:2], cb_ + acc[:, 2:3])
 
     # batch consecutive tiles per grid program: per-program launch overhead
     # (~9 us) dwarfs one tile's compute (~2 us), so amortize it.

@@ -49,12 +49,17 @@ def force(x):
     return float(np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[0])))
 
 
-def timeit(f, *a, reps=10, label=""):
+def timeit(f, *a, reps=20, label=""):
+    """Chained-dispatch timing: the device executes dispatches in order, so
+    ONE host read after `reps` async dispatches serializes them all and the
+    ~30 ms tunnel RTT is amortized to RTT/reps (a per-rep force would fold a
+    full RTT into every measurement — the dominant term otherwise)."""
     out = f(*a)
     force(out)
     t0 = time.perf_counter()
     for _ in range(reps):
-        force(f(*a))
+        out = f(*a)
+    force(out)
     print(f"{label}: {(time.perf_counter()-t0)/reps*1e3:.2f} ms", flush=True)
     return out
 
@@ -171,12 +176,17 @@ key, attrs = timeit(expand, dtable, cum_pad, gstarts, total, reps=10,
 
 
 def tile_sort(key, attrs):
-    res = jax.lax.sort((key, *(attrs[i] for i in range(attrs.shape[0]))),
-                       num_keys=1)
-    sorted_key = res[0]
-    packed = jnp.concatenate(
-        [jnp.stack(res[1:], axis=0), jnp.zeros((7, cap2), jnp.float32)],
-        axis=0)
+    with jax.enable_x64(True):
+        res = jax.lax.sort(
+            (key, fov._pack_i64(attrs[0], attrs[1]),
+             fov._pack_i64(attrs[2], attrs[3]),
+             fov._pack_i64(attrs[4], attrs[5]),
+             fov._pack_i64(attrs[6], attrs[7]), attrs[8]),
+            num_keys=1)
+        sorted_key = res[0]
+        packed = jnp.concatenate(
+            [*(fov._unpack_i64(res[i]) for i in range(1, 5)),
+             res[5][None, :], jnp.zeros((7, cap2), jnp.float32)], axis=0)
     db = pex.key_depth_bits(num_tiles)
     seg_start = jnp.searchsorted(
         sorted_key, jnp.arange(num_tiles + 1, dtype=jnp.int32) << db,
@@ -185,7 +195,7 @@ def tile_sort(key, attrs):
 
 
 packed, seg_start = timeit(jax.jit(tile_sort), key, attrs, reps=10,
-                           label="tile sort (fused-key)+pack+seg")
+                           label="tile sort (i64-packed)+seg")
 
 grad_x, grad_y, _, tile_blend = foveation.compute_tile_level_infos(
     levels, cam.width, cam.height, fov_cfg)
