@@ -177,9 +177,15 @@ def run_bench(args, cam, arrays, n):
 
     for _ in range(args.warmup):
         float(fn(means, scales, quats).ravel()[0])
+    # Chained dispatch, ONE host read: the device executes dispatches in
+    # order, so forcing the last output serializes all reps; the ~30 ms
+    # remote-tunnel RTT is amortized to RTT/reps instead of being folded
+    # into every frame (device-only timing, same spirit as the reference's
+    # CUDA-event bracketing of the rasterizer call).
     t0 = time.perf_counter()
     for _ in range(args.reps):
-        float(fn(means, scales, quats).ravel()[0])
+        img = fn(means, scales, quats)
+    float(img.ravel()[0])
     dt = (time.perf_counter() - t0) / args.reps
     fps = 1.0 / dt
     rays_per_s = args.width * args.height * fps

@@ -6,12 +6,19 @@ Current flow has NO depth presort: invalid rows become dummy culled pairs,
 the expand kernel emits depth, and the tile sort is a 2-key (tile, depth)
 sort. (History: argsort+gather presort = 72 ms; a 33-operand payload sort
 wedges the XLA compiler for >20 min.)"""
+import argparse
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--blend-chunk", type=int, default=256)
+_ap.add_argument("--expand-chunk", type=int, default=512)
+_ap.add_argument("--expand-batch", type=int, default=8)
+_args = _ap.parse_args()
 
 from fovsplat.data.cameras import look_at_camera
 from fovsplat.ops import foveation, projection, sh
@@ -39,7 +46,7 @@ cam = look_at_camera([0.4, -0.3, -4.0], [0, 0, 0], [0, -1, 0],
 gx, gy = _grid(cam)
 num_tiles = gx * gy
 cap = 2_097_152
-chunk = 256
+chunk = _args.blend_chunk
 fov_cfg = fov.FoveationConfig()
 cfg = RasterizeConfig(pair_capacity=cap, chunk=4096, backend="pallas",
                       pallas_chunk=chunk, pallas_fwd_only=True)
@@ -120,7 +127,7 @@ cols_out = timeit(jax.jit(build_cols), model, reps=10,
                   label="per-gaussian cols")
 t1cols, t2cols, valid, depth = cols_out
 
-kchunk, kbatch = 512, 8
+kchunk, kbatch = _args.expand_chunk, _args.expand_batch
 cap_d = cap + n
 cap2 = ((cap_d + kchunk * kbatch - 1) // (kchunk * kbatch)) * (kchunk * kbatch)
 wsize = kchunk + pex.WPAD
