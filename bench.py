@@ -31,7 +31,8 @@ def build_render(args, cam, arrays, backend):
     cfg = rast.RasterizeConfig(pair_capacity=args.pair_capacity,
                                chunk=args.chunk, backend=backend,
                                pallas_chunk=256,
-                               pallas_fwd_only=backend == "pallas")
+                               pallas_fwd_only=backend == "pallas",
+                               dummy_slack=args.dummy_slack)
     if args.mode == "fov":
         from fovsplat.ops import foveated as fov
         hl, shs_dcs, opac4, rest = fovdata
@@ -73,6 +74,7 @@ def main():
     # pairs 4.5M -> 2.74M on this workload; 3M leaves ~15% headroom
     # (scripts/count_fov_pairs.py measures this).
     ap.add_argument("--pair-capacity", type=int, default=None)
+    ap.add_argument("--dummy-slack", type=int, default=None)
     ap.add_argument("--chunk", type=int, default=4096)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--reps", type=int, default=20)
@@ -83,10 +85,13 @@ def main():
                          "replaces the synthetic cloud when provided")
     args = ap.parse_args()
     if args.pair_capacity is None:
-        # fov: pnum-matched hl + level-rect clip -> ~1.5M surviving /
-        # ~2M candidate pairs at 1080p (scripts/count_fov_pairs.py);
-        # 2.5M leaves ~25% headroom (overflow counter reports any excess).
-        args.pair_capacity = 2_621_440 if args.mode == "fov" else 1 << 22
+        # fov at 1080p across corner/center gazes: real pairs <= 2.02M,
+        # invalid rows (dummy pairs) <= 0.91M, total <= 2.78M slots
+        # (measured on the synthetic bicycle-scale cloud); 2.23M + 0.92M
+        # leaves ~13% headroom and the overflow counter reports any excess.
+        args.pair_capacity = 2_228_224 if args.mode == "fov" else 1 << 22
+    if args.dummy_slack is None and args.mode == "fov":
+        args.dummy_slack = 917_504
 
     import jax
     import jax.numpy as jnp

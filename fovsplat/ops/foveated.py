@@ -43,21 +43,19 @@ _CLIP_LEVEL_RECTS = True
 
 
 def _pack_i64(a, b):
-    """Two f32 vectors -> one i64 (bits of a in the high word). Lossless;
-    exists purely to halve lax.sort payload-operand count (sort cost is
-    per operand, not per byte)."""
-    ua = jax.lax.bitcast_convert_type(a, jnp.uint32).astype(jnp.uint64)
-    ub = jax.lax.bitcast_convert_type(b, jnp.uint32).astype(jnp.uint64)
-    return ((ua << 32) | ub).astype(jnp.int64)
+    """Two f32 vectors -> one i64. Lossless; exists purely to halve
+    lax.sort payload-operand count (sort cost is per operand, not per
+    byte). Uses the trailing-dim widening bitcast — (N, 2) f32 -> (N,)
+    i64 — instead of emulated 64-bit shift/or lanes (TPUs have no native
+    i64; shift chains on 2.7M-lane vectors cost real milliseconds)."""
+    return jax.lax.bitcast_convert_type(jnp.stack([a, b], axis=-1),
+                                        jnp.int64)
 
 
 def _unpack_i64(q):
-    """Inverse of _pack_i64 -> (2, N) f32."""
-    uq = q.astype(jnp.uint64)
-    hi = jax.lax.bitcast_convert_type(
-        (uq >> 32).astype(jnp.uint32), jnp.float32)
-    lo = jax.lax.bitcast_convert_type(uq.astype(jnp.uint32), jnp.float32)
-    return jnp.stack([hi, lo], axis=0)
+    """Inverse of _pack_i64 -> (2, N) f32 (narrowing bitcast adds the
+    trailing dim back; the transpose is a plain 8-byte-strided copy)."""
+    return jax.lax.bitcast_convert_type(q, jnp.float32).T
 
 
 def _clip_rects_to_levels(prep, levels, hl, gx, gy, L):
@@ -103,7 +101,7 @@ def compute_fov_colors(means3d, shs_rest, shs_dcs, cam_center,
 
 
 def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
-                   cap, camera, fov_cfg, interpret):
+                   cap, camera, fov_cfg, interpret, dummy_slack=None):
     """Fused-Pallas foveated binning: expansion + OBB + level cull + per-pair
     level selection in one kernel (ops/pallas/expand_fov), then ONE stable
     tile sort whose payloads are the finished kernel SoA rows.
@@ -128,7 +126,7 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
     # bounded-window property holds in ORIGINAL order. Depth rides the
     # kernel output and the tile sort orders (tile, depth) with num_keys=2.
     # Capacity grows by one slot per row to hold the dummies.
-    cap_d = cap + n
+    cap_d = cap + (n if dummy_slack is None else dummy_slack)
     cap2 = ((cap_d + chunk * kbatch - 1) // (chunk * kbatch)) * (chunk * kbatch)
 
     cols = list(t1cols) + list(t2cols) + [depth]
@@ -367,7 +365,7 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
                   + [fov_colors[:, l, c] for c in range(3) for l in range(L)])
         fused = _bin_fov_fused(t1cols, t2cols, prep.valid, prep.depth, gaze,
                                alpha, gx, gy, cap, camera, fov_cfg,
-                               config.pallas_interpret)
+                               config.pallas_interpret, config.dummy_slack)
         bn = None
     elif config.backend == "pallas":
         # Pre-sort per-pair attribute derivation (see bin_gaussians): the
@@ -614,7 +612,7 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
 
     packed, seg_start, num_pairs, overflow, _cap2 = _bin_fov_fused(
         t1cols, t2cols, valid, pc.depth, gaze, alpha, gx, gy, cap, camera,
-        fov_cfg, config.pallas_interpret)
+        fov_cfg, config.pallas_interpret, config.dummy_slack)
 
     # Per-tile activity + blend + smoothstep merge (same as rasterize_fov).
     l1_i = levels.astype(jnp.int32)

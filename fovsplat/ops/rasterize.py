@@ -44,6 +44,14 @@ class RasterizeConfig:
     pallas_fused_expand: bool = True  # foveated path: fused Pallas
                                       # expansion/cull/derive kernel
                                       # (ops/pallas/expand_fov)
+    dummy_slack: int | None = None    # fused paths: slot budget for the
+                                      # one-dummy-pair-per-invalid-row
+                                      # scheme. None = N (always safe);
+                                      # set lower when the invalid-row
+                                      # count is known (the whole binning
+                                      # pipeline is CAP-sized, so unused
+                                      # slack costs sort/expand time).
+                                      # Overflow counter reports violations.
 
     def padded_capacity(self) -> int:
         c = self.chunk
@@ -116,7 +124,7 @@ def rasterize(means3d, scales, rotations, opacities, camera,
         ]
         packed, seg_start, num_pairs, overflow, _cap2 = binning.bin_fused_ps1(
             t1cols, prep.valid, prep.depth, gx, gy, cap,
-            cfg.pallas_interpret)
+            cfg.pallas_interpret, cfg.dummy_slack)
         bn = binning.Binned(pair_gauss=None, pair_tile=None,
                             seg_start=seg_start, num_pairs=num_pairs,
                             overflow=overflow, depth_order=None)

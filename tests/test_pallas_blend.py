@@ -209,3 +209,57 @@ def test_fov_unfused_expand_matches_xla():
     # bf16 payload packing tolerance — see test_pallas_fov_matches_xla.
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                rtol=0, atol=8e-3)
+
+
+def test_fov_dummy_slack_budget():
+    """config.dummy_slack: an exact invalid-row budget must reproduce the
+    always-safe (+N) default bit-for-bit, report overflow=0, and a
+    too-small total capacity must trip the overflow counter (never
+    silently drop pairs)."""
+    from fovsplat.ops import foveated as fov
+    from fovsplat.ops import projection
+    rng = np.random.default_rng(45)
+    n = 256
+    means, scales, quats, ops_, colors = synthetic_cloud(n=n, seed=45)
+    # Push a block of Gaussians behind the camera -> invalid rows that the
+    # fused path represents as dummy pairs.
+    means[:48, 2] = -50.0
+    hl = rng.integers(0, 4, (n,)).astype(np.float32)
+    shs_dcs = rng.normal(0, 0.6, (n, 4, 3)).astype(np.float32)
+    opac4 = np.clip(ops_[:, None] + rng.normal(0, 0.1, (n, 4)),
+                    0.05, 0.95).astype(np.float32)
+    rest = rng.normal(0, 0.03, (n, 15, 3)).astype(np.float32)
+    cam = make_test_camera(width=96, height=64)
+
+    prep = jax.jit(lambda m, s, q: projection.preprocess(m, s, q, cam))(
+        means, scales, quats)
+    n_invalid = int(np.sum(~np.asarray(prep.valid)))
+    assert n_invalid >= 48
+
+    base = dict(pair_capacity=1 << 13, chunk=256, backend="pallas",
+                pallas_chunk=128, pallas_interpret=True)
+    cfg_def = rasterize.RasterizeConfig(**base)
+    cfg_exact = rasterize.RasterizeConfig(**base, dummy_slack=n_invalid)
+
+    def run(cfg):
+        out = fov.rasterize_fov(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac4), jnp.asarray(shs_dcs), jnp.asarray(rest),
+            jnp.asarray(hl), cam, gaze=jnp.array([0.5, 0.5], jnp.float32),
+            alpha=0.3, blending=True, config=cfg)
+        return out["render"], out["binned"].overflow
+
+    img_def, ov_def = jax.jit(lambda: run(cfg_def))()
+    img_ex, ov_ex = jax.jit(lambda: run(cfg_exact))()
+    assert int(ov_def) == 0 and int(ov_ex) == 0
+    np.testing.assert_array_equal(np.asarray(img_ex), np.asarray(img_def))
+
+    # Starved capacity: CAP2 floors at one kernel macro-chunk (4096); make
+    # the candidate total exceed it and require the counter to fire.
+    total = int(np.sum(np.asarray(prep.tiles_touched))) + n_invalid
+    if total > 4096:
+        cfg_tiny = rasterize.RasterizeConfig(
+            pair_capacity=1, chunk=256, backend="pallas", pallas_chunk=128,
+            pallas_interpret=True, dummy_slack=0)
+        _, ov_tiny = jax.jit(lambda: run(cfg_tiny))()
+        assert int(ov_tiny) == total - 4096
