@@ -110,8 +110,9 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
     v2y, len1, len2, ca, cb, cc, hl]; t2cols: 4L (N,) columns
     [op_0..op_L-1, r_*, g_*, b_*].
 
-    Returns (packed (16, CAP2) f32 sorted SoA, seg_start (T+1,), num_pairs,
-    overflow, CAP2) — CAP2 is cap rounded up to the kernel chunking."""
+    Returns (packed (8, CAP2) f32 sorted SoA [mx, my, ca, P_cbcc, P_op,
+    P_a, P_b, P_c], seg_start (T+1,), num_pairs, overflow, CAP2) — CAP2 is
+    cap rounded up to the kernel chunking."""
     from fovsplat.ops.pallas import expand_fov as pex
 
     n = depth.shape[0]
@@ -129,16 +130,24 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
     cap_d = cap + (n if dummy_slack is None else dummy_slack)
     cap2 = ((cap_d + chunk * kbatch - 1) // (chunk * kbatch)) * (chunk * kbatch)
 
-    cols = list(t1cols) + list(t2cols) + [depth]
-    tnum = jnp.where(valid, cols[3], 1.0)
-    cols[0] = jnp.where(valid, cols[0], 0.0)          # rx0
-    cols[1] = jnp.where(valid, cols[1], 0.0)          # ry0
-    cols[2] = jnp.where(valid, cols[2], 1.0)          # rw
-    cols[15] = jnp.where(valid, cols[15], -2.0)       # hl: dummy culled
+    t1 = list(t1cols)
+    tnum = jnp.where(valid, t1[3], 1.0)
     cum_incl = jnp.cumsum(tnum)
     total_f = cum_incl[-1]
     cum_excl = cum_incl - tnum
-    cols[3] = cum_excl
+    # Exact block (rows 0..15: HIGHEST one-hot matmul in the kernel), then
+    # the bf16-tolerant block (op/r/g/b per level + cb + cc) — see the
+    # expand_fov module docstring for the split rationale.
+    cols = [jnp.where(valid, t1[0], 0.0),             # rx0
+            jnp.where(valid, t1[1], 0.0),             # ry0
+            jnp.where(valid, t1[2], 1.0),             # rw
+            cum_excl,
+            t1[4], t1[5], t1[6], t1[7], t1[8], t1[9], t1[10], t1[11],
+            t1[12],                                   # ca
+            jnp.where(valid, t1[15], -2.0),           # hl: dummy culled
+            depth,
+            jnp.zeros(n, jnp.float32)] \
+        + list(t2cols) + [t1[13], t1[14]]             # cb, cc
     total = jnp.minimum(total_f, cap2).astype(jnp.int32)
     overflow = jnp.maximum(total_f.astype(jnp.int32) - cap2, 0)
 
@@ -178,18 +187,17 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
     # ONE single-key sort: depth rides inside the fused key. Sort cost on
     # TPU scales with operand COUNT, not bytes (~2.7 ms per extra operand at
     # 3.26M elements; an i64 operand costs the same as an f32 one), so the
-    # 9 f32 payload rows ride as 4 bit-packed i64 operands + 1 f32 — a
-    # lossless 10->6 operand reduction worth ~10 ms/frame.
+    # 8 f32 payload rows ride as exactly 4 bit-packed i64 operands — a
+    # lossless 9->5 operand reduction worth ~12 ms/frame.
     with jax.enable_x64(True):            # i64 scoped to the sort only
         res = jax.lax.sort(
             (key, _pack_i64(attrs[0], attrs[1]),
              _pack_i64(attrs[2], attrs[3]), _pack_i64(attrs[4], attrs[5]),
-             _pack_i64(attrs[6], attrs[7]), attrs[8]),
+             _pack_i64(attrs[6], attrs[7])),
             num_keys=1)
         sorted_key = res[0]
         packed = jnp.concatenate(
-            [*(_unpack_i64(res[i]) for i in range(1, 5)), res[5][None, :],
-             jnp.zeros((7, cap2), jnp.float32)], axis=0)   # (16, CAP2)
+            [_unpack_i64(res[i]) for i in range(1, 5)], axis=0)  # (8, CAP2)
     db = pex.key_depth_bits(num_tiles)
     seg_start = jnp.searchsorted(
         sorted_key,
@@ -438,12 +446,13 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
             A = bn.pair_attrs
             o2s = jnp.where(A[13] > 0.5, jnp.float32(-1.0), A[9])
             packed = jnp.concatenate(
-                [A[0:5],
-                 jnp.stack([pkf.pack2bf16_xla(A[5], o2s),
+                [A[0:3],
+                 jnp.stack([pkf.pack2bf16_xla(A[3], A[4]),
+                            pkf.pack2bf16_xla(A[5], o2s),
                             pkf.pack2bf16_xla(A[6], A[7]),
                             pkf.pack2bf16_xla(A[8], A[10]),
-                            pkf.pack2bf16_xla(A[11], A[12])], axis=0),
-                 jnp.zeros((7, cap), jnp.float32)], axis=0)
+                            pkf.pack2bf16_xla(A[11], A[12])], axis=0)],
+                axis=0)                                      # (8, CAP)
             seg_start = bn.seg_start
         tile_act = jnp.stack([
             l1_active.astype(jnp.float32), l2_active.astype(jnp.float32),

@@ -6,10 +6,12 @@ blending tile are accumulated in ONE pass over the tile's pair segment with
 a shared exp(power) evaluation; plain tiles mask the second chain off. The
 smoothstep merge runs outside the kernel (cheap elementwise).
 
-Pair SoA rows (FROW=16), bf16-pair packed (see expand_fov _pack2_i32):
-  [mx, my, ca, cb, cc, P_op (op1|op2'), P_a (r1|g1), P_b (b1|r2),
-   P_c (g2|b2), pad x7]
+Pair SoA rows (FROW=8), bf16-pair packed (see expand_fov _pack2_i32):
+  [mx, my, ca, P_cbcc (cb|cc), P_op (op1|op2'), P_a (r1|g1), P_b (b1|r2),
+   P_c (g2|b2)]
 op2' < 0 encodes the L2 cull (a2 >= ALPHA_MIN rejects it for free).
+cb/cc ride as bf16 (expand_fov module docstring bounds the alpha error
+at < 1% relative; inference-only — the training kernel is blend_fwd).
 Tile-pixel input block (1, PIX, 4): [l1_active, l2_active, pad, pad].
 Output block (1, PIX, 8): [C1r, C1g, C1b, T1, C2r, C2g, C2b, T2].
 Accepts unaligned segments (DMA windows floored to 128).
@@ -27,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 from fovsplat.ops.pallas.blend_fwd import (ALPHA_MAX, ALPHA_MIN, PIX, T_EPS,
                                            _pixel_coords, _triu_strict)
 
-FROW = 16
+FROW = 8
 
 _MASK_HI = -65536                     # 0xFFFF0000 (python int: literals
                                       # inline; jnp scalars become captured
@@ -56,14 +58,28 @@ def pack2bf16_xla(a, b):
 
 def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
                 buf, sem, *, grid_x: int, chunk: int, power_cutoff: float,
-                cap: int, batch: int):
+                cap: int, batch: int, prefix_mode: str):
     tb = pl.program_id(0)
 
     # CRITICAL: a prefetch may only be started if it is guaranteed to be
     # waited on. The loop therefore decides continuation BEFORE issuing the
     # next DMA — an exited loop with a dangling started DMA corrupts
     # semaphore state across grid programs and halts the device.
-    def chain(a_eff, T_pix, cr, cg, cb_, col_r, col_g, col_b, triu):
+    def _color_acc(weight, cr, cg, cb_, col_r, col_g, col_b):
+        # Color accumulation on the MXU: one (PIX,chunk)x(chunk,8) matmul
+        # replaces three multiply+lane-reduction passes on the VPU (the
+        # kernel is VPU-bound; colors/weights are bf16-precision already).
+        cols = jnp.concatenate(
+            [col_r, col_g, col_b,
+             jnp.zeros((5, col_r.shape[1]), jnp.float32)],
+            axis=0).astype(jnp.bfloat16)                       # (8, chunk)
+        acc = jax.lax.dot_general(
+            weight.astype(jnp.bfloat16), cols,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (PIX, 8)
+        return cr + acc[:, 0:1], cg + acc[:, 1:2], cb_ + acc[:, 2:3]
+
+    def chain_logmm(a_eff, T_pix, cr, cg, cb_, col_r, col_g, col_b, triu):
         # Relaxed termination (inference): the reference's T<1e-4 freeze is
         # a GPU performance trick; skipping the freeze changes pixels by at
         # most T_EPS (< half an 8-bit LSB). This halves the MXU prefix work.
@@ -76,20 +92,30 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
         excl = jnp.dot(logs.astype(jnp.bfloat16), triu,
                        preferred_element_type=jnp.float32)
         weight = a_eff * (T_pix * jnp.exp(excl))
-        # Color accumulation on the MXU: one (PIX,chunk)x(chunk,8) matmul
-        # replaces three multiply+lane-reduction passes on the VPU (the
-        # kernel is VPU-bound; colors/weights are bf16-precision already).
-        cols = jnp.concatenate(
-            [col_r, col_g, col_b,
-             jnp.zeros((5, col_r.shape[1]), jnp.float32)],
-            axis=0).astype(jnp.bfloat16)                       # (8, chunk)
-        acc = jax.lax.dot_general(
-            weight.astype(jnp.bfloat16), cols,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                # (PIX, 8)
+        cr, cg, cb_ = _color_acc(weight, cr, cg, cb_, col_r, col_g, col_b)
         delta = jnp.sum(logs, axis=1, keepdims=True)
-        return (T_pix * jnp.exp(delta), cr + acc[:, 0:1],
-                cg + acc[:, 1:2], cb_ + acc[:, 2:3])
+        return T_pix * jnp.exp(delta), cr, cg, cb_
+
+    def chain_scan(a_eff, T_pix, cr, cg, cb_, col_r, col_g, col_b, triu):
+        # Hillis-Steele prefix PRODUCT of (1 - a) along the chunk lanes:
+        # log2(chunk)+1 roll+select+multiply rounds replace the per-lane
+        # log1p + exp transcendental pair of chain_logmm (and run exact
+        # f32 instead of bf16 log-space). pltpu.roll(x, s, 1) rotates
+        # right: lane j reads lane j-s; the wrapped lanes are masked to 1.
+        del triu
+        om = 1.0 - a_eff                                       # (PIX, chunk)
+        lane = jax.lax.broadcasted_iota(jnp.int32, om.shape, 1)
+        pinc = om
+        s = 1
+        while s < chunk:
+            pinc = pinc * jnp.where(lane >= s, pltpu.roll(pinc, s, 1), 1.0)
+            s *= 2
+        excl = jnp.where(lane >= 1, pltpu.roll(pinc, 1, 1), 1.0)
+        weight = a_eff * (T_pix * excl)
+        cr, cg, cb_ = _color_acc(weight, cr, cg, cb_, col_r, col_g, col_b)
+        return T_pix * pinc[:, chunk - 1:chunk], cr, cg, cb_
+
+    chain = chain_logmm if prefix_mode == "logmm" else chain_scan
 
     # batch consecutive tiles per grid program: per-program launch overhead
     # (~9 us) dwarfs one tile's compute (~2 us), so amortize it.
@@ -131,8 +157,8 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
             dx = mx - px
             dy = my - py
             ca = data[2:3, :]
-            cb = data[3:4, :]
-            cc = data[4:5, :]
+            cb = _hi(data[3:4, :])
+            cc = _lo(data[3:4, :])
             power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             G = jnp.exp(jnp.minimum(power, 0.0))
             geo_ok = (power <= 0.0) & (power >= power_cutoff) & in_seg
@@ -145,20 +171,20 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
             data, G, geo_ok = chunk_geo(k)
 
             triu = _triu_strict(chunk).astype(jnp.bfloat16)
-            a1 = jnp.minimum(ALPHA_MAX, _hi(data[5:6, :]) * G)
+            a1 = jnp.minimum(ALPHA_MAX, _hi(data[4:5, :]) * G)
             ok1 = geo_ok & (a1 >= ALPHA_MIN) & l1_active
             T1, c1r, c1g, c1b = chain(jnp.where(ok1, a1, 0.0), T1, c1r, c1g,
-                                      c1b, _hi(data[6:7, :]),
-                                      _lo(data[6:7, :]),
-                                      _hi(data[7:8, :]), triu)
+                                      c1b, _hi(data[5:6, :]),
+                                      _lo(data[5:6, :]),
+                                      _hi(data[6:7, :]), triu)
 
             # op2' < 0 on L2-culled pairs -> a2 < 0 fails the ALPHA_MIN test.
-            a2 = jnp.minimum(ALPHA_MAX, _lo(data[5:6, :]) * G)
+            a2 = jnp.minimum(ALPHA_MAX, _lo(data[4:5, :]) * G)
             ok2 = geo_ok & (a2 >= ALPHA_MIN) & l2_active
             T2, c2r, c2g, c2b = chain(jnp.where(ok2, a2, 0.0), T2, c2r, c2g,
-                                      c2b, _lo(data[7:8, :]),
-                                      _hi(data[8:9, :]),
-                                      _lo(data[8:9, :]), triu)
+                                      c2b, _lo(data[6:7, :]),
+                                      _hi(data[7:8, :]),
+                                      _lo(data[7:8, :]), triu)
 
             alive1 = jnp.max(jnp.where(l1_active, T1, 0.0)) >= T_EPS
             alive2 = jnp.max(jnp.where(l2_active, T2, 0.0)) >= T_EPS
@@ -176,12 +202,12 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
             get_dma(k % 2, k).wait()
             data, G, geo_ok = chunk_geo(k)
 
-            a1 = jnp.minimum(ALPHA_MAX, _hi(data[5:6, :]) * G)
+            a1 = jnp.minimum(ALPHA_MAX, _hi(data[4:5, :]) * G)
             ok1 = geo_ok & (a1 >= ALPHA_MIN)
             T1, c1r, c1g, c1b = chain(jnp.where(ok1, a1, 0.0), T1, c1r, c1g,
-                                      c1b, _hi(data[6:7, :]),
-                                      _lo(data[6:7, :]),
-                                      _hi(data[7:8, :]),
+                                      c1b, _hi(data[5:6, :]),
+                                      _lo(data[5:6, :]),
+                                      _hi(data[6:7, :]),
                                       _triu_strict(chunk).astype(
                                           jnp.bfloat16))
 
@@ -222,10 +248,10 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnames=("grid_x", "grid_y", "chunk",
                                              "power_cutoff", "interpret",
-                                             "batch"))
+                                             "batch", "prefix_mode"))
 def blend_fov_pallas(pair_data, seg_start, seg_end, tile_act,
                      grid_x, grid_y, chunk=256, power_cutoff=-4.5,
-                     interpret=False, batch=8):
+                     interpret=False, batch=8, prefix_mode="logmm"):
     """pair_data (FROW, CAP); tile_act (T, PIX, 4).
 
     Returns (C1 [T,PIX,3], T1 [T,PIX], C2 [T,PIX,3], T2 [T,PIX])."""
@@ -251,7 +277,7 @@ def blend_fov_pallas(pair_data, seg_start, seg_end, tile_act,
     )
     kernel = functools.partial(_fov_kernel, grid_x=grid_x, chunk=chunk,
                                power_cutoff=power_cutoff, cap=cap,
-                               batch=batch)
+                               batch=batch, prefix_mode=prefix_mode)
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((t_pad, PIX, 8), jnp.float32)],

@@ -32,12 +32,19 @@ minutes, and argsort+row-gathers cost ~72 ms at 1.16M rows; instead every
 invalid row contributes one dummy culled pair (hl = -2) so the pair->row
 map still advances at least one row per pair and the window bound holds in
 any order; depth rides the kernel output and the tile sort orders
-(tile, depth) with num_keys=2):
+(tile, depth) with num_keys=2). The expansion matmul is split in two:
+rows 0..15 need exact f32 selection (integer-valued columns, coordinates,
+the depth bits) and go through one Precision.HIGHEST one-hot matmul; rows
+16..33 are bf16-rounded by the sort-payload packing anyway and ride ONE
+bf16 MXU pass (a 0/1 selection matrix reproduces bf16(value) exactly) —
+less than half the MXU passes of selecting all rows at HIGHEST.
+  exact block:
   0 rmin_x | 1 rmin_y | 2 rw | 3 cum_excl | 4 mx | 5 my
   6 v1x | 7 v1y | 8 v2x | 9 v2y | 10 len1 | 11 len2
-  12 ca | 13 cb | 14 cc | 15 hl
+  12 ca | 13 hl | 14 depth | 15 pad
+  approx (bf16) block:
   16..19 op[0..3] | 20..23 r[0..3] | 24..27 g[0..3] | 28..31 b[0..3]
-  32 depth | 33..39 pad (sublane-dim DMA slices must be 8-aligned)
+  32 cb | 33 cc | 34..39 pad (sublane-dim DMA slices must be 8-aligned)
 
 Output (OROWS=16, CAP) f32:
   row 0: FUSED tile-sort key (i32 bit pattern): tile << depth_bits |
@@ -47,13 +54,17 @@ Output (OROWS=16, CAP) f32:
          num_tiles << depth_bits. Ties (depths within ~2^-11 relative) blend
          in arbitrary order — the reference's atomic scheduling is
          non-deterministic at far smaller scales.
-  rows 1..9: [mx, my, ca, cb, cc, P_op, P_a, P_b, P_c] where P_* pack two
+  rows 1..8: [mx, my, ca, P_cbcc, P_op, P_a, P_b, P_c] where P_* pack two
          bf16 values per f32 lane (hi|lo, round-to-nearest):
-         P_op = op1 | op2' (op2' = -1 when the pair is L2-culled),
-         P_a = r1 | g1, P_b = b1 | r2, P_c = g2 | b2.
+         P_cbcc = cb | cc, P_op = op1 | op2' (op2' = -1 when the pair is
+         L2-culled), P_a = r1 | g1, P_b = b1 | r2, P_c = g2 | b2.
          Colors/opacities are blend weights of an 8-bit image; bf16's 2^-9
-         relative step is invisible, and it cuts the sort payload from 14
-         to 9 operands (sort cost grows with operand count past ~13).
+         relative step is invisible there. cb/cc in bf16 perturb the
+         exponent by <= 0.2% of the quadratic terms (alpha error < 1%
+         relative, inference-only; ca keeps f32 so exactly one conic term
+         is full-precision). 8 attr rows = exactly 4 bit-packed i64 sort
+         payloads — no f32 straggler operand — and half the blend-kernel
+         DMA rows.
 """
 
 from __future__ import annotations
@@ -203,9 +214,13 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm,
         onehot_t = ((cum_lo <= p_col)
                     & (p_col < cum_hi)).astype(jnp.float32)  # (chunk, wsize)
         ex = jax.lax.dot_general(
-            win[slot], onehot_t, (((1,), (1,)), ((), ())),
+            win[slot][0:16], onehot_t, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)          # (DROWS, chunk)
+            preferred_element_type=jnp.float32)          # (16, chunk)
+        exa = jax.lax.dot_general(
+            win[slot][16:40].astype(jnp.bfloat16),
+            onehot_t.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (24, chunk)
 
         p = (c * chunk
              + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1))
@@ -238,10 +253,10 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm,
         lv = _fov_level(tx, ty, gdx, gdy, gdz, alpha, width=width,
                         height=height, real_w=real_w, real_h=real_h,
                         dist=dist, fov_num=fov_num, sqrt_max_ps=sqrt_max_ps)
-        hl = ex[15:16, :]
+        hl = ex[13:14, :]
         keep = in_range & obb & (lv < hl + 1.0)
         dpart = jax.lax.shift_right_logical(
-            pltpu.bitcast(ex[32:33, :], jnp.int32), 32 - depth_bits)
+            pltpu.bitcast(ex[14:15, :], jnp.int32), 32 - depth_bits)
         key = jnp.where(keep, (tile << depth_bits) | dpart,
                         num_tiles << depth_bits)
 
@@ -251,11 +266,12 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm,
         def sel(pk):
             out = []
             for cidx in range(4):                         # op, r, g, b
-                base_row = 16 + cidx * fov_num
-                v = ex[base_row:base_row + 1, :]
+                base_row = cidx * fov_num
+                v = exa[base_row:base_row + 1, :]
                 for lvl in range(1, fov_num):
                     v = jnp.where(pk == lvl,
-                                  ex[base_row + lvl:base_row + lvl + 1, :], v)
+                                  exa[base_row + lvl:base_row + lvl + 1, :],
+                                  v)
                 out.append(v)
             return out
 
@@ -272,11 +288,12 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm,
 
         obuf[slot] = jnp.concatenate(
             [pltpu.bitcast(key, jnp.float32),
-             ex[4:6, :], ex[12:15, :],
+             ex[4:6, :], ex[12:13, :],
+             _pack2_i32(exa[16:17, :], exa[17:18, :]),
              _pack2_i32(o1, o2), _pack2_i32(r1c, g1c),
              _pack2_i32(b1c, r2c), _pack2_i32(g2c, b2c),
-             jnp.zeros((OROWS - 10, chunk), jnp.float32)], axis=0)
-        # (OROWS, chunk): fused key | mx my ca cb cc | 4 packed bf16 pairs
+             jnp.zeros((OROWS - 9, chunk), jnp.float32)], axis=0)
+        # (OROWS, chunk): fused key | mx my ca | 5 packed bf16 pairs
         out_dma(slot, k).start()
         return carry
 
@@ -471,7 +488,7 @@ def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
     gaze_dir (3,) f32 unit gaze direction; alpha () f32.
 
     Returns (key (CAP,) i32 fused (tile << depth_bits | depth bits) sort
-    key, attrs (9, CAP) f32 [mx, my, ca, cb, cc, P_op, P_a, P_b, P_c])."""
+    key, attrs (8, CAP) f32 [mx, my, ca, P_cbcc, P_op, P_a, P_b, P_c])."""
     n_pad = dtable.shape[1]
     assert cap % (chunk * batch) == 0, (cap, chunk, batch)
     num_chunks = cap // chunk
@@ -513,4 +530,4 @@ def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ints, dtable, cum, consts)[0]
     key = jax.lax.bitcast_convert_type(out[0], jnp.int32)
-    return key, out[1:10]
+    return key, out[1:9]

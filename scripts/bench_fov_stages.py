@@ -16,6 +16,9 @@ import numpy as np
 
 _ap = argparse.ArgumentParser()
 _ap.add_argument("--blend-chunk", type=int, default=256)
+_ap.add_argument("--blend-batch", type=int, default=8)
+_ap.add_argument("--prefix-mode", default="logmm",
+                 choices=["logmm", "scan"])
 _ap.add_argument("--expand-chunk", type=int, default=512)
 _ap.add_argument("--expand-batch", type=int, default=8)
 _args = _ap.parse_args()
@@ -141,16 +144,21 @@ n_pad = max(((n + 127) // 128) * 128, wsize + 1)
 
 def build_table(t1cols, t2cols, valid, depth):
     """Dummy-pair table build (no presort): cumsum + stack + cum/gstarts."""
-    cols = list(t1cols) + list(t2cols) + [depth]
-    tnum = jnp.where(valid, cols[3], 1.0)
-    cols[0] = jnp.where(valid, cols[0], 0.0)
-    cols[1] = jnp.where(valid, cols[1], 0.0)
-    cols[2] = jnp.where(valid, cols[2], 1.0)
-    cols[15] = jnp.where(valid, cols[15], -2.0)
+    t1 = list(t1cols)
+    tnum = jnp.where(valid, t1[3], 1.0)
     cum_incl = jnp.cumsum(tnum)
     total_f = cum_incl[-1]
     cum_excl = cum_incl - tnum
-    cols[3] = cum_excl
+    cols = [jnp.where(valid, t1[0], 0.0),
+            jnp.where(valid, t1[1], 0.0),
+            jnp.where(valid, t1[2], 1.0),
+            cum_excl,
+            t1[4], t1[5], t1[6], t1[7], t1[8], t1[9], t1[10], t1[11],
+            t1[12],
+            jnp.where(valid, t1[15], -2.0),
+            depth,
+            jnp.zeros(n, jnp.float32)] \
+        + list(t2cols) + [t1[13], t1[14]]
     total = jnp.minimum(total_f, cap2).astype(jnp.int32)
     dtable = jnp.stack(cols, axis=0)
     dtable = jnp.pad(dtable, ((0, pex.DROWS - len(cols)), (0, n_pad - n)))
@@ -193,12 +201,11 @@ def tile_sort(key, attrs):
             (key, fov._pack_i64(attrs[0], attrs[1]),
              fov._pack_i64(attrs[2], attrs[3]),
              fov._pack_i64(attrs[4], attrs[5]),
-             fov._pack_i64(attrs[6], attrs[7]), attrs[8]),
+             fov._pack_i64(attrs[6], attrs[7])),
             num_keys=1)
         sorted_key = res[0]
         packed = jnp.concatenate(
-            [*(fov._unpack_i64(res[i]) for i in range(1, 5)),
-             res[5][None, :], jnp.zeros((7, cap2), jnp.float32)], axis=0)
+            [fov._unpack_i64(res[i]) for i in range(1, 5)], axis=0)
     db = pex.key_depth_bits(num_tiles)
     seg_start = jnp.searchsorted(
         sorted_key, jnp.arange(num_tiles + 1, dtype=jnp.int32) << db,
@@ -226,7 +233,8 @@ tile_act = jnp.stack([
     jnp.zeros_like(l1_active, jnp.float32)], axis=-1)
 
 kern = jax.jit(lambda p, s, e, a: pkf.blend_fov_pallas(
-    p, s, e, a, gx, gy, chunk, -4.5, False))
+    p, s, e, a, gx, gy, chunk, -4.5, False, batch=_args.blend_batch,
+    prefix_mode=_args.prefix_mode))
 timeit(kern, packed, seg_start[:-1], seg_start[1:], tile_act, reps=10,
        label="blend kernel")
 

@@ -263,3 +263,46 @@ def test_fov_dummy_slack_budget():
             pallas_interpret=True, dummy_slack=0)
         _, ov_tiny = jax.jit(lambda: run(cfg_tiny))()
         assert int(ov_tiny) == total - 4096
+
+
+def test_fov_prefix_scan_matches_logmm():
+    """blend_fov_pallas(prefix_mode='scan') — Hillis-Steele prefix product
+    — must match the default log-space MXU prefix within the bf16 log-term
+    tolerance (scan is exact f32; logmm rounds each log to bf16)."""
+    from fovsplat.ops import foveated as fov
+    from fovsplat.ops.pallas import blend_fov as pkf
+    rng = np.random.default_rng(46)
+    n = 300
+    means, scales, quats, ops_, colors = synthetic_cloud(n=n, seed=46)
+    hl = rng.integers(0, 4, (n,)).astype(np.float32)
+    shs_dcs = rng.normal(0, 0.6, (n, 4, 3)).astype(np.float32)
+    opac4 = np.clip(ops_[:, None] + rng.normal(0, 0.1, (n, 4)),
+                    0.05, 0.95).astype(np.float32)
+    rest = rng.normal(0, 0.03, (n, 15, 3)).astype(np.float32)
+    cam = make_test_camera(width=96, height=64)
+    cfg = rasterize.RasterizeConfig(pair_capacity=1 << 13, chunk=256,
+                                    backend="pallas", pallas_chunk=128,
+                                    pallas_interpret=True)
+    model = fov.pack_fov_model(means, scales, quats, opac4, shs_dcs, rest,
+                               hl)
+    gaze = jnp.array([0.5, 0.5], jnp.float32)
+
+    outs = {}
+    for mode in ("logmm", "scan"):
+        orig = pkf.blend_fov_pallas
+
+        def patched(*a, _mode=mode, **kw):
+            kw["prefix_mode"] = _mode
+            return orig(*a, **kw)
+
+        pkf_dict = pkf.__dict__
+        pkf_dict["blend_fov_pallas"] = patched
+        try:
+            outs[mode] = jax.jit(lambda: fov.rasterize_fov_soa(
+                model, cam, gaze=gaze, alpha=0.3, blending=True,
+                config=cfg)["render"])()
+        finally:
+            pkf_dict["blend_fov_pallas"] = orig
+    np.testing.assert_allclose(np.asarray(outs["scan"]),
+                               np.asarray(outs["logmm"]),
+                               rtol=0, atol=5e-3)
