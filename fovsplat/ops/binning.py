@@ -220,7 +220,7 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
 
 def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
                   pair_capacity: int, interpret: bool = False,
-                  dummy_slack=None):
+                  dummy_slack=None, compact_capacity=None):
     """Single-level fused-Pallas binning (ops/pallas/expand_fov._ps1_kernel):
     pair expansion + OBB cull in-kernel, one 2-key (tile, depth) sort
     carrying the finished blend-kernel SoA.
@@ -235,9 +235,13 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
     t1cols: 19 (N,) f32 columns [rx0, ry0, rw, tnum, mx, my, v1x, v1y, v2x,
     v2y, len1, len2, ca, cb, cc, op, r, g, b].
 
-    Returns (packed (ROW=16, CAP2) f32 sorted SoA rows
+    The kernel output is COMPACTED (culled + dummy pairs never reach HBM;
+    see expand_fov module docstring) and the tile sort runs over kept
+    pairs only, bounded by compact_capacity (None = no shrink).
+
+    Returns (packed (ROW=16, CAP3) f32 sorted SoA rows
     [mx,my,ca,cb,cc,op,r,g,b,...pad], seg_start (T+1,), num_pairs, overflow,
-    CAP2)."""
+    CAP3)."""
     from fovsplat.ops.pallas import expand_fov as pex
 
     n = depth.shape[0]
@@ -277,32 +281,32 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
         jnp.searchsorted(cum_excl, chunk_firsts, side='right').astype(
             jnp.int32) - 1, 0, n - 1)
 
-    key, pdepth, attrs = pex.expand_ps1_pallas(
-        dtable, cum_pad[None, :], gstarts, total, cap=cap2,
+    cap_out = cap2 if compact_capacity is None else compact_capacity
+    key, attrs, kept = pex.expand_ps1_pallas(
+        dtable, cum_pad[None, :], gstarts, total, cap=cap2, cap_out=cap_out,
         chunk=chunk, batch=kbatch,
         grid_x=grid_x, grid_y=grid_y, interpret=interpret)
+    cap3 = key.shape[0]
+    overflow = overflow + jnp.maximum(kept - (cap3 - (chunk + 128)), 0)
 
-    # Fuse (tile, depth) into ONE i32 key (view-space depth is positive, so
-    # its high float bits are order-preserving under the tile id), and pack
-    # the 9 f32 payload rows as 4 i64 operands + 1 f32: lax.sort cost scales
-    # with operand bytes AND count — 11 -> 6 operands is ~9 ms at 3.26M.
+    # ONE single-key sort over the COMPACTED pairs (depth rides inside the
+    # fused key); the 9 f32 payload rows ride as 4 bit-packed i64 operands
+    # + 1 f32 — lax.sort cost scales with operand count AND element count.
     from fovsplat.ops.foveated import _pack_i64, _unpack_i64
     db = pex.key_depth_bits(num_tiles)
-    fused = (key << db) | jax.lax.shift_right_logical(
-        jax.lax.bitcast_convert_type(pdepth, jnp.int32), 32 - db)
     with jax.enable_x64(True):
         res = jax.lax.sort(
-            (fused, _pack_i64(attrs[0], attrs[1]),
+            (key, _pack_i64(attrs[0], attrs[1]),
              _pack_i64(attrs[2], attrs[3]), _pack_i64(attrs[4], attrs[5]),
              _pack_i64(attrs[6], attrs[7]), attrs[8]),
             num_keys=1)
         packed = jnp.concatenate(
             [*(_unpack_i64(res[i]) for i in range(1, 5)), res[5][None, :],
-             jnp.zeros((7, cap2), jnp.float32)], axis=0)   # (16, CAP2)
+             jnp.zeros((7, cap3), jnp.float32)], axis=0)   # (16, CAP3)
     seg_start = jnp.searchsorted(
         res[0], jnp.arange(num_tiles + 1, dtype=jnp.int32) << db,
         side='left').astype(jnp.int32)
-    return packed, seg_start, seg_start[-1], overflow, cap2
+    return packed, seg_start, seg_start[-1], overflow, cap3
 
 
 @jax.tree_util.register_dataclass

@@ -101,7 +101,8 @@ def compute_fov_colors(means3d, shs_rest, shs_dcs, cam_center,
 
 
 def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
-                   cap, camera, fov_cfg, interpret, dummy_slack=None):
+                   cap, camera, fov_cfg, interpret, dummy_slack=None,
+                   compact_capacity=None):
     """Fused-Pallas foveated binning: expansion + OBB + level cull + per-pair
     level selection in one kernel (ops/pallas/expand_fov), then ONE stable
     tile sort whose payloads are the finished kernel SoA rows.
@@ -129,6 +130,9 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
     # Capacity grows by one slot per row to hold the dummies.
     cap_d = cap + (n if dummy_slack is None else dummy_slack)
     cap2 = ((cap_d + chunk * kbatch - 1) // (chunk * kbatch)) * (chunk * kbatch)
+    # The kernel compacts culled+dummy pairs away before HBM: the sort only
+    # sees kept pairs, bounded by compact_capacity (default: no shrink).
+    cap_out = cap2 if compact_capacity is None else compact_capacity
 
     t1 = list(t1cols)
     tnum = jnp.where(valid, t1[3], 1.0)
@@ -174,21 +178,25 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
         camera.height / camera.width * fov_cfg.real_image_width,
         fov_cfg.real_viewing_distance))
 
-    key, attrs = pex.expand_fov_pallas(
+    key, attrs, kept = pex.expand_fov_pallas(
         dtable, cum_pad[None, :], gstarts, total, gaze_dir,
-        jnp.float32(alpha), cap=cap2,
+        jnp.float32(alpha), cap=cap2, cap_out=cap_out,
         chunk=chunk, batch=kbatch, grid_x=gx, grid_y=gy,
         width=camera.width, height=camera.height,
         real_w=fov_cfg.real_image_width,
         real_h=camera.height / camera.width * fov_cfg.real_image_width,
         dist=fov_cfg.real_viewing_distance, fov_num=L,
         sqrt_max_ps=fov_cfg.sqrt_max_ps, interpret=interpret)
+    cap3 = key.shape[0]
+    # Compacted-output overflow: kept pairs beyond the kernel's usable
+    # write region were dropped (reported, never silently reordered).
+    overflow = overflow + jnp.maximum(
+        kept - (cap3 - (chunk + 128)), 0)
 
-    # ONE single-key sort: depth rides inside the fused key. Sort cost on
-    # TPU scales with operand COUNT, not bytes (~2.7 ms per extra operand at
-    # 3.26M elements; an i64 operand costs the same as an f32 one), so the
-    # 8 f32 payload rows ride as exactly 4 bit-packed i64 operands — a
-    # lossless 9->5 operand reduction worth ~12 ms/frame.
+    # ONE single-key sort over the COMPACTED pairs: depth rides inside the
+    # fused key, and the 8 f32 payload rows ride as exactly 4 bit-packed
+    # i64 operands (sort cost scales with operand count AND element count
+    # — the in-kernel compaction halves the latter).
     with jax.enable_x64(True):            # i64 scoped to the sort only
         res = jax.lax.sort(
             (key, _pack_i64(attrs[0], attrs[1]),
@@ -197,13 +205,13 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
             num_keys=1)
         sorted_key = res[0]
         packed = jnp.concatenate(
-            [_unpack_i64(res[i]) for i in range(1, 5)], axis=0)  # (8, CAP2)
+            [_unpack_i64(res[i]) for i in range(1, 5)], axis=0)  # (8, CAP3)
     db = pex.key_depth_bits(num_tiles)
     seg_start = jnp.searchsorted(
         sorted_key,
         jnp.arange(num_tiles + 1, dtype=jnp.int32) << db,
         side='left').astype(jnp.int32)
-    return packed, seg_start, seg_start[-1], overflow, cap2
+    return packed, seg_start, seg_start[-1], overflow, cap3
 
 
 def _dual_blend(pair_tile, pair_mean2d, pair_conic, pair_op1, pair_op2,
@@ -373,7 +381,8 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
                   + [fov_colors[:, l, c] for c in range(3) for l in range(L)])
         fused = _bin_fov_fused(t1cols, t2cols, prep.valid, prep.depth, gaze,
                                alpha, gx, gy, cap, camera, fov_cfg,
-                               config.pallas_interpret, config.dummy_slack)
+                               config.pallas_interpret, config.dummy_slack,
+                               config.compact_capacity)
         bn = None
     elif config.backend == "pallas":
         # Pre-sort per-pair attribute derivation (see bin_gaussians): the
@@ -621,7 +630,8 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
 
     packed, seg_start, num_pairs, overflow, _cap2 = _bin_fov_fused(
         t1cols, t2cols, valid, pc.depth, gaze, alpha, gx, gy, cap, camera,
-        fov_cfg, config.pallas_interpret, config.dummy_slack)
+        fov_cfg, config.pallas_interpret, config.dummy_slack,
+        config.compact_capacity)
 
     # Per-tile activity + blend + smoothstep merge (same as rasterize_fov).
     l1_i = levels.astype(jnp.int32)

@@ -46,25 +46,45 @@ less than half the MXU passes of selecting all rows at HIGHEST.
   16..19 op[0..3] | 20..23 r[0..3] | 24..27 g[0..3] | 28..31 b[0..3]
   32 cb | 33 cc | 34..39 pad (sublane-dim DMA slices must be 8-aligned)
 
-Output (OROWS=16, CAP) f32:
-  row 0: FUSED tile-sort key (i32 bit pattern): tile << depth_bits |
-         f32_bits(depth) >> (32 - depth_bits). View-space depth is positive,
-         so its high float bits are order-preserving; one single-key sort
-         replaces the (tile, depth) 2-key sort. Culled pairs get
-         num_tiles << depth_bits. Ties (depths within ~2^-11 relative) blend
-         in arbitrary order — the reference's atomic scheduling is
-         non-deterministic at far smaller scales.
-  rows 1..8: [mx, my, ca, P_cbcc, P_op, P_a, P_b, P_c] where P_* pack two
-         bf16 values per f32 lane (hi|lo, round-to-nearest):
-         P_cbcc = cb | cc, P_op = op1 | op2' (op2' = -1 when the pair is
-         L2-culled), P_a = r1 | g1, P_b = b1 | r2, P_c = g2 | b2.
-         Colors/opacities are blend weights of an 8-bit image; bf16's 2^-9
-         relative step is invisible there. cb/cc in bf16 perturb the
-         exponent by <= 0.2% of the quadratic terms (alpha error < 1%
-         relative, inference-only; ca keeps f32 so exactly one conic term
-         is full-precision). 8 attr rows = exactly 4 bit-packed i64 sort
-         payloads — no f32 straggler operand — and half the blend-kernel
-         DMA rows.
+Output is COMPACTED: culled pairs (out of range, OBB-rejected,
+level-culled, and every invalid-row dummy) are dropped in-kernel before
+they ever reach HBM, so the tile sort runs over kept pairs only (~40% of
+the candidate capacity on the bench workload — the sort is the single
+largest frame cost and scales linearly with its input). Mechanics: the
+TPU grid is sequential and scratch persists across programs, so the
+kernel keeps a running kept-count in SMEM; each chunk ranks its kept
+lanes with a strictly-upper-triangular prefix matmul, routes them
+through a transposed one-hot permutation matmul to lanes
+[tail, tail+kept) of a (OROWS, chunk+128) staging block, merges the
+<=127 unflushed lanes carried from the previous chunk, and DMAs the
+whole 128-aligned block to out_hbm at the aligned write base (out-DMAs
+are strictly ordered — consecutive blocks overlap). The final program
+drains the tail. Lanes past the final count hold stale garbage: the
+caller MUST mask by the returned count before sorting.
+
+Output (OROWS=16, CAP_OUT) f32 value rows (+ (1, 128) i32 kept count):
+  [tile, depth, mx, my, ca, P_cbcc, P_op, P_a, P_b, P_c, pad x6]
+  rows 2..9 are the blend kernel's 8-row SoA; the caller builds the fused
+  sort key from tile and depth-bits (tile << depth_bits |
+  f32_bits(depth) >> (32 - depth_bits); view-space depth is positive, so
+  its high float bits are order-preserving). Ties (depths within ~2^-11
+  relative) blend in arbitrary order — the reference's atomic scheduling
+  is non-deterministic at far smaller scales.
+  P_* pack two bf16 values per f32 lane (hi|lo, round-to-nearest):
+  P_cbcc = cb | cc, P_op = op1 | op2' (op2' = -1 when the pair is
+  L2-culled), P_a = r1 | g1, P_b = b1 | r2, P_c = g2 | b2.
+  Colors/opacities are blend weights of an 8-bit image; bf16's 2^-9
+  relative step is invisible there. cb/cc in bf16 perturb the exponent by
+  <= 0.2% of the quadratic terms (alpha error < 1% relative,
+  inference-only; ca keeps f32 so exactly one conic term is
+  full-precision). 8 attr rows = exactly 4 bit-packed i64 sort payloads.
+
+The permutation matmul moves VALUES (tile ids, depth, coords — all exact
+f32), never bit patterns: f32 bit patterns (the old fused key) could be
+NaN/denormal lanes that an MXU pass corrupts, and bf16-PAIR packed lanes
+can be denormal when the high half is ~0. Hence tile/depth ride as values
+and the key is rebuilt after the kernel, while bf16 pair packing happens
+on the staged block after the permutation.
 """
 
 from __future__ import annotations
@@ -148,14 +168,19 @@ def _fov_level(tx, ty, gdx, gdy, gdz, alpha, *, width, height, real_w,
     return jnp.minimum(lv, fov_num - 0.1)
 
 
-def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm,
-            win, cbuf, obuf, insem, gsem, outsem,
+def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm, cnt_hbm,
+            win, cbuf, obuf, tail, cntbuf, kcum, insem, gsem, outsem,
             *, chunk: int, wsize: int, batch: int, grid_x: int,
-            num_tiles: int, n_pad: int, depth_bits: int,
+            num_tiles: int, n_pad: int, cap_out: int,
             width: int, height: int, real_w: float, real_h: float,
             dist: float, fov_num: int, sqrt_max_ps: float):
     cb_ = pl.program_id(0)
     total = ints_ref[0]
+    out_w = chunk + 128
+
+    @pl.when(cb_ == 0)
+    def _():
+        kcum[0] = 0
     # (1,1) vector constants — broadcast in arithmetic, no scalar extraction.
     gdx = consts_ref[0:1, 0:1]
     gdy = consts_ref[0:1, 1:2]
@@ -176,17 +201,16 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm,
         return pltpu.make_async_copy(cum_hbm.at[:, pl.ds(w0, wsize + 128)],
                                      cbuf.at[slot], gsem.at[slot])
 
-    def out_dma(slot, k):
-        c = cb_ * batch + k
-        src = pl.multiple_of(c * chunk, 128)
+    def out_dma(slot, base):
+        dst = pl.multiple_of(jnp.minimum(base, cap_out - out_w), 128)
         return pltpu.make_async_copy(obuf.at[slot],
-                                     out_hbm.at[:, pl.ds(src, chunk)],
+                                     out_hbm.at[:, pl.ds(dst, out_w)],
                                      outsem.at[slot])
 
     win_dma(0, 0).start()
     cum_dma(0, 0).start()
 
-    def body(k, carry):
+    def body(k, prev_base):
         slot = k % 2
         win_dma(slot, k).wait()
         cum_dma(slot, k).wait()
@@ -255,10 +279,6 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm,
                         dist=dist, fov_num=fov_num, sqrt_max_ps=sqrt_max_ps)
         hl = ex[13:14, :]
         keep = in_range & obb & (lv < hl + 1.0)
-        dpart = jax.lax.shift_right_logical(
-            pltpu.bitcast(ex[14:15, :], jnp.int32), 32 - depth_bits)
-        key = jnp.where(keep, (tile << depth_bits) | dpart,
-                        num_tiles << depth_bits)
 
         p1 = lv.astype(jnp.int32)
         p2 = jnp.minimum(p1 + 1, fov_num - 1)
@@ -281,29 +301,89 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm,
         # test rejects negative opacity for free.
         o2 = jnp.where((hl + 1.0) < (lv + 1.0), -1.0, o2)
 
-        # Reuse of the output slot: wait for the DMA issued two chunks ago.
-        @pl.when(k >= 2)
+        # --- In-kernel compaction (module docstring): rank kept lanes,
+        # permute them to [tail_len, tail_len + kept) of the staging
+        # block, merge the carried tail, flush 128-aligned lanes.
+        keepf = keep.astype(jnp.float32)                 # (1, chunk)
+        riota = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+        ciota = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+        triu = (riota < ciota).astype(jnp.float32)
+        rank = jax.lax.dot_general(
+            keepf, triu, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)          # (1, chunk) excl
+        kept = jnp.sum(keepf).astype(jnp.int32)
+
+        kc = kcum[0]
+        tail_len = jax.lax.rem(kc, 128)
+        base = kc - tail_len
+        dst = tail_len.astype(jnp.float32) + rank        # (1, chunk)
+        d_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (out_w, chunk), 0).astype(jnp.float32)
+        ohT = ((d_iota == dst) & keep).astype(jnp.float32)  # (out_w, chunk)
+
+        vals = jnp.concatenate(
+            [tile.astype(jnp.float32), ex[14:15, :],     # tile, depth
+             ex[4:6, :], ex[12:13, :],                   # mx, my, ca
+             exa[16:17, :], exa[17:18, :],               # cb, cc
+             o1, o2, r1c, g1c, b1c, r2c, g2c, b2c,
+             jnp.zeros((1, chunk), jnp.float32)], axis=0)   # (16, chunk)
+        staged = jax.lax.dot_general(
+            vals, ohT, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)          # (16, out_w)
+
+        blk = jnp.concatenate(
+            [staged[0:5],
+             _pack2_i32(staged[5:6], staged[6:7]),
+             _pack2_i32(staged[7:8], staged[8:9]),
+             _pack2_i32(staged[9:10], staged[10:11]),
+             _pack2_i32(staged[11:12], staged[12:13]),
+             _pack2_i32(staged[13:14], staged[14:15]),
+             jnp.zeros((OROWS - 10, out_w), jnp.float32)], axis=0)
+        # Merge the carried tail into lanes [0, tail_len).
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (OROWS, 128), 1)
+        head = jnp.where(lane128 < tail_len, tail[...], blk[:, 0:128])
+        blk = jnp.concatenate([head, blk[:, 128:]], axis=1)
+
+        # Out-DMAs are strictly ordered (consecutive blocks overlap):
+        # complete the previous one before starting this one; the wait
+        # descriptor only needs matching static shapes.
+        @pl.when(prev_base >= 0)
         def _():
-            out_dma(slot, k - 2).wait()
+            out_dma(1 - slot, prev_base).wait()
 
-        obuf[slot] = jnp.concatenate(
-            [pltpu.bitcast(key, jnp.float32),
-             ex[4:6, :], ex[12:13, :],
-             _pack2_i32(exa[16:17, :], exa[17:18, :]),
-             _pack2_i32(o1, o2), _pack2_i32(r1c, g1c),
-             _pack2_i32(b1c, r2c), _pack2_i32(g2c, b2c),
-             jnp.zeros((OROWS - 9, chunk), jnp.float32)], axis=0)
-        # (OROWS, chunk): fused key | mx my ca | 5 packed bf16 pairs
-        out_dma(slot, k).start()
-        return carry
+        obuf[slot] = blk
+        out_dma(slot, base).start()
 
-    jax.lax.fori_loop(0, batch, body, 0)
-    # Drain the in-flight out-DMAs before the program ends.
-    out_dma((batch - 1) % 2, batch - 1).wait()
+        # Carry the unflushed remainder [flush, new_total) — flush is a
+        # 128 multiple <= chunk, so the window is one of 5 static slices.
+        # Selected with VECTOR-predicate wheres: a scalar-condition select
+        # over vectors (lax.switch / scalar jnp.where) fails Mosaic
+        # legalization ('arith.select' on vector operands with i1 pred).
+        new_total = tail_len + kept
+        flush = (new_total // 128) * 128
+        fidx = jnp.full((OROWS, 128), flush // 128, jnp.int32)
+        sel = blk[:, 0:128]
+        for i in range(1, chunk // 128 + 1):
+            sel = jnp.where(fidx == i, blk[:, 128 * i:128 * i + 128], sel)
+        tail[...] = sel
+        kcum[0] = kc + kept
+        return base
 
-    @pl.when(batch >= 2)
+    last_base = jax.lax.fori_loop(0, batch, body, jnp.int32(-1))
+    # Drain the in-flight out-DMA before the program ends.
+    out_dma((batch - 1) % 2, last_base).wait()
+
+    # Last program: publish the kept count. (No tail flush needed — every
+    # chunk's full-width DMA already wrote its unflushed lanes; the carry
+    # exists only to survive the NEXT chunk's overlapping write.)
+    @pl.when(cb_ == pl.num_programs(0) - 1)
     def _():
-        out_dma((batch - 2) % 2, batch - 2).wait()
+        cntbuf[...] = jnp.full((1, 128), kcum[0], jnp.int32)
+        cc_dma = pltpu.make_async_copy(cntbuf, cnt_hbm, gsem.at[0])
+        cc_dma.start()
+        cc_dma.wait()
 
 
 # ------------------------------------------------------------- plain path
@@ -312,20 +392,28 @@ PROWS = 24           # ps1 dtable rows (sublane-dim DMA slices must be 8-aligned
 POROWS = 16          # ps1 output rows (key + 9 attrs + pad)
 
 
-def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm,
-                win, cbuf, obuf, insem, gsem, outsem,
+def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
+                win, cbuf, obuf, tail, cntbuf, kcum, insem, gsem, outsem,
                 *, chunk: int, wsize: int, batch: int, grid_x: int,
-                num_tiles: int, n_pad: int):
-    """Plain (single-level) pair expansion + OBB cull + key emission.
+                num_tiles: int, n_pad: int, cap_out: int):
+    """Plain (single-level) pair expansion + OBB cull, output COMPACTED
+    exactly like the foveated kernel (see module docstring — same
+    rank/permute/tail machinery; culled + dummy pairs never reach HBM).
 
     dtable rows (PROWS=24), ORIGINAL Gaussian order (no depth presort —
     invalid rows carry one dummy pair with valid=0; see module docstring):
     [rx0, ry0, rw, cum_excl, mx, my, v1x, v1y, v2x, v2y, len1, len2,
     ca, cb, cc, op, r, g, b, valid, depth, pad x3].
-    Output rows (POROWS=16): [keybits, depth, mx, my, ca, cb, cc, op, r, g,
-    b, pad x5] — rows 2..10 are exactly the blend_fwd ROW prefix."""
+    Output rows (POROWS=16), compacted values (+ (1,128) i32 kept count):
+    [tile, depth, mx, my, ca, cb, cc, op, r, g, b, pad x5] — rows 2..10
+    are exactly the blend_fwd ROW prefix."""
     cb_ = pl.program_id(0)
     total = ints_ref[0]
+    out_w = chunk + 128
+
+    @pl.when(cb_ == 0)
+    def _():
+        kcum[0] = 0
 
     def win_dma(slot, k):
         c = cb_ * batch + k
@@ -341,17 +429,16 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm,
         return pltpu.make_async_copy(cum_hbm.at[:, pl.ds(w0, wsize + 128)],
                                      cbuf.at[slot], gsem.at[slot])
 
-    def out_dma(slot, k):
-        c = cb_ * batch + k
-        src = pl.multiple_of(c * chunk, 128)
+    def out_dma(slot, base):
+        dst = pl.multiple_of(jnp.minimum(base, cap_out - out_w), 128)
         return pltpu.make_async_copy(obuf.at[slot],
-                                     out_hbm.at[:, pl.ds(src, chunk)],
+                                     out_hbm.at[:, pl.ds(dst, out_w)],
                                      outsem.at[slot])
 
     win_dma(0, 0).start()
     cum_dma(0, 0).start()
 
-    def body(k, carry):
+    def body(k, prev_base):
         slot = k % 2
         win_dma(slot, k).wait()
         cum_dma(slot, k).wait()
@@ -407,40 +494,86 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm,
         obb = obb | (l1e <= 0.0)
 
         keep = in_range & obb & (ex[19:20, :] > 0.0)
-        key = jnp.where(keep, tile, num_tiles)
 
-        @pl.when(k >= 2)
-        def _():
-            out_dma(slot, k - 2).wait()
+        # In-kernel compaction — identical machinery to the fov kernel.
+        keepf = keep.astype(jnp.float32)
+        riota = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+        ciota = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+        triu = (riota < ciota).astype(jnp.float32)
+        rank = jax.lax.dot_general(
+            keepf, triu, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        kept = jnp.sum(keepf).astype(jnp.int32)
 
-        obuf[slot] = jnp.concatenate(
-            [pltpu.bitcast(key, jnp.float32), ex[20:21, :],
-             ex[4:6, :], ex[12:19, :],
+        kc = kcum[0]
+        tail_len = jax.lax.rem(kc, 128)
+        base = kc - tail_len
+        dst = tail_len.astype(jnp.float32) + rank
+        d_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (out_w, chunk), 0).astype(jnp.float32)
+        ohT = ((d_iota == dst) & keep).astype(jnp.float32)
+
+        vals = jnp.concatenate(
+            [tile.astype(jnp.float32), ex[20:21, :],     # tile, depth
+             ex[4:6, :], ex[12:19, :],     # mx, my, ca, cb, cc, op, r, g, b
              jnp.zeros((POROWS - 11, chunk), jnp.float32)], axis=0)
-        out_dma(slot, k).start()
-        return carry
+        staged = jax.lax.dot_general(
+            vals, ohT, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)          # (POROWS, out_w)
 
-    jax.lax.fori_loop(0, batch, body, 0)
-    out_dma((batch - 1) % 2, batch - 1).wait()
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (POROWS, 128), 1)
+        head = jnp.where(lane128 < tail_len, tail[...], staged[:, 0:128])
+        blk = jnp.concatenate([head, staged[:, 128:]], axis=1)
 
-    @pl.when(batch >= 2)
+        @pl.when(prev_base >= 0)
+        def _():
+            out_dma(1 - slot, prev_base).wait()
+
+        obuf[slot] = blk
+        out_dma(slot, base).start()
+
+        new_total = tail_len + kept
+        flush = (new_total // 128) * 128
+        fidx = jnp.full((POROWS, 128), flush // 128, jnp.int32)
+        sel = blk[:, 0:128]
+        for i in range(1, chunk // 128 + 1):
+            sel = jnp.where(fidx == i, blk[:, 128 * i:128 * i + 128], sel)
+        tail[...] = sel
+        kcum[0] = kc + kept
+        return base
+
+    last_base = jax.lax.fori_loop(0, batch, body, jnp.int32(-1))
+    out_dma((batch - 1) % 2, last_base).wait()
+
+    @pl.when(cb_ == pl.num_programs(0) - 1)
     def _():
-        out_dma((batch - 2) % 2, batch - 2).wait()
+        cntbuf[...] = jnp.full((1, 128), kcum[0], jnp.int32)
+        cc_dma = pltpu.make_async_copy(cntbuf, cnt_hbm, gsem.at[0])
+        cc_dma.start()
+        cc_dma.wait()
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cap", "chunk", "batch", "grid_x", "grid_y", "interpret"))
+    "cap", "cap_out", "chunk", "batch", "grid_x", "grid_y", "interpret"))
 def expand_ps1_pallas(dtable, cum, gstarts, total,
-                      *, cap, chunk=512, batch=8, grid_x, grid_y,
-                      interpret=False):
+                      *, cap, cap_out=None, chunk=512, batch=8, grid_x,
+                      grid_y, interpret=False):
     """dtable (PROWS, N_pad) f32 in ORIGINAL order (valid flag row 19,
     depth row 20); cum (1, N_pad + 128) f32 exclusive cumsum (dummy pairs
     for invalid rows; padding past the total; +128 for aligned window
-    reads); gstarts (CAP//chunk,) i32; total () i32.
-    Returns (key (CAP,) i32, depth (CAP,) f32, attrs (9, CAP) f32
-    [mx, my, ca, cb, cc, op, r, g, b])."""
+    reads); gstarts (CAP//chunk,) i32; total () i32. cap_out bounds the
+    COMPACTED output (kept pairs only; defaults to cap).
+    Returns (key (CAP_OUT,) i32 fused (tile << depth_bits | depth bits)
+    sort key — sentinel-masked past the kept count, attrs (9, CAP_OUT) f32
+    [mx, my, ca, cb, cc, op, r, g, b], kept () i32)."""
     n_pad = dtable.shape[1]
     assert cap % (chunk * batch) == 0, (cap, chunk, batch)
+    if cap_out is None:
+        cap_out = cap
+    cap_out = ((cap_out + 127) // 128) * 128
+    assert cap_out >= chunk + 128
     num_chunks = cap // chunk
     wsize = chunk + WPAD
     assert n_pad >= wsize, (n_pad, wsize)
@@ -452,45 +585,67 @@ def expand_ps1_pallas(dtable, cum, gstarts, total,
         grid=(num_chunks // batch,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[pltpu.VMEM((2, PROWS, wsize), jnp.float32),
                         pltpu.VMEM((2, 1, wsize + 128), jnp.float32),
-                        pltpu.VMEM((2, POROWS, chunk), jnp.float32),
+                        pltpu.VMEM((2, POROWS, chunk + 128), jnp.float32),
+                        pltpu.VMEM((POROWS, 128), jnp.float32),
+                        pltpu.VMEM((1, 128), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,))],
     )
     kernel = functools.partial(
         _ps1_kernel, chunk=chunk, wsize=wsize, batch=batch, grid_x=grid_x,
-        num_tiles=grid_x * grid_y, n_pad=n_pad)
-    out = pl.pallas_call(
+        num_tiles=grid_x * grid_y, n_pad=n_pad, cap_out=cap_out)
+    out, cnt = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((POROWS, cap), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((POROWS, cap_out), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 128), jnp.int32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ints, dtable, cum)[0]
-    key = jax.lax.bitcast_convert_type(out[0], jnp.int32)
-    return key, out[1], out[2:11]
+    )(ints, dtable, cum)
+    kept = cnt[0, 0]
+    db = key_depth_bits(grid_x * grid_y)
+    num_tiles = grid_x * grid_y
+    usable = jnp.minimum(kept, cap_out - (chunk + 128))
+    lane = jnp.arange(cap_out, dtype=jnp.int32)
+    tile_i = out[0].astype(jnp.int32)
+    dpart = jax.lax.shift_right_logical(
+        jax.lax.bitcast_convert_type(out[1], jnp.int32), 32 - db)
+    key = jnp.where(lane < usable, (tile_i << db) | dpart,
+                    num_tiles << db)
+    return key, out[2:11], kept
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cap", "chunk", "batch", "grid_x", "grid_y", "width", "height",
-    "real_w", "real_h", "dist", "fov_num", "sqrt_max_ps", "interpret"))
+    "cap", "cap_out", "chunk", "batch", "grid_x", "grid_y", "width",
+    "height", "real_w", "real_h", "dist", "fov_num", "sqrt_max_ps",
+    "interpret"))
 def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
-                      chunk=512, batch=8, grid_x, grid_y, width, height,
-                      real_w, real_h, dist, fov_num, sqrt_max_ps,
-                      interpret=False):
+                      cap_out=None, chunk=512, batch=8, grid_x, grid_y,
+                      width, height, real_w, real_h, dist, fov_num,
+                      sqrt_max_ps, interpret=False):
     """dtable (DROWS, N_pad) f32 (N_pad multiple of 128, >= wsize+1);
-    cum (1, N_pad + 128) f32 exclusive cumsum of tiles_touched in depth
+    cum (1, N_pad + 128) f32 exclusive cumsum of tiles_touched in original
     order (padding rows set past the pair total; +128 so the kernel's
     8-row-aligned window reads never run off the end); gstarts (CAP//chunk,) i32 =
-    first depth-rank owning pair c*chunk; total () i32 valid pair count;
-    gaze_dir (3,) f32 unit gaze direction; alpha () f32.
+    first row owning pair c*chunk; total () i32 candidate pair count;
+    gaze_dir (3,) f32 unit gaze direction; alpha () f32. cap_out bounds the
+    COMPACTED output (kept pairs only; defaults to cap).
 
-    Returns (key (CAP,) i32 fused (tile << depth_bits | depth bits) sort
-    key, attrs (8, CAP) f32 [mx, my, ca, P_cbcc, P_op, P_a, P_b, P_c])."""
+    Returns (key (CAP_OUT,) i32 fused (tile << depth_bits | depth bits)
+    sort key — sentinel-masked past the kept count, attrs (8, CAP_OUT) f32
+    [mx, my, ca, P_cbcc, P_op, P_a, P_b, P_c], kept () i32 — may exceed
+    the usable capacity, in which case trailing pairs were dropped)."""
     n_pad = dtable.shape[1]
     assert cap % (chunk * batch) == 0, (cap, chunk, batch)
+    if cap_out is None:
+        cap_out = cap
+    cap_out = ((cap_out + 127) // 128) * 128
+    assert cap_out >= chunk + 128
     num_chunks = cap // chunk
     wsize = chunk + WPAD
     assert n_pad >= wsize, (n_pad, wsize)
@@ -508,26 +663,41 @@ def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec((1, 128), lambda i, *_: (0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[pltpu.VMEM((2, DROWS, wsize), jnp.float32),
                         pltpu.VMEM((2, 1, wsize + 128), jnp.float32),
-                        pltpu.VMEM((2, OROWS, chunk), jnp.float32),
+                        pltpu.VMEM((2, OROWS, chunk + 128), jnp.float32),
+                        pltpu.VMEM((OROWS, 128), jnp.float32),
+                        pltpu.VMEM((1, 128), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,))],
     )
     kernel = functools.partial(
         _kernel, chunk=chunk, wsize=wsize, batch=batch, grid_x=grid_x,
-        num_tiles=grid_x * grid_y, n_pad=n_pad,
-        depth_bits=key_depth_bits(grid_x * grid_y),
+        num_tiles=grid_x * grid_y, n_pad=n_pad, cap_out=cap_out,
         width=width, height=height,
         real_w=real_w, real_h=real_h, dist=dist, fov_num=fov_num,
         sqrt_max_ps=sqrt_max_ps)
-    out = pl.pallas_call(
+    out, cnt = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((OROWS, cap), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((OROWS, cap_out), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 128), jnp.int32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ints, dtable, cum, consts)[0]
-    key = jax.lax.bitcast_convert_type(out[0], jnp.int32)
-    return key, out[1:9]
+    )(ints, dtable, cum, consts)
+    kept = cnt[0, 0]
+    # Lanes past the kept count (and past the clamped write region when
+    # kept overflows cap_out) hold stale garbage — sentinel-mask the key.
+    db = key_depth_bits(grid_x * grid_y)
+    num_tiles = grid_x * grid_y
+    usable = jnp.minimum(kept, cap_out - (chunk + 128))
+    lane = jnp.arange(cap_out, dtype=jnp.int32)
+    tile_i = out[0].astype(jnp.int32)
+    dpart = jax.lax.shift_right_logical(
+        jax.lax.bitcast_convert_type(out[1], jnp.int32), 32 - db)
+    key = jnp.where(lane < usable, (tile_i << db) | dpart,
+                    num_tiles << db)
+    return key, out[2:10], kept

@@ -44,6 +44,16 @@ class RasterizeConfig:
     pallas_fused_expand: bool = True  # foveated path: fused Pallas
                                       # expansion/cull/derive kernel
                                       # (ops/pallas/expand_fov)
+    compact_capacity: int | None = None  # fused paths: capacity of the
+                                      # in-kernel-COMPACTED pair buffer the
+                                      # tile sort runs over (kept pairs
+                                      # only — culled + dummy pairs never
+                                      # reach HBM). None = candidate
+                                      # capacity (always safe); set to the
+                                      # measured kept-pair bound + headroom
+                                      # to shrink the sort (its cost is
+                                      # linear in capacity). Overflow is
+                                      # counted, never silently reordered.
     dummy_slack: int | None = None    # fused paths: slot budget for the
                                       # one-dummy-pair-per-invalid-row
                                       # scheme. None = N (always safe);
@@ -124,7 +134,7 @@ def rasterize(means3d, scales, rotations, opacities, camera,
         ]
         packed, seg_start, num_pairs, overflow, _cap2 = binning.bin_fused_ps1(
             t1cols, prep.valid, prep.depth, gx, gy, cap,
-            cfg.pallas_interpret, cfg.dummy_slack)
+            cfg.pallas_interpret, cfg.dummy_slack, cfg.compact_capacity)
         bn = binning.Binned(pair_gauss=None, pair_tile=None,
                             seg_start=seg_start, num_pairs=num_pairs,
                             overflow=overflow, depth_order=None)

@@ -19,6 +19,9 @@ _ap.add_argument("--blend-chunk", type=int, default=256)
 _ap.add_argument("--blend-batch", type=int, default=8)
 _ap.add_argument("--prefix-mode", default="logmm",
                  choices=["logmm", "scan"])
+# Kept pairs measured 1.27M at the center gaze; 1.75M leaves headroom for
+# the corner gazes until they are measured (overflow is reported).
+_ap.add_argument("--compact-capacity", type=int, default=1_835_008)
 _ap.add_argument("--expand-chunk", type=int, default=512)
 _ap.add_argument("--expand-batch", type=int, default=8)
 _args = _ap.parse_args()
@@ -57,7 +60,8 @@ chunk = _args.blend_chunk
 fov_cfg = fov.FoveationConfig()
 cfg = RasterizeConfig(pair_capacity=cap, chunk=4096, backend="pallas",
                       pallas_chunk=chunk, pallas_fwd_only=True,
-                      dummy_slack=dummy_slack)
+                      dummy_slack=dummy_slack,
+                      compact_capacity=_args.compact_capacity)
 
 
 def force(x):
@@ -183,16 +187,19 @@ gaze_dir = jnp.stack(foveation._ncd2dir(
     cam.height / cam.width * fov_cfg.real_image_width,
     fov_cfg.real_viewing_distance))
 
+cap_out = _args.compact_capacity
 expand = jax.jit(lambda d, c, g, t: pex.expand_fov_pallas(
     d, c[None, :], g, t, gaze_dir, jnp.float32(alpha), cap=cap2,
-    chunk=kchunk, batch=kbatch, grid_x=gx, grid_y=gy,
+    cap_out=cap_out, chunk=kchunk, batch=kbatch, grid_x=gx, grid_y=gy,
     width=cam.width, height=cam.height,
     real_w=fov_cfg.real_image_width,
     real_h=cam.height / cam.width * fov_cfg.real_image_width,
     dist=fov_cfg.real_viewing_distance, fov_num=L,
     sqrt_max_ps=fov_cfg.sqrt_max_ps))
-key, attrs = timeit(expand, dtable, cum_pad, gstarts, total, reps=10,
-                    label="expand kernel")
+key, attrs, kept = timeit(expand, dtable, cum_pad, gstarts, total, reps=10,
+                          label="expand kernel (compacting)")
+print("kept pairs (post OBB/level cull):", int(jax.device_get(kept)),
+      "cap_out:", key.shape[0], flush=True)
 
 
 def tile_sort(key, attrs):

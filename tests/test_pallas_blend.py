@@ -306,3 +306,48 @@ def test_fov_prefix_scan_matches_logmm():
     np.testing.assert_allclose(np.asarray(outs["scan"]),
                                np.asarray(outs["logmm"]),
                                rtol=0, atol=5e-3)
+
+
+def test_fov_compact_capacity():
+    """compact_capacity: a tight kept-pair budget reproduces the unshrunk
+    output bit-for-bit with overflow=0; a starved budget trips the
+    overflow counter (pairs drop, never reorder)."""
+    from fovsplat.ops import foveated as fov
+    rng = np.random.default_rng(47)
+    n = 300
+    means, scales, quats, ops_, colors = synthetic_cloud(n=n, seed=47)
+    hl = rng.integers(0, 4, (n,)).astype(np.float32)
+    shs_dcs = rng.normal(0, 0.6, (n, 4, 3)).astype(np.float32)
+    opac4 = np.clip(ops_[:, None] + rng.normal(0, 0.1, (n, 4)),
+                    0.05, 0.95).astype(np.float32)
+    rest = rng.normal(0, 0.03, (n, 15, 3)).astype(np.float32)
+    cam = make_test_camera(width=96, height=64)
+    base = dict(pair_capacity=1 << 13, chunk=256, backend="pallas",
+                pallas_chunk=128, pallas_interpret=True)
+    model = fov.pack_fov_model(means, scales, quats, opac4, shs_dcs, rest,
+                               hl)
+    gaze = jnp.array([0.5, 0.5], jnp.float32)
+
+    def run(cfg):
+        out = fov.rasterize_fov_soa(model, cam, gaze=gaze, alpha=0.3,
+                                    blending=True, config=cfg)
+        return out["render"], out["num_pairs"], out["overflow"]
+
+    img0, np0, ov0 = jax.jit(
+        lambda: run(rasterize.RasterizeConfig(**base)))()
+    kept = int(np0)
+    assert kept > 0 and int(ov0) == 0
+    # Tight: kept + the kernel's unusable write margin (chunk + 128 for
+    # the fused path's 512-lane kernel chunk), rounded up to 128.
+    tight = ((kept + 512 + 128 + 127) // 128) * 128
+    img1, np1, ov1 = jax.jit(lambda: run(
+        rasterize.RasterizeConfig(**base, compact_capacity=tight)))()
+    assert int(ov1) == 0 and int(np1) == kept
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img0))
+
+    starved = 1024
+    if kept > starved:
+        img2, np2, ov2 = jax.jit(lambda: run(
+            rasterize.RasterizeConfig(**base, compact_capacity=starved)))()
+        assert int(ov2) == kept - (starved - 512 - 128)
+        assert int(np2) <= starved - 512 - 128
