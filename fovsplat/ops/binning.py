@@ -220,7 +220,8 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
 
 def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
                   pair_capacity: int, interpret: bool = False,
-                  dummy_slack=None, compact_capacity=None):
+                  dummy_slack=None, compact_capacity=None, chunk=256,
+                  kbatch=16):
     """Single-level fused-Pallas binning (ops/pallas/expand_fov._ps1_kernel):
     pair expansion + OBB cull in-kernel, one 2-key (tile, depth) sort
     carrying the finished blend-kernel SoA.
@@ -246,7 +247,6 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
 
     n = depth.shape[0]
     num_tiles = grid_x * grid_y
-    chunk, kbatch = 512, 8
     cap_d = pair_capacity + (n if dummy_slack is None else dummy_slack)
     cap2 = ((cap_d + chunk * kbatch - 1) // (chunk * kbatch)) \
         * (chunk * kbatch)

@@ -102,7 +102,7 @@ def compute_fov_colors(means3d, shs_rest, shs_dcs, cam_center,
 
 def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
                    cap, camera, fov_cfg, interpret, dummy_slack=None,
-                   compact_capacity=None):
+                   compact_capacity=None, chunk=256, kbatch=16):
     """Fused-Pallas foveated binning: expansion + OBB + level cull + per-pair
     level selection in one kernel (ops/pallas/expand_fov), then ONE stable
     tile sort whose payloads are the finished kernel SoA rows.
@@ -119,7 +119,6 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
     n = depth.shape[0]
     num_tiles = gx * gy
     L = fov_cfg.fov_num
-    chunk, kbatch = 512, 8
     # NO depth presort. A 33-operand payload sort wedges the XLA TPU
     # compiler (>20 min compile); argsort + row gathers cost ~72 ms at
     # 1.16M rows. Instead: every INVALID row contributes exactly one dummy
@@ -382,7 +381,8 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
         fused = _bin_fov_fused(t1cols, t2cols, prep.valid, prep.depth, gaze,
                                alpha, gx, gy, cap, camera, fov_cfg,
                                config.pallas_interpret, config.dummy_slack,
-                               config.compact_capacity)
+                               config.compact_capacity, config.expand_chunk,
+                               config.expand_batch)
         bn = None
     elif config.backend == "pallas":
         # Pre-sort per-pair attribute derivation (see bin_gaussians): the
@@ -631,7 +631,7 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
     packed, seg_start, num_pairs, overflow, _cap2 = _bin_fov_fused(
         t1cols, t2cols, valid, pc.depth, gaze, alpha, gx, gy, cap, camera,
         fov_cfg, config.pallas_interpret, config.dummy_slack,
-        config.compact_capacity)
+        config.compact_capacity, config.expand_chunk, config.expand_batch)
 
     # Per-tile activity + blend + smoothstep merge (same as rasterize_fov).
     l1_i = levels.astype(jnp.int32)

@@ -27,7 +27,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fovsplat.ops.pallas.blend_fwd import (ALPHA_MAX, ALPHA_MIN, PIX, T_EPS,
-                                           _pixel_coords, _triu_strict)
+                                           _pixel_quad_feat, _power_mxu,
+                                           _triu_strict)
 
 FROW = 8
 
@@ -117,13 +118,24 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
 
     chain = chain_logmm if prefix_mode == "logmm" else chain_scan
 
+    # Loop-invariant blocks, built once per program: the strict-upper
+    # prefix matrix and the pixel quadratic-feature block. Pixel features
+    # use LOCAL (in-tile) coordinates, so they are tile-independent:
+    # power(p, j) = -0.5 ca dx^2 - 0.5 cc dy^2 - cb dx dy is a bilinear
+    # form pixel_feat x pair_feat evaluated in ONE bf16 MXU pass with an
+    # exact hi/lo pair-feature split (blend_fwd._power_mxu), replacing ~10
+    # VPU ops per pair-pixel.
+    triu_bf = _triu_strict(chunk).astype(jnp.bfloat16)
+    pfeat = _pixel_quad_feat()                                  # (PIX, 16)
+
     # batch consecutive tiles per grid program: per-program launch overhead
     # (~9 us) dwarfs one tile's compute (~2 us), so amortize it.
     def per_tile(b, _):
         t = tb * batch + b
         start = seg_start_ref[t]
         end = seg_end_ref[t]
-        px, py = _pixel_coords(t, grid_x)
+        tx0 = (t % grid_x).astype(jnp.float32) * 16.0
+        ty0 = (t // grid_x).astype(jnp.float32) * 16.0
         base = pl.multiple_of((start // 128) * 128, 128)
         num_chunks = pl.cdiv(end - base, chunk)
 
@@ -152,31 +164,47 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
                                  128)
             gid = src + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
             in_seg = (gid >= start) & (gid < end)
-            mx = data[0:1, :]
-            my = data[1:2, :]
-            dx = mx - px
-            dy = my - py
+            # Pair quadratic features in tile-local coords (1, chunk) each;
+            # power = pfeat @ feat on the MXU (see per-program comment).
+            mxl = data[0:1, :] - tx0
+            myl = data[1:2, :] - ty0
             ca = data[2:3, :]
             cb = _hi(data[3:4, :])
             cc = _lo(data[3:4, :])
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            feat = jnp.concatenate(
+                [-0.5 * (ca * mxl * mxl + cc * myl * myl) - cb * mxl * myl,
+                 ca * mxl + cb * myl,
+                 cc * myl + cb * mxl,
+                 -0.5 * ca, -0.5 * cc, -cb,
+                 jnp.zeros((2, chunk), jnp.float32)], axis=0)   # (8, chunk)
+            power = _power_mxu(pfeat, feat)                     # (PIX, chunk)
             G = jnp.exp(jnp.minimum(power, 0.0))
-            geo_ok = (power <= 0.0) & (power >= power_cutoff) & in_seg
+            # <= 3e-3, not <= 0: MXU roundoff near a Gaussian's center
+            # (power ~ 0) must not drop a full-opacity contribution
+            # (see blend_fwd); G clamps at 1.
+            geo_ok = (power <= 3e-3) & (power >= power_cutoff) & in_seg
             return data, G, geo_ok
 
         def body_dual(state):
             k, cont, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b = state
             del cont
             get_dma(k % 2, k).wait()
+            # Speculative prefetch BEFORE compute (the kernel is otherwise
+            # DMA-latency bound: ~1.4 us exposed per chunk). The source
+            # address is clamped, so the read is always safe; if the loop
+            # exits after this chunk (saturation or end), the drain step
+            # below waits the in-flight copy — every started DMA is waited.
+            @pl.when(k + 1 < num_chunks)
+            def _():
+                get_dma((k + 1) % 2, k + 1).start()
             data, G, geo_ok = chunk_geo(k)
 
-            triu = _triu_strict(chunk).astype(jnp.bfloat16)
             a1 = jnp.minimum(ALPHA_MAX, _hi(data[4:5, :]) * G)
             ok1 = geo_ok & (a1 >= ALPHA_MIN) & l1_active
             T1, c1r, c1g, c1b = chain(jnp.where(ok1, a1, 0.0), T1, c1r, c1g,
                                       c1b, _hi(data[5:6, :]),
                                       _lo(data[5:6, :]),
-                                      _hi(data[6:7, :]), triu)
+                                      _hi(data[6:7, :]), triu_bf)
 
             # op2' < 0 on L2-culled pairs -> a2 < 0 fails the ALPHA_MIN test.
             a2 = jnp.minimum(ALPHA_MAX, _lo(data[4:5, :]) * G)
@@ -184,22 +212,21 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
             T2, c2r, c2g, c2b = chain(jnp.where(ok2, a2, 0.0), T2, c2r, c2g,
                                       c2b, _lo(data[6:7, :]),
                                       _hi(data[7:8, :]),
-                                      _lo(data[7:8, :]), triu)
+                                      _lo(data[7:8, :]), triu_bf)
 
             alive1 = jnp.max(jnp.where(l1_active, T1, 0.0)) >= T_EPS
             alive2 = jnp.max(jnp.where(l2_active, T2, 0.0)) >= T_EPS
             cont = (k + 1 < num_chunks) & (alive1 | alive2)
-
-            @pl.when(cont)
-            def _():
-                get_dma((k + 1) % 2, k + 1).start()
-
             return k + 1, cont, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b
 
         def body_single(state):
             k, cont, T1, c1r, c1g, c1b = state
             del cont
             get_dma(k % 2, k).wait()
+            # Speculative prefetch before compute — see body_dual.
+            @pl.when(k + 1 < num_chunks)
+            def _():
+                get_dma((k + 1) % 2, k + 1).start()
             data, G, geo_ok = chunk_geo(k)
 
             a1 = jnp.minimum(ALPHA_MAX, _hi(data[4:5, :]) * G)
@@ -207,20 +234,21 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
             T1, c1r, c1g, c1b = chain(jnp.where(ok1, a1, 0.0), T1, c1r, c1g,
                                       c1b, _hi(data[5:6, :]),
                                       _lo(data[5:6, :]),
-                                      _hi(data[6:7, :]),
-                                      _triu_strict(chunk).astype(
-                                          jnp.bfloat16))
+                                      _hi(data[6:7, :]), triu_bf)
 
             cont = (k + 1 < num_chunks) & (jnp.max(T1) >= T_EPS)
-
-            @pl.when(cont)
-            def _():
-                get_dma((k + 1) % 2, k + 1).start()
-
             return k + 1, cont, T1, c1r, c1g, c1b
 
         zc = jnp.zeros((PIX, 1), jnp.float32)
         one = jnp.ones((PIX, 1), jnp.float32)
+
+        def drain(kf):
+            # A loop that stopped early (saturation) or ended left chunk
+            # kf's speculative DMA in flight — wait it so semaphore state
+            # stays clean across grid programs.
+            @pl.when(kf < num_chunks)
+            def _():
+                get_dma(kf % 2, kf).wait()
 
         @pl.when(is_blend)
         def _():
@@ -228,7 +256,8 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
                 lambda s: s[1], body_dual,
                 (jnp.int32(0), num_chunks > 0, one, zc, zc, zc, one, zc, zc,
                  zc))
-            _, _, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b = st
+            kf, _, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b = st
+            drain(kf)
             out_ref[b] = jnp.concatenate(
                 [c1r, c1g, c1b, T1, c2r, c2g, c2b, T2], axis=1)
 
@@ -237,7 +266,8 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
             st = jax.lax.while_loop(
                 lambda s: s[1], body_single,
                 (jnp.int32(0), num_chunks > 0, one, zc, zc, zc))
-            _, _, T1, c1r, c1g, c1b = st
+            kf, _, T1, c1r, c1g, c1b = st
+            drain(kf)
             out_ref[b] = jnp.concatenate(
                 [c1r, c1g, c1b, T1, zc, zc, zc, one], axis=1)
 

@@ -115,10 +115,41 @@ def _alpha_from_chunk(data, px, py, power_cutoff):
 
 # --------------------------------------------------------------- forward
 
+def _pixel_quad_feat():
+    """(PIX, 16) tile-independent pixel quadratic features in LOCAL coords,
+    duplicated along K for the bf16x2 pair-feature split: power(p, j) =
+    pfeat(p) @ [hi(feat); lo(feat)](j) in ONE bf16 MXU pass. The pixel
+    features are small integers (<= 225), hence bf16-EXACT; splitting the
+    pair features hi/lo gives ~2^-17 relative error — with tile-local
+    coords every |term| is O(10) under the OBB cull, so absolute power
+    error ~2e-4 (invisible after exp). Mosaic has no Precision.HIGH."""
+    pix_i = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    lx = (pix_i % TILE).astype(jnp.float32)
+    ly = (pix_i // TILE).astype(jnp.float32)
+    pf = jnp.concatenate(
+        [jnp.ones((PIX, 1), jnp.float32), lx, ly, lx * lx, ly * ly,
+         lx * ly, jnp.zeros((PIX, 2), jnp.float32)], axis=1)
+    return jnp.concatenate([pf, pf], axis=1).astype(jnp.bfloat16)
+
+
+def _power_mxu(pfeat2, feat):
+    """feat (8, chunk) f32 pair features -> power (PIX, chunk) f32 via one
+    bf16 MXU pass with an exact hi/lo operand split (see _pixel_quad_feat)."""
+    fhi = feat.astype(jnp.bfloat16)
+    flo = (feat - fhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    feat2 = jnp.concatenate([fhi, flo], axis=0)          # (16, chunk)
+    return jax.lax.dot_general(
+        pfeat2, feat2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def _fwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, nc_ref,
                 buf, sem, *, grid_x: int, chunk: int, power_cutoff: float,
-                cap: int, batch: int):
+                cap: int, batch: int, mxu_power: bool):
     tb = pl.program_id(0)
+    # Loop-invariant blocks, built once per program.
+    triu = _triu_strict(chunk)
+    pfeat = _pixel_quad_feat() if mxu_power else None
     # batch consecutive tiles per grid program: per-program launch overhead
     # (~9 us) dwarfs one tile's compute (~2 us), so amortize it.
     jax.lax.fori_loop(
@@ -126,18 +157,21 @@ def _fwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, nc_ref,
         functools.partial(_fwd_one_tile, tb=tb, seg_start_ref=seg_start_ref,
                           seg_end_ref=seg_end_ref, pairs_hbm=pairs_hbm,
                           out_ref=out_ref, nc_ref=nc_ref, buf=buf, sem=sem,
-                          grid_x=grid_x, chunk=chunk,
+                          grid_x=grid_x, chunk=chunk, triu=triu,
+                          pfeat=pfeat,
                           power_cutoff=power_cutoff, cap=cap, batch=batch),
         0)
 
 
 def _fwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
                   out_ref, nc_ref, buf, sem, grid_x: int, chunk: int,
-                  power_cutoff: float, cap: int, batch: int):
+                  triu, pfeat, power_cutoff: float, cap: int, batch: int):
     t = tb * batch + b
     start = seg_start_ref[t]
     end = seg_end_ref[t]
     px, py = _pixel_coords(t, grid_x)
+    tx0 = (t % grid_x).astype(jnp.float32) * TILE
+    ty0 = (t // grid_x).astype(jnp.float32) * TILE
     # DMA windows start at the 128-aligned floor of the segment start, so
     # the kernel accepts UNALIGNED segments too (inference path skips
     # binning.align_segments); masking by [start, end) handles the head.
@@ -157,12 +191,46 @@ def _fwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
         k, cont, T_pix, cr, cg, cb_, nc = state
         del cont
         get_dma(k % 2, k).wait()
+        # Speculative prefetch BEFORE compute (the kernel is otherwise
+        # DMA-latency bound, ~1.4 us exposed per chunk). The address is
+        # clamped so the read is always safe; the drain step after the loop
+        # waits any in-flight copy — every started DMA is waited.
+        @pl.when(k + 1 < num_chunks)
+        def _():
+            get_dma((k + 1) % 2, k + 1).start()
         data = buf[k % 2]
         src = pl.multiple_of(jnp.minimum(base + k * chunk, cap - chunk), 128)
         gid = src + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         in_seg = (gid >= start) & (gid < end)
 
-        alpha, geo_ok, _, _, _ = _alpha_from_chunk(data, px, py, power_cutoff)
+        if pfeat is not None:
+            # Inference path: power as a bilinear form on the MXU in
+            # tile-local coords (see blend_fov); |terms| <= O(10) under the
+            # OBB cull, so HIGH precision is ~2e-4 absolute in power. The
+            # training path keeps the elementwise form — its backward
+            # recomputes alpha elementwise and must match bitwise.
+            mxl = data[0:1, :] - tx0
+            myl = data[1:2, :] - ty0
+            ca = data[2:3, :]
+            cb = data[3:4, :]
+            cc = data[4:5, :]
+            feat = jnp.concatenate(
+                [-0.5 * (ca * mxl * mxl + cc * myl * myl) - cb * mxl * myl,
+                 ca * mxl + cb * myl,
+                 cc * myl + cb * mxl,
+                 -0.5 * ca, -0.5 * cc, -cb,
+                 jnp.zeros((2, chunk), jnp.float32)], axis=0)
+            power = _power_mxu(pfeat, feat)
+            G = jnp.exp(jnp.minimum(power, 0.0))
+            alpha = jnp.minimum(ALPHA_MAX, data[5:6, :] * G)
+            # power is analytically <= 0; the exact-path <=0 test only
+            # guards numerical noise. MXU roundoff (~2e-4) near a
+            # Gaussian's CENTER (power ~ 0) must not drop a full-opacity
+            # contribution -> small positive tolerance (G clamps at 1).
+            geo_ok = (power <= 3e-3) & (power >= power_cutoff)
+        else:
+            alpha, geo_ok, _, _, _ = _alpha_from_chunk(data, px, py,
+                                                       power_cutoff)
         ok = geo_ok & (alpha >= ALPHA_MIN) & in_seg
         a_eff = jnp.where(ok, alpha, 0.0)
 
@@ -170,7 +238,6 @@ def _fwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
         logs = jnp.log1p(-a_eff)
         # Prefix sums as one fused upper-triangular matmul on the MXU
         # (measured faster than log-step rolls on the VPU).
-        triu = _triu_strict(chunk)
         excl = jnp.dot(logs, triu, preferred_element_type=jnp.float32)
         T_row = T_pix * jnp.exp(excl)                        # T before j
         incl = T_row * one_minus
@@ -192,14 +259,7 @@ def _fwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
         nc = jnp.maximum(nc, jnp.max(jnp.where(contribute, rank, 0.0),
                                      axis=1, keepdims=True))
 
-        # Decide continuation BEFORE prefetching: a started-but-unwaited DMA
-        # (early exit) corrupts semaphore state across grid programs.
         cont = (k + 1 < num_chunks) & (jnp.max(T_pix) >= T_EPS)
-
-        @pl.when(cont)
-        def _():
-            get_dma((k + 1) % 2, k + 1).start()
-
         return k + 1, cont, T_pix, cr, cg, cb_, nc
 
     def cond(state):
@@ -208,7 +268,13 @@ def _fwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
     init = (jnp.int32(0), num_chunks > 0, jnp.ones((PIX, 1), jnp.float32),
             jnp.zeros((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32),
             jnp.zeros((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32))
-    _, _, T_pix, cr, cg, cb_, nc = jax.lax.while_loop(cond, body, init)
+    kf, _, T_pix, cr, cg, cb_, nc = jax.lax.while_loop(cond, body, init)
+
+    # Drain: an early (saturation) exit left chunk kf's speculative DMA in
+    # flight — wait it so semaphore state stays clean for the next tile.
+    @pl.when(kf < num_chunks)
+    def _():
+        get_dma(kf % 2, kf).wait()
 
     out_ref[b] = jnp.concatenate([cr, cg, cb_, T_pix], axis=1)  # (PIX, 4)
     nc_ref[b] = nc.astype(jnp.int32)
@@ -217,7 +283,7 @@ def _fwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
 
 def _forward(pair_data, seg_start, seg_end, grid_x: int, grid_y: int,
              chunk: int, power_cutoff: float, interpret: bool,
-             batch: int = 8):
+             batch: int = 8, mxu_power: bool = False):
     num_tiles = grid_x * grid_y
     cap = pair_data.shape[1]
     t_pad = ((num_tiles + batch - 1) // batch) * batch
@@ -240,7 +306,7 @@ def _forward(pair_data, seg_start, seg_end, grid_x: int, grid_y: int,
     )
     kernel = functools.partial(_fwd_kernel, grid_x=grid_x, chunk=chunk,
                                power_cutoff=power_cutoff, cap=cap,
-                               batch=batch)
+                               batch=batch, mxu_power=mxu_power)
     out, nc = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((t_pad, PIX, 4), jnp.float32),
@@ -497,5 +563,5 @@ def blend_pallas_fwd_only(pair_data, seg_start, seg_end, grid_x, grid_y,
     DMA windows to 128 and masks). Not differentiable; training uses
     blend_pallas on a chunk-aligned layout."""
     out, nc = _forward(pair_data, seg_start, seg_end, grid_x, grid_y, chunk,
-                       power_cutoff, interpret)
+                       power_cutoff, interpret, mxu_power=True)
     return out[:, :, 0:3], out[:, :, 3], nc[:, :, 0]

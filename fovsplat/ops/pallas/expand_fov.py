@@ -207,173 +207,194 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm, cnt_hbm,
                                      out_hbm.at[:, pl.ds(dst, out_w)],
                                      outsem.at[slot])
 
-    win_dma(0, 0).start()
-    cum_dma(0, 0).start()
+    # Whole-program skip: programs whose FIRST pair index is already past
+    # `total` compute nothing (all their lanes are out of range — keep is
+    # all-false and the compaction would write nothing anyway). ~14% of
+    # programs on the bench workload, more at sparse gazes. All DMA
+    # start/wait pairing stays inside this branch.
+    @pl.when(cb_ * (batch * chunk) < total)
+    def _run():
+        win_dma(0, 0).start()
+        cum_dma(0, 0).start()
 
-    def body(k, prev_base):
-        slot = k % 2
-        win_dma(slot, k).wait()
-        cum_dma(slot, k).wait()
-
-        @pl.when(k + 1 < batch)
-        def _():
-            win_dma(1 - slot, k + 1).start()
-            cum_dma(1 - slot, k + 1).start()
-
-        c = cb_ * batch + k
-        # Interval one-hot straight from the exclusive-cumsum column:
-        # onehot[w, j] = (cum[w] <= p_j < cum[w+1]) — no pair->Gaussian
-        # index array (and no CAP-sized scatter+cumsum to build one).
-        # Empty rows (cum[w] == cum[w+1]) match nothing by construction.
-        p_row = (c * chunk
-                 + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-                 ).astype(jnp.float32)
-        p_col = (c * chunk
-                 + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-                 ).astype(jnp.float32)
-        cumv = cbuf[slot][0:1, :]                        # (1, wsize+128)
-        cum_lo = cumv[:, 0:wsize]
-        # next row's cum: rotate left one lane (positive-shift roll form).
-        cum_hi = pltpu.roll(cumv, wsize + 127, 1)[:, 0:wsize]
-        onehot_t = ((cum_lo <= p_col)
-                    & (p_col < cum_hi)).astype(jnp.float32)  # (chunk, wsize)
-        ex = jax.lax.dot_general(
-            win[slot][0:16], onehot_t, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)          # (16, chunk)
-        exa = jax.lax.dot_general(
-            win[slot][16:40].astype(jnp.bfloat16),
-            onehot_t.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (24, chunk)
-
-        p = (c * chunk
-             + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1))
-        in_range = p < total
-
-        rw = jnp.maximum(ex[2:3, :], 1.0)
-        local = p_row - ex[3:4, :]
-        ty_off = jnp.floor((local + 0.5) / rw)
-        tx = ex[0:1, :] + (local - ty_off * rw)          # f32 tile coords
-        ty = ex[1:2, :] + ty_off
-        tile = (ty * grid_x + tx).astype(jnp.int32)
-
-        # OBB separating-axis test (ops/binning.obb_pass).
-        half = TILE / 2.0
-        cx = ex[4:5, :] - (tx * TILE + half)
-        cy = ex[5:6, :] - (ty * TILE + half)
-        v1x, v1y = ex[6:7, :], ex[7:8, :]
-        v2x, v2y = ex[8:9, :], ex[9:10, :]
-        l1e, l2e = ex[10:11, :], ex[11:12, :]
-        ext_x = jnp.abs(l1e * v1x) + jnp.abs(l2e * v2x)
-        ext_y = jnp.abs(l1e * v1y) + jnp.abs(l2e * v2y)
-        b1 = -(cx * v1x + cy * v1y)
-        b2 = -(cx * v2x + cy * v2y)
-        e1 = half * (jnp.abs(v1x) + jnp.abs(v1y))
-        e2 = half * (jnp.abs(v2x) + jnp.abs(v2y))
-        obb = ((jnp.abs(cx) <= half + ext_x) & (jnp.abs(cy) <= half + ext_y)
-               & (jnp.abs(b1) <= l1e + e1) & (jnp.abs(b2) <= l2e + e2))
-        obb = obb | (l1e <= 0.0)                          # single-tile rects
-
-        lv = _fov_level(tx, ty, gdx, gdy, gdz, alpha, width=width,
-                        height=height, real_w=real_w, real_h=real_h,
-                        dist=dist, fov_num=fov_num, sqrt_max_ps=sqrt_max_ps)
-        hl = ex[13:14, :]
-        keep = in_range & obb & (lv < hl + 1.0)
-
-        p1 = lv.astype(jnp.int32)
-        p2 = jnp.minimum(p1 + 1, fov_num - 1)
-
-        def sel(pk):
-            out = []
-            for cidx in range(4):                         # op, r, g, b
-                base_row = cidx * fov_num
-                v = exa[base_row:base_row + 1, :]
-                for lvl in range(1, fov_num):
-                    v = jnp.where(pk == lvl,
-                                  exa[base_row + lvl:base_row + lvl + 1, :],
-                                  v)
-                out.append(v)
-            return out
-
-        o1, r1c, g1c, b1c = sel(p1)
-        o2, r2c, g2c, b2c = sel(p2)
-        # L2-cull folds into the sign of op2: the blend's a2 >= ALPHA_MIN
-        # test rejects negative opacity for free.
-        o2 = jnp.where((hl + 1.0) < (lv + 1.0), -1.0, o2)
-
-        # --- In-kernel compaction (module docstring): rank kept lanes,
-        # permute them to [tail_len, tail_len + kept) of the staging
-        # block, merge the carried tail, flush 128-aligned lanes.
-        keepf = keep.astype(jnp.float32)                 # (1, chunk)
+        # Loop-invariant 2D masks/iotas, built once per program.
         riota = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
         ciota = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
         triu = (riota < ciota).astype(jnp.float32)
-        rank = jax.lax.dot_general(
-            keepf, triu, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)          # (1, chunk) excl
-        kept = jnp.sum(keepf).astype(jnp.int32)
-
-        kc = kcum[0]
-        tail_len = jax.lax.rem(kc, 128)
-        base = kc - tail_len
-        dst = tail_len.astype(jnp.float32) + rank        # (1, chunk)
         d_iota = jax.lax.broadcasted_iota(
             jnp.int32, (out_w, chunk), 0).astype(jnp.float32)
-        ohT = ((d_iota == dst) & keep).astype(jnp.float32)  # (out_w, chunk)
-
-        vals = jnp.concatenate(
-            [tile.astype(jnp.float32), ex[14:15, :],     # tile, depth
-             ex[4:6, :], ex[12:13, :],                   # mx, my, ca
-             exa[16:17, :], exa[17:18, :],               # cb, cc
-             o1, o2, r1c, g1c, b1c, r2c, g2c, b2c,
-             jnp.zeros((1, chunk), jnp.float32)], axis=0)   # (16, chunk)
-        staged = jax.lax.dot_general(
-            vals, ohT, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)          # (16, out_w)
-
-        blk = jnp.concatenate(
-            [staged[0:5],
-             _pack2_i32(staged[5:6], staged[6:7]),
-             _pack2_i32(staged[7:8], staged[8:9]),
-             _pack2_i32(staged[9:10], staged[10:11]),
-             _pack2_i32(staged[11:12], staged[12:13]),
-             _pack2_i32(staged[13:14], staged[14:15]),
-             jnp.zeros((OROWS - 10, out_w), jnp.float32)], axis=0)
-        # Merge the carried tail into lanes [0, tail_len).
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (OROWS, 128), 1)
-        head = jnp.where(lane128 < tail_len, tail[...], blk[:, 0:128])
-        blk = jnp.concatenate([head, blk[:, 128:]], axis=1)
 
-        # Out-DMAs are strictly ordered (consecutive blocks overlap):
-        # complete the previous one before starting this one; the wait
-        # descriptor only needs matching static shapes.
-        @pl.when(prev_base >= 0)
-        def _():
-            out_dma(1 - slot, prev_base).wait()
+        def body(k, prev_base):
+            slot = k % 2
+            win_dma(slot, k).wait()
+            cum_dma(slot, k).wait()
 
-        obuf[slot] = blk
-        out_dma(slot, base).start()
+            @pl.when(k + 1 < batch)
+            def _():
+                win_dma(1 - slot, k + 1).start()
+                cum_dma(1 - slot, k + 1).start()
 
-        # Carry the unflushed remainder [flush, new_total) — flush is a
-        # 128 multiple <= chunk, so the window is one of 5 static slices.
-        # Selected with VECTOR-predicate wheres: a scalar-condition select
-        # over vectors (lax.switch / scalar jnp.where) fails Mosaic
-        # legalization ('arith.select' on vector operands with i1 pred).
-        new_total = tail_len + kept
-        flush = (new_total // 128) * 128
-        fidx = jnp.full((OROWS, 128), flush // 128, jnp.int32)
-        sel = blk[:, 0:128]
-        for i in range(1, chunk // 128 + 1):
-            sel = jnp.where(fidx == i, blk[:, 128 * i:128 * i + 128], sel)
-        tail[...] = sel
-        kcum[0] = kc + kept
-        return base
+            c = cb_ * batch + k
+            # Interval one-hot straight from the exclusive-cumsum column:
+            # onehot[w, j] = (cum[w] <= p_j < cum[w+1]) — no pair->Gaussian
+            # index array (and no CAP-sized scatter+cumsum to build one).
+            # Empty rows (cum[w] == cum[w+1]) match nothing by construction.
+            p_row = (c * chunk
+                     + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+                     ).astype(jnp.float32)
+            p_col = (c * chunk
+                     + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+                     ).astype(jnp.float32)
+            cumv = cbuf[slot][0:1, :]                        # (1, wsize+128)
+            cum_lo = cumv[:, 0:wsize]
+            # next row's cum: rotate left one lane (positive-shift roll form).
+            cum_hi = pltpu.roll(cumv, wsize + 127, 1)[:, 0:wsize]
+            onehot_t = ((cum_lo <= p_col)
+                        & (p_col < cum_hi)).astype(jnp.float32)  # (chunk, wsize)
+            ex = jax.lax.dot_general(
+                win[slot][0:16], onehot_t, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)          # (16, chunk)
+            exa = jax.lax.dot_general(
+                win[slot][16:40].astype(jnp.bfloat16),
+                onehot_t.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (24, chunk)
 
-    last_base = jax.lax.fori_loop(0, batch, body, jnp.int32(-1))
-    # Drain the in-flight out-DMA before the program ends.
-    out_dma((batch - 1) % 2, last_base).wait()
+            p = (c * chunk
+                 + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1))
+            in_range = p < total
+
+            rw = jnp.maximum(ex[2:3, :], 1.0)
+            local = p_row - ex[3:4, :]
+            ty_off = jnp.floor((local + 0.5) / rw)
+            tx = ex[0:1, :] + (local - ty_off * rw)          # f32 tile coords
+            ty = ex[1:2, :] + ty_off
+            tile = (ty * grid_x + tx).astype(jnp.int32)
+
+            # OBB separating-axis test (ops/binning.obb_pass).
+            half = TILE / 2.0
+            cx = ex[4:5, :] - (tx * TILE + half)
+            cy = ex[5:6, :] - (ty * TILE + half)
+            v1x, v1y = ex[6:7, :], ex[7:8, :]
+            v2x, v2y = ex[8:9, :], ex[9:10, :]
+            l1e, l2e = ex[10:11, :], ex[11:12, :]
+            ext_x = jnp.abs(l1e * v1x) + jnp.abs(l2e * v2x)
+            ext_y = jnp.abs(l1e * v1y) + jnp.abs(l2e * v2y)
+            b1 = -(cx * v1x + cy * v1y)
+            b2 = -(cx * v2x + cy * v2y)
+            e1 = half * (jnp.abs(v1x) + jnp.abs(v1y))
+            e2 = half * (jnp.abs(v2x) + jnp.abs(v2y))
+            obb = ((jnp.abs(cx) <= half + ext_x) & (jnp.abs(cy) <= half + ext_y)
+                   & (jnp.abs(b1) <= l1e + e1) & (jnp.abs(b2) <= l2e + e2))
+            obb = obb | (l1e <= 0.0)                          # single-tile rects
+
+            lv = _fov_level(tx, ty, gdx, gdy, gdz, alpha, width=width,
+                            height=height, real_w=real_w, real_h=real_h,
+                            dist=dist, fov_num=fov_num, sqrt_max_ps=sqrt_max_ps)
+            hl = ex[13:14, :]
+            keep = in_range & obb & (lv < hl + 1.0)
+
+            p1 = lv.astype(jnp.int32)
+            p2 = jnp.minimum(p1 + 1, fov_num - 1)
+
+            def sel(pk):
+                out = []
+                for cidx in range(4):                         # op, r, g, b
+                    base_row = cidx * fov_num
+                    v = exa[base_row:base_row + 1, :]
+                    for lvl in range(1, fov_num):
+                        v = jnp.where(pk == lvl,
+                                      exa[base_row + lvl:base_row + lvl + 1, :],
+                                      v)
+                    out.append(v)
+                return out
+
+            o1, r1c, g1c, b1c = sel(p1)
+            o2, r2c, g2c, b2c = sel(p2)
+            # L2-cull folds into the sign of op2: the blend's a2 >= ALPHA_MIN
+            # test rejects negative opacity for free.
+            o2 = jnp.where((hl + 1.0) < (lv + 1.0), -1.0, o2)
+
+            # --- In-kernel compaction (module docstring): rank kept lanes,
+            # permute them to [tail_len, tail_len + kept) of the staging
+            # block, merge the carried tail, flush 128-aligned lanes.
+            keepf = keep.astype(jnp.float32)                 # (1, chunk)
+            rank = jax.lax.dot_general(
+                keepf, triu, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)          # (1, chunk) excl
+            kept = jnp.sum(keepf).astype(jnp.int32)
+
+            kc = kcum[0]
+            tail_len = jax.lax.rem(kc, 128)
+            base = kc - tail_len
+            dst = tail_len.astype(jnp.float32) + rank        # (1, chunk)
+            ohT = ((d_iota == dst) & keep).astype(jnp.float32)  # (out_w, chunk)
+
+            # Permutation matmul split by precision need: tile/depth/mx/my/ca
+            # must pass through exactly (f32 HIGHEST, 6 MXU passes/row); the 10
+            # color/opacity/conic rows are ALREADY bf16-exact (they come out of
+            # the bf16 expand matmul, and o2's -1 sentinel is bf16-exact), so a
+            # 0/1 permutation in ONE bf16 pass is bitwise lossless for them —
+            # 96 -> ~56 row-passes on the MXU.
+            vals_e = jnp.concatenate(
+                [tile.astype(jnp.float32), ex[14:15, :],     # tile, depth
+                 ex[4:6, :], ex[12:13, :],                   # mx, my, ca
+                 jnp.zeros((3, chunk), jnp.float32)], axis=0)   # (8, chunk)
+            staged_e = jax.lax.dot_general(
+                vals_e, ohT, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)          # (8, out_w)
+            vals_a = jnp.concatenate(
+                [exa[16:17, :], exa[17:18, :],               # cb, cc
+                 o1, o2, r1c, g1c, b1c, r2c, g2c, b2c,
+                 jnp.zeros((6, chunk), jnp.float32)], axis=0)   # (16, chunk)
+            staged_a = jax.lax.dot_general(
+                vals_a.astype(jnp.bfloat16), ohT.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (16, out_w)
+
+            blk = jnp.concatenate(
+                [staged_e[0:5],
+                 _pack2_i32(staged_a[0:1], staged_a[1:2]),
+                 _pack2_i32(staged_a[2:3], staged_a[3:4]),
+                 _pack2_i32(staged_a[4:5], staged_a[5:6]),
+                 _pack2_i32(staged_a[6:7], staged_a[7:8]),
+                 _pack2_i32(staged_a[8:9], staged_a[9:10]),
+                 jnp.zeros((OROWS - 10, out_w), jnp.float32)], axis=0)
+            # Merge the carried tail into lanes [0, tail_len).
+            head = jnp.where(lane128 < tail_len, tail[...], blk[:, 0:128])
+            blk = jnp.concatenate([head, blk[:, 128:]], axis=1)
+
+            # Out-DMAs are strictly ordered (consecutive blocks overlap):
+            # complete the previous one before starting this one; the wait
+            # descriptor only needs matching static shapes.
+            @pl.when(prev_base >= 0)
+            def _():
+                out_dma(1 - slot, prev_base).wait()
+
+            obuf[slot] = blk
+            out_dma(slot, base).start()
+
+            # Carry the unflushed remainder [flush, new_total) — flush is a
+            # 128 multiple <= chunk, so the window is one of 5 static slices.
+            # Selected with VECTOR-predicate wheres: a scalar-condition select
+            # over vectors (lax.switch / scalar jnp.where) fails Mosaic
+            # legalization ('arith.select' on vector operands with i1 pred).
+            new_total = tail_len + kept
+            flush = (new_total // 128) * 128
+            fidx = jnp.full((OROWS, 128), flush // 128, jnp.int32)
+            sel = blk[:, 0:128]
+            for i in range(1, chunk // 128 + 1):
+                sel = jnp.where(fidx == i, blk[:, 128 * i:128 * i + 128], sel)
+            tail[...] = sel
+            kcum[0] = kc + kept
+            return base
+
+        last_base = jax.lax.fori_loop(0, batch, body, jnp.int32(-1))
+        # Drain the in-flight out-DMA before the program ends.
+        out_dma((batch - 1) % 2, last_base).wait()
 
     # Last program: publish the kept count. (No tail flush needed — every
     # chunk's full-width DMA already wrote its unflushed lanes; the carry
@@ -435,117 +456,122 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
                                      out_hbm.at[:, pl.ds(dst, out_w)],
                                      outsem.at[slot])
 
-    win_dma(0, 0).start()
-    cum_dma(0, 0).start()
+    # Whole-program skip past `total` — see the fov kernel above.
+    @pl.when(cb_ * (batch * chunk) < total)
+    def _run():
+        win_dma(0, 0).start()
+        cum_dma(0, 0).start()
 
-    def body(k, prev_base):
-        slot = k % 2
-        win_dma(slot, k).wait()
-        cum_dma(slot, k).wait()
-
-        @pl.when(k + 1 < batch)
-        def _():
-            win_dma(1 - slot, k + 1).start()
-            cum_dma(1 - slot, k + 1).start()
-
-        c = cb_ * batch + k
-        p_row = (c * chunk
-                 + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-                 ).astype(jnp.float32)
-        p_col = (c * chunk
-                 + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-                 ).astype(jnp.float32)
-        cumv = cbuf[slot][0:1, :]                        # (1, wsize+128)
-        cum_lo = cumv[:, 0:wsize]
-        # next row's cum: rotate left one lane (positive-shift roll form).
-        cum_hi = pltpu.roll(cumv, wsize + 127, 1)[:, 0:wsize]
-        onehot_t = ((cum_lo <= p_col)
-                    & (p_col < cum_hi)).astype(jnp.float32)  # (chunk, wsize)
-        ex = jax.lax.dot_general(
-            win[slot], onehot_t, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)          # (PROWS, chunk)
-
-        p = (c * chunk
-             + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1))
-        in_range = p < total
-
-        rw = jnp.maximum(ex[2:3, :], 1.0)
-        local = p_row - ex[3:4, :]
-        ty_off = jnp.floor((local + 0.5) / rw)
-        tx = ex[0:1, :] + (local - ty_off * rw)
-        ty = ex[1:2, :] + ty_off
-        tile = (ty * grid_x + tx).astype(jnp.int32)
-
-        half = TILE / 2.0
-        cx = ex[4:5, :] - (tx * TILE + half)
-        cy = ex[5:6, :] - (ty * TILE + half)
-        v1x, v1y = ex[6:7, :], ex[7:8, :]
-        v2x, v2y = ex[8:9, :], ex[9:10, :]
-        l1e, l2e = ex[10:11, :], ex[11:12, :]
-        ext_x = jnp.abs(l1e * v1x) + jnp.abs(l2e * v2x)
-        ext_y = jnp.abs(l1e * v1y) + jnp.abs(l2e * v2y)
-        b1 = -(cx * v1x + cy * v1y)
-        b2 = -(cx * v2x + cy * v2y)
-        e1 = half * (jnp.abs(v1x) + jnp.abs(v1y))
-        e2 = half * (jnp.abs(v2x) + jnp.abs(v2y))
-        obb = ((jnp.abs(cx) <= half + ext_x) & (jnp.abs(cy) <= half + ext_y)
-               & (jnp.abs(b1) <= l1e + e1) & (jnp.abs(b2) <= l2e + e2))
-        obb = obb | (l1e <= 0.0)
-
-        keep = in_range & obb & (ex[19:20, :] > 0.0)
-
-        # In-kernel compaction — identical machinery to the fov kernel.
-        keepf = keep.astype(jnp.float32)
+        # Loop-invariant 2D masks/iotas, built once per program (not per chunk).
         riota = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
         ciota = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
         triu = (riota < ciota).astype(jnp.float32)
-        rank = jax.lax.dot_general(
-            keepf, triu, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        kept = jnp.sum(keepf).astype(jnp.int32)
-
-        kc = kcum[0]
-        tail_len = jax.lax.rem(kc, 128)
-        base = kc - tail_len
-        dst = tail_len.astype(jnp.float32) + rank
         d_iota = jax.lax.broadcasted_iota(
             jnp.int32, (out_w, chunk), 0).astype(jnp.float32)
-        ohT = ((d_iota == dst) & keep).astype(jnp.float32)
-
-        vals = jnp.concatenate(
-            [tile.astype(jnp.float32), ex[20:21, :],     # tile, depth
-             ex[4:6, :], ex[12:19, :],     # mx, my, ca, cb, cc, op, r, g, b
-             jnp.zeros((POROWS - 11, chunk), jnp.float32)], axis=0)
-        staged = jax.lax.dot_general(
-            vals, ohT, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)          # (POROWS, out_w)
-
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (POROWS, 128), 1)
-        head = jnp.where(lane128 < tail_len, tail[...], staged[:, 0:128])
-        blk = jnp.concatenate([head, staged[:, 128:]], axis=1)
 
-        @pl.when(prev_base >= 0)
-        def _():
-            out_dma(1 - slot, prev_base).wait()
+        def body(k, prev_base):
+            slot = k % 2
+            win_dma(slot, k).wait()
+            cum_dma(slot, k).wait()
 
-        obuf[slot] = blk
-        out_dma(slot, base).start()
+            @pl.when(k + 1 < batch)
+            def _():
+                win_dma(1 - slot, k + 1).start()
+                cum_dma(1 - slot, k + 1).start()
 
-        new_total = tail_len + kept
-        flush = (new_total // 128) * 128
-        fidx = jnp.full((POROWS, 128), flush // 128, jnp.int32)
-        sel = blk[:, 0:128]
-        for i in range(1, chunk // 128 + 1):
-            sel = jnp.where(fidx == i, blk[:, 128 * i:128 * i + 128], sel)
-        tail[...] = sel
-        kcum[0] = kc + kept
-        return base
+            c = cb_ * batch + k
+            p_row = (c * chunk
+                     + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+                     ).astype(jnp.float32)
+            p_col = (c * chunk
+                     + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+                     ).astype(jnp.float32)
+            cumv = cbuf[slot][0:1, :]                        # (1, wsize+128)
+            cum_lo = cumv[:, 0:wsize]
+            # next row's cum: rotate left one lane (positive-shift roll form).
+            cum_hi = pltpu.roll(cumv, wsize + 127, 1)[:, 0:wsize]
+            onehot_t = ((cum_lo <= p_col)
+                        & (p_col < cum_hi)).astype(jnp.float32)  # (chunk, wsize)
+            ex = jax.lax.dot_general(
+                win[slot], onehot_t, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)          # (PROWS, chunk)
 
-    last_base = jax.lax.fori_loop(0, batch, body, jnp.int32(-1))
-    out_dma((batch - 1) % 2, last_base).wait()
+            p = (c * chunk
+                 + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1))
+            in_range = p < total
+
+            rw = jnp.maximum(ex[2:3, :], 1.0)
+            local = p_row - ex[3:4, :]
+            ty_off = jnp.floor((local + 0.5) / rw)
+            tx = ex[0:1, :] + (local - ty_off * rw)
+            ty = ex[1:2, :] + ty_off
+            tile = (ty * grid_x + tx).astype(jnp.int32)
+
+            half = TILE / 2.0
+            cx = ex[4:5, :] - (tx * TILE + half)
+            cy = ex[5:6, :] - (ty * TILE + half)
+            v1x, v1y = ex[6:7, :], ex[7:8, :]
+            v2x, v2y = ex[8:9, :], ex[9:10, :]
+            l1e, l2e = ex[10:11, :], ex[11:12, :]
+            ext_x = jnp.abs(l1e * v1x) + jnp.abs(l2e * v2x)
+            ext_y = jnp.abs(l1e * v1y) + jnp.abs(l2e * v2y)
+            b1 = -(cx * v1x + cy * v1y)
+            b2 = -(cx * v2x + cy * v2y)
+            e1 = half * (jnp.abs(v1x) + jnp.abs(v1y))
+            e2 = half * (jnp.abs(v2x) + jnp.abs(v2y))
+            obb = ((jnp.abs(cx) <= half + ext_x) & (jnp.abs(cy) <= half + ext_y)
+                   & (jnp.abs(b1) <= l1e + e1) & (jnp.abs(b2) <= l2e + e2))
+            obb = obb | (l1e <= 0.0)
+
+            keep = in_range & obb & (ex[19:20, :] > 0.0)
+
+            # In-kernel compaction — identical machinery to the fov kernel.
+            keepf = keep.astype(jnp.float32)
+            rank = jax.lax.dot_general(
+                keepf, triu, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            kept = jnp.sum(keepf).astype(jnp.int32)
+
+            kc = kcum[0]
+            tail_len = jax.lax.rem(kc, 128)
+            base = kc - tail_len
+            dst = tail_len.astype(jnp.float32) + rank
+            ohT = ((d_iota == dst) & keep).astype(jnp.float32)
+
+            vals = jnp.concatenate(
+                [tile.astype(jnp.float32), ex[20:21, :],     # tile, depth
+                 ex[4:6, :], ex[12:19, :],     # mx, my, ca, cb, cc, op, r, g, b
+                 jnp.zeros((POROWS - 11, chunk), jnp.float32)], axis=0)
+            staged = jax.lax.dot_general(
+                vals, ohT, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)          # (POROWS, out_w)
+
+            head = jnp.where(lane128 < tail_len, tail[...], staged[:, 0:128])
+            blk = jnp.concatenate([head, staged[:, 128:]], axis=1)
+
+            @pl.when(prev_base >= 0)
+            def _():
+                out_dma(1 - slot, prev_base).wait()
+
+            obuf[slot] = blk
+            out_dma(slot, base).start()
+
+            new_total = tail_len + kept
+            flush = (new_total // 128) * 128
+            fidx = jnp.full((POROWS, 128), flush // 128, jnp.int32)
+            sel = blk[:, 0:128]
+            for i in range(1, chunk // 128 + 1):
+                sel = jnp.where(fidx == i, blk[:, 128 * i:128 * i + 128], sel)
+            tail[...] = sel
+            kcum[0] = kc + kept
+            return base
+
+        last_base = jax.lax.fori_loop(0, batch, body, jnp.int32(-1))
+        out_dma((batch - 1) % 2, last_base).wait()
 
     @pl.when(cb_ == pl.num_programs(0) - 1)
     def _():

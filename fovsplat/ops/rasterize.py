@@ -54,6 +54,12 @@ class RasterizeConfig:
                                       # to shrink the sort (its cost is
                                       # linear in capacity). Overflow is
                                       # counted, never silently reordered.
+    expand_chunk: int = 256           # fused expand kernel: pairs per chunk
+                                      # (256 beats 512 by ~19%: the kernel
+                                      # is mask-build bound and per-chunk
+                                      # mask area scales with chunk*wsize)
+    expand_batch: int = 16            # fused expand kernel: chunks per
+                                      # grid program (amortizes launch cost)
     dummy_slack: int | None = None    # fused paths: slot budget for the
                                       # one-dummy-pair-per-invalid-row
                                       # scheme. None = N (always safe);
@@ -134,7 +140,8 @@ def rasterize(means3d, scales, rotations, opacities, camera,
         ]
         packed, seg_start, num_pairs, overflow, _cap2 = binning.bin_fused_ps1(
             t1cols, prep.valid, prep.depth, gx, gy, cap,
-            cfg.pallas_interpret, cfg.dummy_slack, cfg.compact_capacity)
+            cfg.pallas_interpret, cfg.dummy_slack, cfg.compact_capacity,
+            cfg.expand_chunk, cfg.expand_batch)
         bn = binning.Binned(pair_gauss=None, pair_tile=None,
                             seg_start=seg_start, num_pairs=num_pairs,
                             overflow=overflow, depth_order=None)

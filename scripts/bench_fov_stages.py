@@ -22,8 +22,8 @@ _ap.add_argument("--prefix-mode", default="logmm",
 # Kept pairs measured 1.27M at the center gaze; 1.75M leaves headroom for
 # the corner gazes until they are measured (overflow is reported).
 _ap.add_argument("--compact-capacity", type=int, default=1_835_008)
-_ap.add_argument("--expand-chunk", type=int, default=512)
-_ap.add_argument("--expand-batch", type=int, default=8)
+_ap.add_argument("--expand-chunk", type=int, default=256)
+_ap.add_argument("--expand-batch", type=int, default=16)
 _args = _ap.parse_args()
 
 from fovsplat.data.cameras import look_at_camera

@@ -106,8 +106,13 @@ def test_pallas_fwd_only_unaligned():
     out_f = jax.jit(lambda *a: rasterize.rasterize(
         *a, cam, colors=colors, config=cfg_f)["render"])(
         means, scales, quats, ops_)
+    # The fwd-only (inference) kernel evaluates power via a bf16x2 MXU
+    # bilinear form (~2e-4 absolute error in power); a pair at the
+    # ALPHA_MIN inclusion boundary can flip, bounding pixel diffs at
+    # ~alpha_min (0.004). The training kernel (test_pallas_blend_matches)
+    # keeps the exact elementwise power and stays at tight tolerance.
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=2e-3, atol=5e-3)
 
 
 def test_pallas_fov_matches_xla():
@@ -337,17 +342,18 @@ def test_fov_compact_capacity():
         lambda: run(rasterize.RasterizeConfig(**base)))()
     kept = int(np0)
     assert kept > 0 and int(ov0) == 0
-    # Tight: kept + the kernel's unusable write margin (chunk + 128 for
-    # the fused path's 512-lane kernel chunk), rounded up to 128.
-    tight = ((kept + 512 + 128 + 127) // 128) * 128
+    # The kernel's unusable write margin is expand_chunk + 128.
+    margin = rasterize.RasterizeConfig(**base).expand_chunk + 128
+    # Tight: kept + margin, rounded up to 128.
+    tight = ((kept + margin + 127) // 128) * 128
     img1, np1, ov1 = jax.jit(lambda: run(
         rasterize.RasterizeConfig(**base, compact_capacity=tight)))()
     assert int(ov1) == 0 and int(np1) == kept
     np.testing.assert_array_equal(np.asarray(img1), np.asarray(img0))
 
     starved = 1024
-    if kept > starved:
+    if kept > starved - margin:
         img2, np2, ov2 = jax.jit(lambda: run(
             rasterize.RasterizeConfig(**base, compact_capacity=starved)))()
-        assert int(ov2) == kept - (starved - 512 - 128)
-        assert int(np2) <= starved - 512 - 128
+        assert int(ov2) == kept - (starved - margin)
+        assert int(np2) <= starved - margin
