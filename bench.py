@@ -51,9 +51,20 @@ def build_render(args, cam, arrays, backend):
                 mdl, cam, gaze=gaze, alpha=0.05, blending=True,
                 config=cfg)["render"])
 
-            def render(m, s, q):
+            def render(m, s, q, _diag=False):
                 if "mdl" not in packed:
                     packed["mdl"] = build(m, s, q, opac4, shs_dcs, rest, hl)
+                if _diag:   # one-off capacity check, not the timed path
+                    out = jax.jit(lambda mdl: fov.rasterize_fov_soa(
+                        mdl, cam, gaze=gaze, alpha=0.05, blending=True,
+                        config=cfg))(packed["mdl"])
+                    print(f"# pairs kept={int(out['num_pairs'])} "
+                          f"overflow={int(out['overflow'])}",
+                          file=sys.stderr)
+                    assert int(out["overflow"]) == 0, \
+                        "pair/compact capacity overflow — raise " \
+                        "--pair-capacity/--compact-capacity"
+                    return out["render"]
                 return fn(packed["mdl"])
             return render
 
@@ -187,6 +198,8 @@ def run_bench(args, cam, arrays, n):
         else:
             raise
     assert img.shape == (args.height, args.width, 3)
+    if args.mode == "fov" and backend == "pallas":
+        fn(means, scales, quats, _diag=True)        # overflow guard
 
     for _ in range(args.warmup):
         float(fn(means, scales, quats).ravel()[0])

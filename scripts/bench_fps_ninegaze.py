@@ -30,6 +30,10 @@ def main():
     # <= 0.86M (dummy pairs); the whole binning pipeline is CAP-sized, so
     # the slack is budgeted instead of the always-safe +N default.
     ap.add_argument("--dummy-slack", type=int, default=851_968)
+    # Kept pairs measured 1.27M at the center gaze (corner gazes cull
+    # more); the tile sort is linear in this capacity. Per-gaze
+    # kept/overflow is printed — overflow > 0 means pairs were dropped.
+    ap.add_argument("--compact-capacity", type=int, default=1_572_864)
     args = ap.parse_args()
 
     import jax
@@ -63,10 +67,13 @@ def main():
     cfg = RasterizeConfig(pair_capacity=args.pair_capacity, chunk=4096,
                           backend="pallas", pallas_chunk=256,
                           pallas_fwd_only=True,
-                          dummy_slack=args.dummy_slack)
+                          dummy_slack=args.dummy_slack,
+                          compact_capacity=args.compact_capacity)
 
     model = jax.jit(fov.pack_fov_model)(means, scales, quats, opac4,
                                         shs_dcs, rest, hl)
+    full = jax.jit(lambda mdl, cam, gaze: fov.rasterize_fov_soa(
+        mdl, cam, gaze=gaze, alpha=0.05, blending=True, config=cfg))
     render = jax.jit(lambda mdl, cam, gaze: fov.rasterize_fov_soa(
         mdl, cam, gaze=gaze, alpha=0.05, blending=True,
         config=cfg)["render"])
@@ -78,6 +85,9 @@ def main():
     per_gaze = []
     for gz in gazes:
         gaze = jnp.asarray(gz, jnp.float32)
+        diag = full(model, cams[0], gaze)
+        print(f"gaze={gz} kept={int(diag['num_pairs'])} "
+              f"overflow={int(diag['overflow'])}", flush=True)
         for _ in range(args.warmups):
             force(render(model, cams[0], gaze))
         times = []
