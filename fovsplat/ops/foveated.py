@@ -100,6 +100,83 @@ def compute_fov_colors(means3d, shs_rest, shs_dcs, cam_center,
     return jnp.maximum(sh.SH_C0 * shs_dcs + rest[:, None, :], 0.0)
 
 
+def _split3(x):
+    """f32 column -> 3 bf16-EXACT f32 parts with hi+mid+lo == x exactly
+    (8+8+8 >= f32's 24 mantissa bits). Stored as bf16 dtable rows, a 0/1
+    bf16 one-hot matmul passes the value through losslessly at ONE MXU
+    pass — small-M f32-HIGHEST matmuls run at <15% MXU utilization."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r = x - hi
+    mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, mid, r - mid
+
+
+def _split2(x):
+    """f32 column -> 2 bf16 parts; reconstruction has ~2^-17 relative
+    error — used for OBB axes/extents whose compares have real margins."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, x - hi
+
+
+def build_fov_dtable(t1cols, t2cols, valid, depth, cap2, chunk):
+    """Build the foveated expand kernel's bf16 split-row table.
+
+    Layout (ops/pallas/expand_fov.DROWS = 64 rows, bf16, original
+    Gaussian order; invalid rows carry one dummy pair with hl = -2):
+      0 rx0 | 1 ry0 | 2 rw | 3-5 cum_excl | 6-8 mx | 9-11 my
+      12-13 v1x | 14-15 v1y | 16-17 v2x | 18-19 v2y | 20-21 len1
+      22-23 len2 | 24-26 ca | 27 hl | 28-30 depth | 31 pad
+      32-35 op[0..3] | 36-39 r[0..3] | 40-43 g[0..3] | 44-47 b[0..3]
+      48 cb | 49 cc | 50-63 pad
+    Exact values (ints, coords, depth) ride as x3 splits ([[_split3]]);
+    OBB axes/extents as x2; per-level colors/opacities single bf16 (they
+    are bf16-packed for the sort anyway).
+
+    Returns (dtable (DROWS, n_pad) bf16, cum_pad (n_pad+128,) f32,
+    gstarts (cap2/chunk,) i32, total () i32, total_f () f32)."""
+    from fovsplat.ops.pallas import expand_fov as pex
+
+    n = depth.shape[0]
+    t1 = list(t1cols)
+    tnum = jnp.where(valid, t1[3], 1.0)
+    cum_incl = jnp.cumsum(tnum)
+    total_f = cum_incl[-1]
+    cum_excl = cum_incl - tnum
+    cols = [jnp.where(valid, t1[0], 0.0),             # rx0
+            jnp.where(valid, t1[1], 0.0),             # ry0
+            jnp.where(valid, t1[2], 1.0),             # rw
+            *_split3(cum_excl),
+            *_split3(t1[4]), *_split3(t1[5]),         # mx, my
+            *_split2(t1[6]), *_split2(t1[7]),         # v1x, v1y
+            *_split2(t1[8]), *_split2(t1[9]),         # v2x, v2y
+            *_split2(t1[10]), *_split2(t1[11]),       # len1, len2
+            *_split3(t1[12]),                         # ca
+            jnp.where(valid, t1[15], -2.0),           # hl: dummy culled
+            *_split3(depth),
+            jnp.zeros(n, jnp.float32)] \
+        + list(t2cols) + [t1[13], t1[14]]             # cb, cc
+    total = jnp.minimum(total_f, cap2).astype(jnp.int32)
+
+    wsize = chunk + pex.WPAD
+    n_pad = max(((n + 127) // 128) * 128, wsize + 1)
+    dtable = jnp.stack(cols, axis=0).astype(jnp.bfloat16)
+    dtable = jnp.pad(dtable, ((0, pex.DROWS - len(cols)), (0, n_pad - n)))
+
+    # The kernel builds its expansion one-hot from cum_excl intervals; the
+    # sentinel row n closes the last Gaussian's interval at `total` and the
+    # padding rows past it can never match.
+    cum_pad = jnp.full((n_pad + 128,), jnp.float32(1 << 30))
+    cum_pad = cum_pad.at[:n].set(cum_excl.astype(jnp.float32))
+    cum_pad = cum_pad.at[n].set(total_f)
+    # Per-chunk first owner: ~CAP/chunk queries only (searchsorted is fine
+    # at this size; it is per-PAIR searchsorted that is slow on TPU).
+    chunk_firsts = jnp.arange(0, cap2, chunk, dtype=jnp.float32)
+    gstarts = jnp.clip(
+        jnp.searchsorted(cum_excl, chunk_firsts, side='right').astype(
+            jnp.int32) - 1, 0, n - 1)
+    return dtable, cum_pad, gstarts, total, total_f
+
+
 def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
                    cap, camera, fov_cfg, interpret, dummy_slack=None,
                    compact_capacity=None, chunk=256, kbatch=16):
@@ -133,44 +210,9 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
     # sees kept pairs, bounded by compact_capacity (default: no shrink).
     cap_out = cap2 if compact_capacity is None else compact_capacity
 
-    t1 = list(t1cols)
-    tnum = jnp.where(valid, t1[3], 1.0)
-    cum_incl = jnp.cumsum(tnum)
-    total_f = cum_incl[-1]
-    cum_excl = cum_incl - tnum
-    # Exact block (rows 0..15: HIGHEST one-hot matmul in the kernel), then
-    # the bf16-tolerant block (op/r/g/b per level + cb + cc) — see the
-    # expand_fov module docstring for the split rationale.
-    cols = [jnp.where(valid, t1[0], 0.0),             # rx0
-            jnp.where(valid, t1[1], 0.0),             # ry0
-            jnp.where(valid, t1[2], 1.0),             # rw
-            cum_excl,
-            t1[4], t1[5], t1[6], t1[7], t1[8], t1[9], t1[10], t1[11],
-            t1[12],                                   # ca
-            jnp.where(valid, t1[15], -2.0),           # hl: dummy culled
-            depth,
-            jnp.zeros(n, jnp.float32)] \
-        + list(t2cols) + [t1[13], t1[14]]             # cb, cc
-    total = jnp.minimum(total_f, cap2).astype(jnp.int32)
+    dtable, cum_pad, gstarts, total, total_f = build_fov_dtable(
+        t1cols, t2cols, valid, depth, cap2, chunk)
     overflow = jnp.maximum(total_f.astype(jnp.int32) - cap2, 0)
-
-    wsize = chunk + pex.WPAD
-    n_pad = max(((n + 127) // 128) * 128, wsize + 1)
-    dtable = jnp.stack(cols, axis=0)                  # (33, N)
-    dtable = jnp.pad(dtable, ((0, pex.DROWS - len(cols)), (0, n_pad - n)))
-
-    # The kernel builds its expansion one-hot from cum_excl intervals; the
-    # sentinel row n closes the last Gaussian's interval at `total` and the
-    # padding rows past it can never match.
-    cum_pad = jnp.full((n_pad + 128,), jnp.float32(1 << 30))
-    cum_pad = cum_pad.at[:n].set(cum_excl.astype(jnp.float32))
-    cum_pad = cum_pad.at[n].set(total_f)
-    # Per-chunk first owner: ~CAP/chunk queries only (searchsorted is fine
-    # at this size; it is per-PAIR searchsorted that is slow on TPU).
-    chunk_firsts = jnp.arange(0, cap2, chunk, dtype=jnp.float32)
-    gstarts = jnp.clip(
-        jnp.searchsorted(cum_excl, chunk_firsts, side='right').astype(
-            jnp.int32) - 1, 0, n - 1)
 
     gaze_dir = jnp.stack(foveation._ncd2dir(
         gaze[0], gaze[1], fov_cfg.real_image_width,

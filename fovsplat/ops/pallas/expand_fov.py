@@ -26,25 +26,19 @@ lookup). arccos/tan are evaluated as series (Mosaic has no trig lowering):
 its fractional level sits within that distance of an integer boundary,
 where the smoothstep blend makes adjacent levels near-identical anyway.
 
-dtable row layout (DROWS=40, N_pad), ORIGINAL Gaussian order (no depth
+dtable: (DROWS=64, N_pad) bf16 SPLIT-ROW table (layout and exactness
+rationale in foveated.build_fov_dtable), ORIGINAL Gaussian order (no depth
 presort — a 33-operand payload sort wedges the XLA TPU compiler for tens of
 minutes, and argsort+row-gathers cost ~72 ms at 1.16M rows; instead every
 invalid row contributes one dummy culled pair (hl = -2) so the pair->row
 map still advances at least one row per pair and the window bound holds in
-any order; depth rides the kernel output and the tile sort orders
-(tile, depth) with num_keys=2). The expansion matmul is split in two:
-rows 0..15 need exact f32 selection (integer-valued columns, coordinates,
-the depth bits) and go through one Precision.HIGHEST one-hot matmul; rows
-16..33 are bf16-rounded by the sort-payload packing anyway and ride ONE
-bf16 MXU pass (a 0/1 selection matrix reproduces bf16(value) exactly) —
-less than half the MXU passes of selecting all rows at HIGHEST.
-  exact block:
-  0 rmin_x | 1 rmin_y | 2 rw | 3 cum_excl | 4 mx | 5 my
-  6 v1x | 7 v1y | 8 v2x | 9 v2y | 10 len1 | 11 len2
-  12 ca | 13 hl | 14 depth | 15 pad
-  approx (bf16) block:
-  16..19 op[0..3] | 20..23 r[0..3] | 24..27 g[0..3] | 28..31 b[0..3]
-  32 cb | 33 cc | 34..39 pad (sublane-dim DMA slices must be 8-aligned)
+any order; depth rides the kernel output inside the fused sort key).
+Exact f32 values (ints, coords, depth, ca) ride as bf16 x3 splits whose
+part sums reconstruct the f32 bit-exactly; OBB axes/extents as x2
+(~2^-17 relative); per-level colors/opacities as single bf16 (they are
+bf16-packed for the sort anyway). The expansion is then ONE bf16 one-hot
+matmul — a small-M f32-HIGHEST matmul runs 6 passes at <15% MXU
+utilization and dominated the kernel before this layout.
 
 Output is COMPACTED: culled pairs (out of range, OBB-rejected,
 level-culled, and every invalid-row dummy) are dropped in-kernel before
@@ -98,7 +92,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fovsplat.ops.projection import TILE
 
-DROWS = 40           # dtable rows (33 used; 8-aligned for sublane DMA)
+DROWS = 64           # bf16 dtable rows (50 used; see foveated.build_fov_dtable
+                     # for the split-row layout; 16-aligned for bf16 tiling)
 OROWS = 16           # output rows (fused key + 9 packed attrs + pad)
 WPAD = 256           # window slack: 128 (w0 floor) + 128 (g span margin)
 
@@ -125,6 +120,33 @@ def _pack2_i32(a, b):
     ub = jax.lax.shift_right_logical(
         (pltpu.bitcast(b, jnp.int32) + 0x8000) & _MASK_HI, 16)
     return pltpu.bitcast(ua | ub, jnp.float32)
+
+
+def _bf16x3_rows(x):
+    """f32 rows -> 3 rows (hi, mid, lo), each EXACTLY bf16-representable,
+    with hi + mid + lo == x exactly (8+8+8 >= f32's 24 mantissa bits; each
+    residual is computed exactly in f32). A 0/1 bf16 matmul then passes
+    f32 values through LOSSLESSLY at one MXU pass instead of HIGHEST's six
+    — and small-M HIGHEST matmuls run at <15% MXU utilization, so this is
+    the difference between ~1 us and ~0.1 us per chunk."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r = x - hi
+    mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = r - mid
+    return hi, mid, lo
+
+
+def _prefix_excl_lanes(x):
+    """Exclusive prefix sum of (1, n) f32 along lanes via log-step rolls —
+    replaces an M=1 HIGHEST matmul that runs at <1% MXU utilization."""
+    n = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    incl = x
+    s = 1
+    while s < n:
+        incl = incl + jnp.where(lane >= s, pltpu.roll(incl, s, 1), 0.0)
+        s *= 2
+    return incl - x
 
 
 def _acos_poly(d):
@@ -218,9 +240,6 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm, cnt_hbm,
         cum_dma(0, 0).start()
 
         # Loop-invariant 2D masks/iotas, built once per program.
-        riota = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-        ciota = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-        triu = (riota < ciota).astype(jnp.float32)
         d_iota = jax.lax.broadcasted_iota(
             jnp.int32, (out_w, chunk), 0).astype(jnp.float32)
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (OROWS, 128), 1)
@@ -251,34 +270,38 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm, cnt_hbm,
             # next row's cum: rotate left one lane (positive-shift roll form).
             cum_hi = pltpu.roll(cumv, wsize + 127, 1)[:, 0:wsize]
             onehot_t = ((cum_lo <= p_col)
-                        & (p_col < cum_hi)).astype(jnp.float32)  # (chunk, wsize)
-            ex = jax.lax.dot_general(
-                win[slot][0:16], onehot_t, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)          # (16, chunk)
-            exa = jax.lax.dot_general(
-                win[slot][16:40].astype(jnp.bfloat16),
-                onehot_t.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (24, chunk)
+                        & (p_col < cum_hi)).astype(jnp.bfloat16)  # (chunk, wsize)
+            # ONE bf16 expansion matmul over the whole split-row table
+            # (build_fov_dtable layout); exact values reconstruct as part
+            # sums. No f32-HIGHEST pass anywhere in this kernel.
+            w = jax.lax.dot_general(
+                win[slot], onehot_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (DROWS, chunk)
 
             p = (c * chunk
                  + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1))
             in_range = p < total
 
-            rw = jnp.maximum(ex[2:3, :], 1.0)
-            local = p_row - ex[3:4, :]
+            rw = jnp.maximum(w[2:3, :], 1.0)
+            cum_e = w[3:4, :] + w[4:5, :] + w[5:6, :]
+            mx = w[6:7, :] + w[7:8, :] + w[8:9, :]
+            my = w[9:10, :] + w[10:11, :] + w[11:12, :]
+            local = p_row - cum_e
             ty_off = jnp.floor((local + 0.5) / rw)
-            tx = ex[0:1, :] + (local - ty_off * rw)          # f32 tile coords
-            ty = ex[1:2, :] + ty_off
+            tx = w[0:1, :] + (local - ty_off * rw)           # f32 tile coords
+            ty = w[1:2, :] + ty_off
             tile = (ty * grid_x + tx).astype(jnp.int32)
 
             # OBB separating-axis test (ops/binning.obb_pass).
             half = TILE / 2.0
-            cx = ex[4:5, :] - (tx * TILE + half)
-            cy = ex[5:6, :] - (ty * TILE + half)
-            v1x, v1y = ex[6:7, :], ex[7:8, :]
-            v2x, v2y = ex[8:9, :], ex[9:10, :]
-            l1e, l2e = ex[10:11, :], ex[11:12, :]
+            cx = mx - (tx * TILE + half)
+            cy = my - (ty * TILE + half)
+            v1x = w[12:13, :] + w[13:14, :]
+            v1y = w[14:15, :] + w[15:16, :]
+            v2x = w[16:17, :] + w[17:18, :]
+            v2y = w[18:19, :] + w[19:20, :]
+            l1e = w[20:21, :] + w[21:22, :]
+            l2e = w[22:23, :] + w[23:24, :]
             ext_x = jnp.abs(l1e * v1x) + jnp.abs(l2e * v2x)
             ext_y = jnp.abs(l1e * v1y) + jnp.abs(l2e * v2y)
             b1 = -(cx * v1x + cy * v1y)
@@ -292,7 +315,7 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm, cnt_hbm,
             lv = _fov_level(tx, ty, gdx, gdy, gdz, alpha, width=width,
                             height=height, real_w=real_w, real_h=real_h,
                             dist=dist, fov_num=fov_num, sqrt_max_ps=sqrt_max_ps)
-            hl = ex[13:14, :]
+            hl = w[27:28, :]
             keep = in_range & obb & (lv < hl + 1.0)
 
             p1 = lv.astype(jnp.int32)
@@ -301,11 +324,11 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm, cnt_hbm,
             def sel(pk):
                 out = []
                 for cidx in range(4):                         # op, r, g, b
-                    base_row = cidx * fov_num
-                    v = exa[base_row:base_row + 1, :]
+                    base_row = 32 + cidx * fov_num
+                    v = w[base_row:base_row + 1, :]
                     for lvl in range(1, fov_num):
                         v = jnp.where(pk == lvl,
-                                      exa[base_row + lvl:base_row + lvl + 1, :],
+                                      w[base_row + lvl:base_row + lvl + 1, :],
                                       v)
                     out.append(v)
                 return out
@@ -320,48 +343,48 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm, cnt_hbm,
             # permute them to [tail_len, tail_len + kept) of the staging
             # block, merge the carried tail, flush 128-aligned lanes.
             keepf = keep.astype(jnp.float32)                 # (1, chunk)
-            rank = jax.lax.dot_general(
-                keepf, triu, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)          # (1, chunk) excl
+            rank = _prefix_excl_lanes(keepf)                 # (1, chunk)
             kept = jnp.sum(keepf).astype(jnp.int32)
 
             kc = kcum[0]
             tail_len = jax.lax.rem(kc, 128)
             base = kc - tail_len
             dst = tail_len.astype(jnp.float32) + rank        # (1, chunk)
-            ohT = ((d_iota == dst) & keep).astype(jnp.float32)  # (out_w, chunk)
+            ohT = ((d_iota == dst) & keep).astype(jnp.bfloat16)  # (out_w, chunk)
 
-            # Permutation matmul split by precision need: tile/depth/mx/my/ca
-            # must pass through exactly (f32 HIGHEST, 6 MXU passes/row); the 10
-            # color/opacity/conic rows are ALREADY bf16-exact (they come out of
-            # the bf16 expand matmul, and o2's -1 sentinel is bf16-exact), so a
-            # 0/1 permutation in ONE bf16 pass is bitwise lossless for them —
-            # 96 -> ~56 row-passes on the MXU.
-            vals_e = jnp.concatenate(
-                [tile.astype(jnp.float32), ex[14:15, :],     # tile, depth
-                 ex[4:6, :], ex[12:13, :],                   # mx, my, ca
-                 jnp.zeros((3, chunk), jnp.float32)], axis=0)   # (8, chunk)
-            staged_e = jax.lax.dot_general(
-                vals_e, ohT, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)          # (8, out_w)
-            vals_a = jnp.concatenate(
-                [exa[16:17, :], exa[17:18, :],               # cb, cc
-                 o1, o2, r1c, g1c, b1c, r2c, g2c, b2c,
-                 jnp.zeros((6, chunk), jnp.float32)], axis=0)   # (16, chunk)
-            staged_a = jax.lax.dot_general(
-                vals_a.astype(jnp.bfloat16), ohT.astype(jnp.bfloat16),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (16, out_w)
+            # ONE bf16 permutation matmul (M=24, ~20% MXU utilization) —
+            # no HIGHEST pass anywhere: the f32 values (tile/depth/mx/my/ca)
+            # ride as exact bf16 splits (the depth/mx/my/ca parts come
+            # straight from the split-row table; tile is a 13-bit int: x2)
+            # and are reconstructed exactly after the permutation; the 10
+            # color/opacity/conic rows are already bf16-exact (o2's -1
+            # sentinel is bf16-exact).
+            tilef = tile.astype(jnp.float32)
+            t_hi = tilef.astype(jnp.bfloat16).astype(jnp.float32)
+            vals = jnp.concatenate(
+                [t_hi, tilef - t_hi,
+                 w[28:31, :],                                # depth x3
+                 w[6:9, :],                                  # mx x3
+                 w[9:12, :],                                 # my x3
+                 w[24:27, :],                                # ca x3
+                 w[48:49, :], w[49:50, :],                   # cb, cc
+                 o1, o2, r1c, g1c, b1c, r2c, g2c, b2c],
+                axis=0)                                      # (24, chunk)
+            staged = jax.lax.dot_general(
+                vals.astype(jnp.bfloat16), ohT, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (24, out_w)
 
             blk = jnp.concatenate(
-                [staged_e[0:5],
-                 _pack2_i32(staged_a[0:1], staged_a[1:2]),
-                 _pack2_i32(staged_a[2:3], staged_a[3:4]),
-                 _pack2_i32(staged_a[4:5], staged_a[5:6]),
-                 _pack2_i32(staged_a[6:7], staged_a[7:8]),
-                 _pack2_i32(staged_a[8:9], staged_a[9:10]),
+                [staged[0:1] + staged[1:2],                  # tile
+                 staged[2:3] + staged[3:4] + staged[4:5],    # depth
+                 staged[5:6] + staged[6:7] + staged[7:8],    # mx
+                 staged[8:9] + staged[9:10] + staged[10:11],  # my
+                 staged[11:12] + staged[12:13] + staged[13:14],  # ca
+                 _pack2_i32(staged[14:15], staged[15:16]),
+                 _pack2_i32(staged[16:17], staged[17:18]),
+                 _pack2_i32(staged[18:19], staged[19:20]),
+                 _pack2_i32(staged[20:21], staged[21:22]),
+                 _pack2_i32(staged[22:23], staged[23:24]),
                  jnp.zeros((OROWS - 10, out_w), jnp.float32)], axis=0)
             # Merge the carried tail into lanes [0, tail_len).
             head = jnp.where(lane128 < tail_len, tail[...], blk[:, 0:128])
@@ -463,9 +486,6 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
         cum_dma(0, 0).start()
 
         # Loop-invariant 2D masks/iotas, built once per program (not per chunk).
-        riota = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-        ciota = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-        triu = (riota < ciota).astype(jnp.float32)
         d_iota = jax.lax.broadcasted_iota(
             jnp.int32, (out_w, chunk), 0).astype(jnp.float32)
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (POROWS, 128), 1)
@@ -529,26 +549,35 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
 
             # In-kernel compaction — identical machinery to the fov kernel.
             keepf = keep.astype(jnp.float32)
-            rank = jax.lax.dot_general(
-                keepf, triu, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
+            rank = _prefix_excl_lanes(keepf)
             kept = jnp.sum(keepf).astype(jnp.int32)
 
             kc = kcum[0]
             tail_len = jax.lax.rem(kc, 128)
             base = kc - tail_len
             dst = tail_len.astype(jnp.float32) + rank
-            ohT = ((d_iota == dst) & keep).astype(jnp.float32)
+            ohT = ((d_iota == dst) & keep).astype(jnp.bfloat16)
 
-            vals = jnp.concatenate(
-                [tile.astype(jnp.float32), ex[20:21, :],     # tile, depth
-                 ex[4:6, :], ex[12:19, :],     # mx, my, ca, cb, cc, op, r, g, b
-                 jnp.zeros((POROWS - 11, chunk), jnp.float32)], axis=0)
-            staged = jax.lax.dot_general(
-                vals, ohT, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)          # (POROWS, out_w)
+            # ONE bf16 permutation matmul, all 11 f32 rows as exact bf16 x3
+            # splits (tile is a 13-bit int: x2), reconstructed exactly after
+            # the permutation — see the fov kernel / _bf16x3_rows.
+            tilef = tile.astype(jnp.float32)
+            t_hi = tilef.astype(jnp.bfloat16).astype(jnp.float32)
+            parts = [t_hi, tilef - t_hi]
+            for row in (ex[20:21, :], ex[4:5, :], ex[5:6, :],    # depth,mx,my
+                        ex[12:13, :], ex[13:14, :], ex[14:15, :],  # ca,cb,cc
+                        ex[15:16, :], ex[16:17, :], ex[17:18, :],  # op,r,g
+                        ex[18:19, :]):                             # b
+                parts.extend(_bf16x3_rows(row))
+            vals = jnp.concatenate(parts, axis=0)            # (32, chunk)
+            staged3 = jax.lax.dot_general(
+                vals.astype(jnp.bfloat16), ohT, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (32, out_w)
+            staged = jnp.concatenate(
+                [staged3[0:1] + staged3[1:2]]
+                + [staged3[2 + 3 * i:3 + 3 * i] + staged3[3 + 3 * i:4 + 3 * i]
+                   + staged3[4 + 3 * i:5 + 3 * i] for i in range(10)]
+                + [jnp.zeros((POROWS - 11, out_w), jnp.float32)], axis=0)
 
             head = jnp.where(lane128 < tail_len, tail[...], staged[:, 0:128])
             blk = jnp.concatenate([head, staged[:, 128:]], axis=1)
@@ -654,7 +683,8 @@ def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
                       cap_out=None, chunk=512, batch=8, grid_x, grid_y,
                       width, height, real_w, real_h, dist, fov_num,
                       sqrt_max_ps, interpret=False):
-    """dtable (DROWS, N_pad) f32 (N_pad multiple of 128, >= wsize+1);
+    """dtable (DROWS, N_pad) bf16 split-row table (N_pad multiple of 128,
+    >= wsize+1; layout in foveated.build_fov_dtable);
     cum (1, N_pad + 128) f32 exclusive cumsum of tiles_touched in original
     order (padding rows set past the pair total; +128 so the kernel's
     8-row-aligned window reads never run off the end); gstarts (CAP//chunk,) i32 =
@@ -691,7 +721,7 @@ def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
                                memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)],
-        scratch_shapes=[pltpu.VMEM((2, DROWS, wsize), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, DROWS, wsize), jnp.bfloat16),
                         pltpu.VMEM((2, 1, wsize + 128), jnp.float32),
                         pltpu.VMEM((2, OROWS, chunk + 128), jnp.float32),
                         pltpu.VMEM((OROWS, 128), jnp.float32),

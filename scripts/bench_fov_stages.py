@@ -24,6 +24,9 @@ _ap.add_argument("--prefix-mode", default="logmm",
 _ap.add_argument("--compact-capacity", type=int, default=1_835_008)
 _ap.add_argument("--expand-chunk", type=int, default=256)
 _ap.add_argument("--expand-batch", type=int, default=16)
+_ap.add_argument("--force-single", action="store_true",
+                 help="zero l2_active: every tile takes the single-chain "
+                      "path (isolates the dual-chain cost)")
 _args = _ap.parse_args()
 
 from fovsplat.data.cameras import look_at_camera
@@ -147,33 +150,8 @@ n_pad = max(((n + 127) // 128) * 128, wsize + 1)
 
 
 def build_table(t1cols, t2cols, valid, depth):
-    """Dummy-pair table build (no presort): cumsum + stack + cum/gstarts."""
-    t1 = list(t1cols)
-    tnum = jnp.where(valid, t1[3], 1.0)
-    cum_incl = jnp.cumsum(tnum)
-    total_f = cum_incl[-1]
-    cum_excl = cum_incl - tnum
-    cols = [jnp.where(valid, t1[0], 0.0),
-            jnp.where(valid, t1[1], 0.0),
-            jnp.where(valid, t1[2], 1.0),
-            cum_excl,
-            t1[4], t1[5], t1[6], t1[7], t1[8], t1[9], t1[10], t1[11],
-            t1[12],
-            jnp.where(valid, t1[15], -2.0),
-            depth,
-            jnp.zeros(n, jnp.float32)] \
-        + list(t2cols) + [t1[13], t1[14]]
-    total = jnp.minimum(total_f, cap2).astype(jnp.int32)
-    dtable = jnp.stack(cols, axis=0)
-    dtable = jnp.pad(dtable, ((0, pex.DROWS - len(cols)), (0, n_pad - n)))
-    cum_pad = jnp.full((n_pad + 128,), jnp.float32(1 << 30))
-    cum_pad = cum_pad.at[:n].set(cum_excl.astype(jnp.float32))
-    cum_pad = cum_pad.at[n].set(total_f)
-    chunk_firsts = jnp.arange(0, cap2, kchunk, dtype=jnp.float32)
-    gstarts = jnp.clip(
-        jnp.searchsorted(cum_excl, chunk_firsts, side='right').astype(
-            jnp.int32) - 1, 0, n - 1)
-    return dtable, cum_pad, gstarts, total, total_f
+    """Split-row bf16 table build (fov.build_fov_dtable)."""
+    return fov.build_fov_dtable(t1cols, t2cols, valid, depth, cap2, kchunk)
 
 
 dtable, cum_pad, gstarts, total, total_f = timeit(
@@ -234,6 +212,10 @@ l1_active = jnp.where(tile_blend[:, None],
                       est <= (l1_i + 1)[:, None].astype(jnp.float32),
                       jnp.ones((num_tiles, 256), bool))
 l2_active = jnp.broadcast_to(tile_blend[:, None], (num_tiles, 256))
+if _args.force_single:
+    l2_active = jnp.zeros_like(l2_active)
+print("blend tiles:", int(jax.device_get(jnp.sum(tile_blend))), "/",
+      num_tiles, flush=True)
 tile_act = jnp.stack([
     l1_active.astype(jnp.float32), l2_active.astype(jnp.float32),
     jnp.zeros_like(l1_active, jnp.float32),

@@ -116,33 +116,8 @@ for spec in _args.variants.split(","):
     n_pad = max(((n + 127) // 128) * 128, wsize + 1)
 
     def build_table(t1cols, t2cols, valid, depth):
-        t1 = list(t1cols)
-        tnum = jnp.where(valid, t1[3], 1.0)
-        cum_incl = jnp.cumsum(tnum)
-        total_f = cum_incl[-1]
-        cum_excl = cum_incl - tnum
-        cols = [jnp.where(valid, t1[0], 0.0),
-                jnp.where(valid, t1[1], 0.0),
-                jnp.where(valid, t1[2], 1.0),
-                cum_excl,
-                t1[4], t1[5], t1[6], t1[7], t1[8], t1[9], t1[10], t1[11],
-                t1[12],
-                jnp.where(valid, t1[15], -2.0),
-                depth,
-                jnp.zeros(n, jnp.float32)] \
-            + list(t2cols) + [t1[13], t1[14]]
-        total = jnp.minimum(total_f, cap2).astype(jnp.int32)
-        dtable = jnp.stack(cols, axis=0)
-        dtable = jnp.pad(dtable, ((0, pex.DROWS - len(cols)),
-                                  (0, n_pad - n)))
-        cum_pad = jnp.full((n_pad + 128,), jnp.float32(1 << 30))
-        cum_pad = cum_pad.at[:n].set(cum_excl.astype(jnp.float32))
-        cum_pad = cum_pad.at[n].set(total_f)
-        chunk_firsts = jnp.arange(0, cap2, kchunk, dtype=jnp.float32)
-        gstarts = jnp.clip(
-            jnp.searchsorted(cum_excl, chunk_firsts, side='right').astype(
-                jnp.int32) - 1, 0, n - 1)
-        return dtable, cum_pad, gstarts, total
+        return fov.build_fov_dtable(t1cols, t2cols, valid, depth, cap2,
+                                    kchunk)[:4]
 
     dtable, cum_pad, gstarts, total = jax.jit(build_table)(
         t1cols, t2cols, valid, depth)
