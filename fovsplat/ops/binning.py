@@ -251,23 +251,41 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
     cap2 = ((cap_d + chunk * kbatch - 1) // (chunk * kbatch)) \
         * (chunk * kbatch)
 
-    validf = valid.astype(jnp.float32)
-    cols = list(t1cols) + [validf, depth,
-                           jnp.zeros(n, jnp.float32)]          # rows 0..21
-    tnum = jnp.where(valid, cols[3], 1.0)
-    cols[0] = jnp.where(valid, cols[0], 0.0)
-    cols[1] = jnp.where(valid, cols[1], 0.0)
-    cols[2] = jnp.where(valid, cols[2], 1.0)
+    from fovsplat.ops.foveated import _split2, _split3
+
+    t1 = list(t1cols)
+    tnum = jnp.where(valid, t1[3], 1.0)
     cum_incl = jnp.cumsum(tnum)
     total_f = cum_incl[-1]
     cum_excl = cum_incl - tnum
-    cols[3] = cum_excl
     total = jnp.minimum(total_f, cap2).astype(jnp.int32)
     overflow = jnp.maximum(total_f.astype(jnp.int32) - cap2, 0)
 
+    # bf16 split-row table (same design as foveated.build_fov_dtable —
+    # exact values as x3 splits so the kernel's single bf16 one-hot matmul
+    # is lossless; OBB axes/extents x2). Layout (PROWS = 64 rows):
+    #   0 rx0 | 1 ry0 | 2 rw | 3-5 cum_excl | 6-8 mx | 9-11 my
+    #   12-13 v1x | 14-15 v1y | 16-17 v2x | 18-19 v2y | 20-21 len1
+    #   22-23 len2 | 24-26 ca | 27-29 cb | 30-32 cc | 33-35 op
+    #   36-38 r | 39-41 g | 42-44 b | 45 valid | 46-48 depth | 49-63 pad
+    cols = [jnp.where(valid, t1[0], 0.0),
+            jnp.where(valid, t1[1], 0.0),
+            jnp.where(valid, t1[2], 1.0),
+            *_split3(cum_excl),
+            *_split3(t1[4]), *_split3(t1[5]),           # mx, my
+            *_split2(t1[6]), *_split2(t1[7]),           # v1x, v1y
+            *_split2(t1[8]), *_split2(t1[9]),           # v2x, v2y
+            *_split2(t1[10]), *_split2(t1[11]),         # len1, len2
+            *_split3(t1[12]), *_split3(t1[13]),         # ca, cb
+            *_split3(t1[14]), *_split3(t1[15]),         # cc, op
+            *_split3(t1[16]), *_split3(t1[17]),         # r, g
+            *_split3(t1[18]),                           # b
+            valid.astype(jnp.float32),
+            *_split3(depth)]
+
     wsize = chunk + pex.WPAD
     n_pad = max(((n + 127) // 128) * 128, wsize + 1)
-    dtable = jnp.stack(cols, axis=0)                    # (22, N)
+    dtable = jnp.stack(cols, axis=0).astype(jnp.bfloat16)   # (49, N)
     dtable = jnp.pad(dtable,
                      ((0, pex.PROWS - len(cols)), (0, n_pad - n)))
 

@@ -432,7 +432,8 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm, cnt_hbm,
 
 # ------------------------------------------------------------- plain path
 
-PROWS = 24           # ps1 dtable rows (sublane-dim DMA slices must be 8-aligned)
+PROWS = 64           # ps1 bf16 split-row dtable rows (49 used; layout in
+                     # binning.bin_fused_ps1; 16-aligned for bf16 tiling)
 POROWS = 16          # ps1 output rows (key + 9 attrs + pad)
 
 
@@ -444,10 +445,9 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
     exactly like the foveated kernel (see module docstring — same
     rank/permute/tail machinery; culled + dummy pairs never reach HBM).
 
-    dtable rows (PROWS=24), ORIGINAL Gaussian order (no depth presort —
-    invalid rows carry one dummy pair with valid=0; see module docstring):
-    [rx0, ry0, rw, cum_excl, mx, my, v1x, v1y, v2x, v2y, len1, len2,
-    ca, cb, cc, op, r, g, b, valid, depth, pad x3].
+    dtable: (PROWS=64) bf16 split-row table (layout in
+    binning.bin_fused_ps1), ORIGINAL Gaussian order (no depth presort —
+    invalid rows carry one dummy pair with valid=0; see module docstring).
     Output rows (POROWS=16), compacted values (+ (1,128) i32 kept count):
     [tile, depth, mx, my, ca, cb, cc, op, r, g, b, pad x5] — rows 2..10
     are exactly the blend_fwd ROW prefix."""
@@ -512,29 +512,36 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
             # next row's cum: rotate left one lane (positive-shift roll form).
             cum_hi = pltpu.roll(cumv, wsize + 127, 1)[:, 0:wsize]
             onehot_t = ((cum_lo <= p_col)
-                        & (p_col < cum_hi)).astype(jnp.float32)  # (chunk, wsize)
-            ex = jax.lax.dot_general(
+                        & (p_col < cum_hi)).astype(jnp.bfloat16)  # (chunk, wsize)
+            # ONE bf16 expansion matmul over the split-row table (layout in
+            # binning.bin_fused_ps1) — no f32-HIGHEST pass in this kernel.
+            w = jax.lax.dot_general(
                 win[slot], onehot_t, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)          # (PROWS, chunk)
 
             p = (c * chunk
                  + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1))
             in_range = p < total
 
-            rw = jnp.maximum(ex[2:3, :], 1.0)
-            local = p_row - ex[3:4, :]
+            rw = jnp.maximum(w[2:3, :], 1.0)
+            cum_e = w[3:4, :] + w[4:5, :] + w[5:6, :]
+            mx = w[6:7, :] + w[7:8, :] + w[8:9, :]
+            my = w[9:10, :] + w[10:11, :] + w[11:12, :]
+            local = p_row - cum_e
             ty_off = jnp.floor((local + 0.5) / rw)
-            tx = ex[0:1, :] + (local - ty_off * rw)
-            ty = ex[1:2, :] + ty_off
+            tx = w[0:1, :] + (local - ty_off * rw)
+            ty = w[1:2, :] + ty_off
             tile = (ty * grid_x + tx).astype(jnp.int32)
 
             half = TILE / 2.0
-            cx = ex[4:5, :] - (tx * TILE + half)
-            cy = ex[5:6, :] - (ty * TILE + half)
-            v1x, v1y = ex[6:7, :], ex[7:8, :]
-            v2x, v2y = ex[8:9, :], ex[9:10, :]
-            l1e, l2e = ex[10:11, :], ex[11:12, :]
+            cx = mx - (tx * TILE + half)
+            cy = my - (ty * TILE + half)
+            v1x = w[12:13, :] + w[13:14, :]
+            v1y = w[14:15, :] + w[15:16, :]
+            v2x = w[16:17, :] + w[17:18, :]
+            v2y = w[18:19, :] + w[19:20, :]
+            l1e = w[20:21, :] + w[21:22, :]
+            l2e = w[22:23, :] + w[23:24, :]
             ext_x = jnp.abs(l1e * v1x) + jnp.abs(l2e * v2x)
             ext_y = jnp.abs(l1e * v1y) + jnp.abs(l2e * v2y)
             b1 = -(cx * v1x + cy * v1y)
@@ -545,7 +552,7 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
                    & (jnp.abs(b1) <= l1e + e1) & (jnp.abs(b2) <= l2e + e2))
             obb = obb | (l1e <= 0.0)
 
-            keep = in_range & obb & (ex[19:20, :] > 0.0)
+            keep = in_range & obb & (w[45:46, :] > 0.0)
 
             # In-kernel compaction — identical machinery to the fov kernel.
             keepf = keep.astype(jnp.float32)
@@ -558,18 +565,19 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
             dst = tail_len.astype(jnp.float32) + rank
             ohT = ((d_iota == dst) & keep).astype(jnp.bfloat16)
 
-            # ONE bf16 permutation matmul, all 11 f32 rows as exact bf16 x3
-            # splits (tile is a 13-bit int: x2), reconstructed exactly after
-            # the permutation — see the fov kernel / _bf16x3_rows.
+            # ONE bf16 permutation matmul, every f32 value as exact bf16 x3
+            # split PARTS straight from the split-row table (tile, a 13-bit
+            # int, splits x2 in-kernel), reconstructed exactly after.
             tilef = tile.astype(jnp.float32)
             t_hi = tilef.astype(jnp.bfloat16).astype(jnp.float32)
-            parts = [t_hi, tilef - t_hi]
-            for row in (ex[20:21, :], ex[4:5, :], ex[5:6, :],    # depth,mx,my
-                        ex[12:13, :], ex[13:14, :], ex[14:15, :],  # ca,cb,cc
-                        ex[15:16, :], ex[16:17, :], ex[17:18, :],  # op,r,g
-                        ex[18:19, :]):                             # b
-                parts.extend(_bf16x3_rows(row))
-            vals = jnp.concatenate(parts, axis=0)            # (32, chunk)
+            vals = jnp.concatenate(
+                [t_hi, tilef - t_hi,
+                 w[46:49, :],                    # depth x3
+                 w[6:9, :], w[9:12, :],          # mx, my x3
+                 w[24:27, :], w[27:30, :],       # ca, cb x3
+                 w[30:33, :], w[33:36, :],       # cc, op x3
+                 w[36:39, :], w[39:42, :],       # r, g x3
+                 w[42:45, :]], axis=0)           # b x3 -> (32, chunk)
             staged3 = jax.lax.dot_general(
                 vals.astype(jnp.bfloat16), ohT, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # (32, out_w)
@@ -615,8 +623,9 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
 def expand_ps1_pallas(dtable, cum, gstarts, total,
                       *, cap, cap_out=None, chunk=512, batch=8, grid_x,
                       grid_y, interpret=False):
-    """dtable (PROWS, N_pad) f32 in ORIGINAL order (valid flag row 19,
-    depth row 20); cum (1, N_pad + 128) f32 exclusive cumsum (dummy pairs
+    """dtable (PROWS, N_pad) bf16 split-row table in ORIGINAL order
+    (layout in binning.bin_fused_ps1; valid flag row 45, depth rows
+    46-48); cum (1, N_pad + 128) f32 exclusive cumsum (dummy pairs
     for invalid rows; padding past the total; +128 for aligned window
     reads); gstarts (CAP//chunk,) i32; total () i32. cap_out bounds the
     COMPACTED output (kept pairs only; defaults to cap).
@@ -642,7 +651,7 @@ def expand_ps1_pallas(dtable, cum, gstarts, total,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)],
-        scratch_shapes=[pltpu.VMEM((2, PROWS, wsize), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, PROWS, wsize), jnp.bfloat16),
                         pltpu.VMEM((2, 1, wsize + 128), jnp.float32),
                         pltpu.VMEM((2, POROWS, chunk + 128), jnp.float32),
                         pltpu.VMEM((POROWS, 128), jnp.float32),
