@@ -106,11 +106,11 @@ def main():
     if args.dummy_slack is None and args.mode == "fov":
         args.dummy_slack = 917_504
     if args.compact_capacity is None and args.mode == "fov":
-        # Kept pairs (post OBB/level cull) measured 1.27M at the center
-        # gaze, lower at corner gazes; 1.75M usable leaves ~37% headroom
-        # and the tile sort cost is linear in this capacity. Overflow is
-        # counted and reported, never silently reordered.
-        args.compact_capacity = 1_835_008
+        # Kept pairs (post OBB/level cull) measured 1.507M at 1080p center
+        # gaze; 1.66M usable leaves ~10% headroom and the tile sort cost
+        # is linear in this capacity. Overflow is asserted zero on a
+        # diagnostic frame before timing — never silently dropped.
+        args.compact_capacity = 1_703_936
 
     import jax
     import jax.numpy as jnp

@@ -250,6 +250,9 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
     cap_d = pair_capacity + (n if dummy_slack is None else dummy_slack)
     cap2 = ((cap_d + chunk * kbatch - 1) // (chunk * kbatch)) \
         * (chunk * kbatch)
+    # See foveated.build_fov_dtable: split-row exactness needs cap2 < 2^24.
+    assert cap2 < (1 << 24), (
+        f"pair capacity {cap2} >= 2^24 breaks split-row integer exactness")
 
     from fovsplat.ops.foveated import _split2, _split3
 

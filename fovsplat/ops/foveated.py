@@ -136,6 +136,11 @@ def build_fov_dtable(t1cols, t2cols, valid, depth, cap2, chunk):
     gstarts (cap2/chunk,) i32, total () i32, total_f () f32)."""
     from fovsplat.ops.pallas import expand_fov as pex
 
+    # cum_excl rides as a bf16 x3 split (24-bit exact) and pair indices as
+    # f32 iotas — both require the pair capacity to stay below 2^24.
+    assert cap2 < (1 << 24), (
+        f"pair capacity {cap2} >= 2^24: split-row cum_excl and f32 pair "
+        "indices would lose integer exactness; shard the cloud instead")
     n = depth.shape[0]
     t1 = list(t1cols)
     tnum = jnp.where(valid, t1[3], 1.0)

@@ -30,10 +30,10 @@ def main():
     # <= 0.86M (dummy pairs); the whole binning pipeline is CAP-sized, so
     # the slack is budgeted instead of the always-safe +N default.
     ap.add_argument("--dummy-slack", type=int, default=851_968)
-    # Kept pairs measured 1.27M at the center gaze (corner gazes cull
-    # more); the tile sort is linear in this capacity. Per-gaze
-    # kept/overflow is printed — overflow > 0 means pairs were dropped.
-    ap.add_argument("--compact-capacity", type=int, default=1_572_864)
+    # Kept pairs measured <= 1.279M across the 9 gazes (max at center);
+    # the tile sort is linear in this capacity. Per-gaze kept/overflow is
+    # printed — overflow > 0 means pairs were dropped.
+    ap.add_argument("--compact-capacity", type=int, default=1_441_792)
     args = ap.parse_args()
 
     import jax

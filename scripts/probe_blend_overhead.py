@@ -62,3 +62,34 @@ timeit("B 64 pairs/tile", s64, s64 + 64)
 
 s256 = jnp.arange(num_tiles, dtype=jnp.int32) * 220
 timeit("C 220 pairs/tile (unaligned)", s256, s256 + 220)
+
+# D: REALISTIC data — every pair INSIDE its tile (power in the live
+# range, nonzero opacity, so log1p/exp see production-like values and
+# early exit can trigger) vs the zero-opacity far-away pairs of A-C.
+from fovsplat.ops.pallas.blend_fov import pack2bf16_xla
+per = 220
+tid = (jnp.arange(cap, dtype=jnp.int32) // per) % num_tiles
+tx0 = (tid % gx).astype(jnp.float32) * 16.0
+ty0 = (tid // gx).astype(jnp.float32) * 16.0
+u = jnp.asarray(rng.uniform(0, 16, (2, cap)), jnp.float32)
+mx = tx0 + u[0]
+my = ty0 + u[1]
+ca = jnp.asarray(rng.uniform(0.05, 0.8, cap), jnp.float32)
+cc = jnp.asarray(rng.uniform(0.05, 0.8, cap), jnp.float32)
+cb = jnp.zeros(cap, jnp.float32)
+op = jnp.asarray(rng.uniform(0.2, 0.95, cap), jnp.float32)
+col = jnp.asarray(rng.uniform(0, 1, (6, cap)), jnp.float32)
+pairs_real = jnp.stack([
+    mx, my, ca, pack2bf16_xla(cb, cc), pack2bf16_xla(op, op),
+    pack2bf16_xla(col[0], col[1]), pack2bf16_xla(col[2], col[3]),
+    pack2bf16_xla(col[4], col[5])], axis=0)
+pairs = pairs_real
+kern = jax.jit(lambda p, s, e, a: pkf.blend_fov_pallas(
+    p, s, e, a, gx, gy, 256, -4.5, False, batch=8)[1])
+timeit("D 220 in-tile real data (single)", s256, s256 + 220)
+
+# E: same but every tile runs the DUAL chain.
+tile_act = tile_act.at[:, :, 1].set(1.0)
+kern = jax.jit(lambda p, s, e, a: pkf.blend_fov_pallas(
+    p, s, e, a, gx, gy, 256, -4.5, False, batch=8)[1])
+timeit("E 220 in-tile real data (dual)", s256, s256 + 220)

@@ -357,3 +357,23 @@ def test_fov_compact_capacity():
             rasterize.RasterizeConfig(**base, compact_capacity=starved)))()
         assert int(ov2) == kept - (starved - margin)
         assert int(np2) <= starved - margin
+
+
+def test_split3_reconstruction_exact():
+    """_split3 parts must each be bf16-representable and sum back to the
+    f32 input bit-exactly — the whole split-row kernel design rests on
+    this (expand_fov module docstring)."""
+    from fovsplat.ops.foveated import _split3
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([
+        rng.normal(0, 1e3, 20000).astype(np.float32),
+        rng.uniform(0, 1 << 24, 20000).astype(np.float32).round(),
+        np.float32([0.0, 1.0, -1.0, 0.01, 1e-20, 1e20, 3.14159265,
+                    (1 << 24) - 1, 8191.0]),
+    ])
+    hi, mid, lo = jax.jit(_split3)(jnp.asarray(vals))
+    hi, mid, lo = (np.asarray(v) for v in (hi, mid, lo))
+    for part in (hi, mid, lo):
+        as_bf16 = part.astype(jnp.bfloat16).astype(np.float32)
+        np.testing.assert_array_equal(as_bf16, part)
+    np.testing.assert_array_equal(hi + mid + lo, vals)
