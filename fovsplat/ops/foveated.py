@@ -240,18 +240,21 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
         kept - (cap3 - (chunk + 128)), 0)
 
     # ONE single-key sort over the COMPACTED pairs: depth rides inside the
-    # fused key, and the 8 f32 payload rows ride as exactly 4 bit-packed
-    # i64 operands (sort cost scales with operand count AND element count
-    # — the in-kernel compaction halves the latter).
+    # fused key, and the 6 packed payload rows (expand_fov_pallas layout:
+    # ca as bf16 x2 split, opacities/colors as u8) ride as exactly 3
+    # bit-packed i64 operands (sort cost scales with operand count AND
+    # element count — the in-kernel compaction halves the latter). Two
+    # zero rows pad the blend SoA back to 8 for DMA sublane alignment.
     with jax.enable_x64(True):            # i64 scoped to the sort only
         res = jax.lax.sort(
             (key, _pack_i64(attrs[0], attrs[1]),
-             _pack_i64(attrs[2], attrs[3]), _pack_i64(attrs[4], attrs[5]),
-             _pack_i64(attrs[6], attrs[7])),
+             _pack_i64(attrs[2], attrs[3]), _pack_i64(attrs[4], attrs[5])),
             num_keys=1)
         sorted_key = res[0]
+        cap3_ = key.shape[0]
         packed = jnp.concatenate(
-            [_unpack_i64(res[i]) for i in range(1, 5)], axis=0)  # (8, CAP3)
+            [_unpack_i64(res[i]) for i in range(1, 4)]
+            + [jnp.zeros((2, cap3_), jnp.float32)], axis=0)  # (8, CAP3)
     db = pex.key_depth_bits(num_tiles)
     seg_start = jnp.searchsorted(
         sorted_key,
@@ -497,17 +500,28 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
         else:
             # bn.pair_attrs rows: [mx, my, ca, cb, cc, op1, r1, g1, b1, op2,
             # r2, g2, b2, l2cull] — geometry and the pre-sort-derived
-            # per-level values all rode the tile sort as payloads; pack them
-            # into the kernel's bf16-pair layout (cheap elementwise).
+            # per-level values all rode the tile sort as payloads; pack
+            # them into the blend kernel's 6-row layout (expand_fov
+            # docstring: ca bf16 x2 split, ops u8/255 with the L2-cull as
+            # op2 = 0, colors u8 on [0, 2]) + 2 zero pad rows.
             A = bn.pair_attrs
-            o2s = jnp.where(A[13] > 0.5, jnp.float32(-1.0), A[9])
+            o2s = jnp.where(A[13] > 0.5, jnp.float32(0.0), A[9])
+            q8 = lambda v, sc: jnp.clip(jnp.floor(v * sc + 0.5),
+                                        0.0, 255.0).astype(jnp.int32)
+            oprg = jax.lax.bitcast_convert_type(
+                (q8(A[5], 255.0) << 24) | (q8(o2s, 255.0) << 16)
+                | (q8(A[6], 127.5) << 8) | q8(A[7], 127.5), jnp.float32)
+            brgb = jax.lax.bitcast_convert_type(
+                (q8(A[8], 127.5) << 24) | (q8(A[10], 127.5) << 16)
+                | (q8(A[11], 127.5) << 8) | q8(A[12], 127.5), jnp.float32)
+            ca_hi = A[2].astype(jnp.bfloat16).astype(jnp.float32)
             packed = jnp.concatenate(
-                [A[0:3],
-                 jnp.stack([pkf.pack2bf16_xla(A[3], A[4]),
-                            pkf.pack2bf16_xla(A[5], o2s),
-                            pkf.pack2bf16_xla(A[6], A[7]),
-                            pkf.pack2bf16_xla(A[8], A[10]),
-                            pkf.pack2bf16_xla(A[11], A[12])], axis=0)],
+                [A[0:2],
+                 jnp.stack([pkf.pack2bf16_xla(ca_hi, A[2] - ca_hi),
+                            pkf.pack2bf16_xla(A[3], A[4]),
+                            oprg, brgb,
+                            jnp.zeros_like(oprg),
+                            jnp.zeros_like(oprg)], axis=0)],
                 axis=0)                                      # (8, CAP)
             seg_start = bn.seg_start
         tile_act = jnp.stack([

@@ -6,12 +6,17 @@ blending tile are accumulated in ONE pass over the tile's pair segment with
 a shared exp(power) evaluation; plain tiles mask the second chain off. The
 smoothstep merge runs outside the kernel (cheap elementwise).
 
-Pair SoA rows (FROW=8), bf16-pair packed (see expand_fov _pack2_i32):
-  [mx, my, ca, P_cbcc (cb|cc), P_op (op1|op2'), P_a (r1|g1), P_b (b1|r2),
-   P_c (g2|b2)]
-op2' < 0 encodes the L2 cull (a2 >= ALPHA_MIN rejects it for free).
-cb/cc ride as bf16 (expand_fov module docstring bounds the alpha error
-at < 1% relative; inference-only — the training kernel is blend_fwd).
+Pair SoA rows (FROW=8; 6 used + 2 zero pad rows for DMA sublane
+alignment — HBM window copies need 8-row-aligned shapes):
+  [mx, my, P_caca (ca_hi|ca_lo bf16 split), P_cbcc (cb|cc bf16),
+   OPRG (op1_u8|op2_u8|r1_u8|g1_u8), BRGB (b1|r2|g2|b2 u8), pad, pad]
+op2 == 0 encodes the L2 cull (a2 >= ALPHA_MIN rejects it for free).
+Quantization bounds (all inference-only — the training kernel is
+blend_fwd at f32): ca reconstructs within ~2^-17 relative; cb/cc bf16
+bound the alpha error at < 1% relative; opacities quantize at step
+1/255 == ALPHA_MIN; colors at step 2/255 on [0, 2] with blend weights
+summing to <= 1 (one 8-bit display LSB). The 6 rows ride the tile sort
+as 3 bit-packed i64 operands (foveated._bin_fov_fused).
 Tile-pixel input block (1, PIX, 4): [l1_active, l2_active, pad, pad].
 Output block (1, PIX, 8): [C1r, C1g, C1b, T1, C2r, C2g, C2b, T2].
 Accepts unaligned segments (DMA windows floored to 128).
@@ -32,6 +37,9 @@ from fovsplat.ops.pallas.blend_fwd import (ALPHA_MAX, ALPHA_MIN, PIX, T_EPS,
 
 FROW = 8
 
+C_OP = 1.0 / 255.0    # u8 opacity step == ALPHA_MIN
+C_COL = 2.0 / 255.0   # u8 color step on [0, 2]
+
 _MASK_HI = -65536                     # 0xFFFF0000 (python int: literals
                                       # inline; jnp scalars become captured
                                       # constants inside pallas kernels)
@@ -45,6 +53,12 @@ def _hi(p):
 def _lo(p):
     """Low bf16 half of a packed lane, as f32."""
     return pltpu.bitcast(pltpu.bitcast(p, jnp.int32) << 16, jnp.float32)
+
+
+def _u8(p, sh, scale):
+    """8-bit field at bit offset `sh` of a packed lane, rescaled to f32."""
+    i = jax.lax.shift_right_logical(pltpu.bitcast(p, jnp.int32), sh)
+    return (i & 255).astype(jnp.float32) * scale
 
 
 def pack2bf16_xla(a, b):
@@ -168,7 +182,7 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
             # power = pfeat @ feat on the MXU (see per-program comment).
             mxl = data[0:1, :] - tx0
             myl = data[1:2, :] - ty0
-            ca = data[2:3, :]
+            ca = _hi(data[2:3, :]) + _lo(data[2:3, :])
             cb = _hi(data[3:4, :])
             cc = _lo(data[3:4, :])
             feat = jnp.concatenate(
@@ -199,20 +213,20 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
                 get_dma((k + 1) % 2, k + 1).start()
             data, G, geo_ok = chunk_geo(k)
 
-            a1 = jnp.minimum(ALPHA_MAX, _hi(data[4:5, :]) * G)
+            a1 = jnp.minimum(ALPHA_MAX, _u8(data[4:5, :], 24, C_OP) * G)
             ok1 = geo_ok & (a1 >= ALPHA_MIN) & l1_active
             T1, c1r, c1g, c1b = chain(jnp.where(ok1, a1, 0.0), T1, c1r, c1g,
-                                      c1b, _hi(data[5:6, :]),
-                                      _lo(data[5:6, :]),
-                                      _hi(data[6:7, :]), triu_bf)
+                                      c1b, _u8(data[4:5, :], 8, C_COL),
+                                      _u8(data[4:5, :], 0, C_COL),
+                                      _u8(data[5:6, :], 24, C_COL), triu_bf)
 
-            # op2' < 0 on L2-culled pairs -> a2 < 0 fails the ALPHA_MIN test.
-            a2 = jnp.minimum(ALPHA_MAX, _lo(data[4:5, :]) * G)
+            # op2 == 0 on L2-culled pairs -> a2 = 0 fails the ALPHA_MIN test.
+            a2 = jnp.minimum(ALPHA_MAX, _u8(data[4:5, :], 16, C_OP) * G)
             ok2 = geo_ok & (a2 >= ALPHA_MIN) & l2_active
             T2, c2r, c2g, c2b = chain(jnp.where(ok2, a2, 0.0), T2, c2r, c2g,
-                                      c2b, _lo(data[6:7, :]),
-                                      _hi(data[7:8, :]),
-                                      _lo(data[7:8, :]), triu_bf)
+                                      c2b, _u8(data[5:6, :], 16, C_COL),
+                                      _u8(data[5:6, :], 8, C_COL),
+                                      _u8(data[5:6, :], 0, C_COL), triu_bf)
 
             alive1 = jnp.max(jnp.where(l1_active, T1, 0.0)) >= T_EPS
             alive2 = jnp.max(jnp.where(l2_active, T2, 0.0)) >= T_EPS
@@ -229,12 +243,12 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
                 get_dma((k + 1) % 2, k + 1).start()
             data, G, geo_ok = chunk_geo(k)
 
-            a1 = jnp.minimum(ALPHA_MAX, _hi(data[4:5, :]) * G)
+            a1 = jnp.minimum(ALPHA_MAX, _u8(data[4:5, :], 24, C_OP) * G)
             ok1 = geo_ok & (a1 >= ALPHA_MIN)
             T1, c1r, c1g, c1b = chain(jnp.where(ok1, a1, 0.0), T1, c1r, c1g,
-                                      c1b, _hi(data[5:6, :]),
-                                      _lo(data[5:6, :]),
-                                      _hi(data[6:7, :]), triu_bf)
+                                      c1b, _u8(data[4:5, :], 8, C_COL),
+                                      _u8(data[4:5, :], 0, C_COL),
+                                      _u8(data[5:6, :], 24, C_COL), triu_bf)
 
             cont = (k + 1 < num_chunks) & (jnp.max(T1) >= T_EPS)
             return k + 1, cont, T1, c1r, c1g, c1b

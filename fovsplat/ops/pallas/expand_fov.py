@@ -57,21 +57,27 @@ drains the tail. Lanes past the final count hold stale garbage: the
 caller MUST mask by the returned count before sorting.
 
 Output (OROWS=16, CAP_OUT) f32 value rows (+ (1, 128) i32 kept count):
-  [tile, depth, mx, my, ca, P_cbcc, P_op, P_a, P_b, P_c, pad x6]
-  rows 2..9 are the blend kernel's 8-row SoA; the caller builds the fused
-  sort key from tile and depth-bits (tile << depth_bits |
+  [tile, depth, mx, my, P_caca, P_cbcc, OPRG, BRGB, pad x8]
+  rows 2..7 are the blend kernel's 6-row SoA (blend_fov reads them from an
+  8-row-padded buffer for DMA sublane alignment); the caller builds the
+  fused sort key from tile and depth-bits (tile << depth_bits |
   f32_bits(depth) >> (32 - depth_bits); view-space depth is positive, so
   its high float bits are order-preserving). Ties (depths within ~2^-11
   relative) blend in arbitrary order — the reference's atomic scheduling
   is non-deterministic at far smaller scales.
-  P_* pack two bf16 values per f32 lane (hi|lo, round-to-nearest):
-  P_cbcc = cb | cc, P_op = op1 | op2' (op2' = -1 when the pair is
-  L2-culled), P_a = r1 | g1, P_b = b1 | r2, P_c = g2 | b2.
-  Colors/opacities are blend weights of an 8-bit image; bf16's 2^-9
-  relative step is invisible there. cb/cc in bf16 perturb the exponent by
-  <= 0.2% of the quadratic terms (alpha error < 1% relative,
-  inference-only; ca keeps f32 so exactly one conic term is
-  full-precision). 8 attr rows = exactly 4 bit-packed i64 sort payloads.
+  Packed lanes (all inference-only quantization; training uses blend_fwd
+  at f32): P_caca = bf16 x2 split of ca (hi + lo reconstructs within
+  ~2^-17 relative — conic precision matches the previous f32-ca layout to
+  well under the bf16 cb/cc error); P_cbcc = cb | cc bf16
+  (round-to-nearest, <= 0.2% exponent perturbation -> alpha error < 1%
+  relative); OPRG = op1_u8 << 24 | op2_u8 << 16 | r1_u8 << 8 | g1_u8 and
+  BRGB = b1 | r2 | g2 | b2: opacities quantize at step 1/255 — exactly
+  the blend's ALPHA_MIN cutoff, below which a pair never contributes (the
+  L2-cull sentinel becomes op2 = 0, rejected by a2 >= ALPHA_MIN for
+  free); colors quantize at step 2/255 on [0, 2] and blend weights sum to
+  <= 1, so the final pixel error stays within one 8-bit display LSB.
+  6 attr rows = exactly 3 bit-packed i64 sort payloads (was 4 with the
+  bf16-pair layout; sort cost is per operand x element).
 
 The permutation matmul moves VALUES (tile ids, depth, coords — all exact
 f32), never bit patterns: f32 bit patterns (the old fused key) could be
@@ -374,18 +380,36 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm, cnt_hbm,
                 vals.astype(jnp.bfloat16), ohT, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # (24, out_w)
 
+            # 6-row packed output = exactly 3 bit-packed i64 sort payload
+            # operands (sort cost is per operand x element): ca rides as a
+            # bf16 x2 split pair (~2^-17 relative), opacities as u8/255
+            # (step 1/255 == the blend's own ALPHA_MIN cutoff; the L2-cull
+            # sentinel becomes 0, which a2 >= ALPHA_MIN rejects for free),
+            # colors as u8 on [0, 2] (step 2/255; blend weights sum to <= 1
+            # so the final pixel error stays within one 8-bit display LSB).
+            ca_f = staged[11:12] + staged[12:13] + staged[13:14]
+            ca_hi = ca_f.astype(jnp.bfloat16).astype(jnp.float32)
+            q8 = lambda v, sc: jnp.clip(jnp.floor(v * sc + 0.5),
+                                        0.0, 255.0).astype(jnp.int32)
+            oprg = pltpu.bitcast(
+                (q8(staged[16:17], 255.0) << 24)
+                | (q8(staged[17:18], 255.0) << 16)
+                | (q8(staged[18:19], 127.5) << 8)
+                | q8(staged[19:20], 127.5), jnp.float32)
+            brgb = pltpu.bitcast(
+                (q8(staged[20:21], 127.5) << 24)
+                | (q8(staged[21:22], 127.5) << 16)
+                | (q8(staged[22:23], 127.5) << 8)
+                | q8(staged[23:24], 127.5), jnp.float32)
             blk = jnp.concatenate(
                 [staged[0:1] + staged[1:2],                  # tile
                  staged[2:3] + staged[3:4] + staged[4:5],    # depth
                  staged[5:6] + staged[6:7] + staged[7:8],    # mx
                  staged[8:9] + staged[9:10] + staged[10:11],  # my
-                 staged[11:12] + staged[12:13] + staged[13:14],  # ca
-                 _pack2_i32(staged[14:15], staged[15:16]),
-                 _pack2_i32(staged[16:17], staged[17:18]),
-                 _pack2_i32(staged[18:19], staged[19:20]),
-                 _pack2_i32(staged[20:21], staged[21:22]),
-                 _pack2_i32(staged[22:23], staged[23:24]),
-                 jnp.zeros((OROWS - 10, out_w), jnp.float32)], axis=0)
+                 _pack2_i32(ca_hi, ca_f - ca_hi),            # P_caca
+                 _pack2_i32(staged[14:15], staged[15:16]),   # P_cbcc
+                 oprg, brgb,
+                 jnp.zeros((OROWS - 8, out_w), jnp.float32)], axis=0)
             # Merge the carried tail into lanes [0, tail_len).
             head = jnp.where(lane128 < tail_len, tail[...], blk[:, 0:128])
             blk = jnp.concatenate([head, blk[:, 128:]], axis=1)
@@ -702,9 +726,12 @@ def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
     COMPACTED output (kept pairs only; defaults to cap).
 
     Returns (key (CAP_OUT,) i32 fused (tile << depth_bits | depth bits)
-    sort key — sentinel-masked past the kept count, attrs (8, CAP_OUT) f32
-    [mx, my, ca, P_cbcc, P_op, P_a, P_b, P_c], kept () i32 — may exceed
-    the usable capacity, in which case trailing pairs were dropped)."""
+    sort key — sentinel-masked past the kept count, attrs (6, CAP_OUT) f32
+    [mx, my, P_caca, P_cbcc, OPRG, BRGB] (P_caca = bf16 x2 split of ca;
+    OPRG = op1_u8 | op2_u8 | r1_u8 | g1_u8, BRGB = b1 | r2 | g2 | b2,
+    opacities u8/255, colors u8 on [0, 2] — see the kernel's packing
+    comment), kept () i32 — may exceed the usable capacity, in which case
+    trailing pairs were dropped)."""
     n_pad = dtable.shape[1]
     assert cap % (chunk * batch) == 0, (cap, chunk, batch)
     if cap_out is None:
@@ -765,4 +792,4 @@ def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
         jax.lax.bitcast_convert_type(out[1], jnp.int32), 32 - db)
     key = jnp.where(lane < usable, (tile_i << db) | dpart,
                     num_tiles << db)
-    return key, out[2:10], kept
+    return key, out[2:8], kept
