@@ -595,16 +595,22 @@ def pack_fov_model(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
     """One-time layout conversion (the reference loads its composed model
     once per FPS run too, render_compose_gazes_fps.py:81-90)."""
     n = means3d.shape[0]
+    # Color/opacity rows are stored bf16: the expand kernel's attribute
+    # table quantizes them to bf16/u8 anyway (expand_fov docstring), so
+    # the per-frame SH/color reads — the largest per-Gaussian HBM term,
+    # 61 of ~72 model rows — run at half the bytes. Consumers upcast
+    # slice-wise (fused converts); geometry stays f32. Inference-only:
+    # training paths never use this packing.
     rest_t = jnp.concatenate(
-        [jnp.zeros((3, 1, n), jnp.float32),
-         jnp.asarray(shs_rest, jnp.float32).transpose(2, 1, 0)], axis=1)
+        [jnp.zeros((3, 1, n), jnp.bfloat16),
+         jnp.asarray(shs_rest, jnp.bfloat16).transpose(2, 1, 0)], axis=1)
     return FovModelSoA(
         xyz=jnp.asarray(means3d, jnp.float32),
         scales=jnp.asarray(scales, jnp.float32),
         rotations=jnp.asarray(rotations, jnp.float32),
         rest_t=rest_t,
-        dc_t=jnp.asarray(shs_dcs, jnp.float32).transpose(2, 1, 0),
-        opac_t=jnp.asarray(opacities, jnp.float32).T,
+        dc_t=jnp.asarray(shs_dcs, jnp.bfloat16).transpose(2, 1, 0),
+        opac_t=jnp.asarray(opacities, jnp.bfloat16).T,
         hl=jnp.asarray(highest_levels, jnp.float32))
 
 
@@ -685,8 +691,9 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
         pc.mx, pc.my, pc.v1x, pc.v1y, pc.v2x, pc.v2y, pc.len1, pc.len2,
         pc.ca, pc.cb, pc.cc, hl,
     ]
-    t2cols = ([model.opac_t[l] for l in range(L)]
-              + [jnp.maximum(sh.SH_C0 * model.dc_t[c, l] + rest_c[c], 0.0)
+    t2cols = ([model.opac_t[l].astype(jnp.float32) for l in range(L)]
+              + [jnp.maximum(sh.SH_C0 * model.dc_t[c, l].astype(jnp.float32)
+                             + rest_c[c], 0.0)
                  for c in range(3) for l in range(L)])
 
     packed, seg_start, num_pairs, overflow, _cap2 = _bin_fov_fused(

@@ -104,7 +104,17 @@ def _eval_sh_nlast(degree: int, sh_t: jnp.ndarray, x, y, z) -> jnp.ndarray:
 
     Identical math to eval_sh; (C, N) intermediates keep the vector lanes
     full (the (..., K, 3) layout puts only 3 elements per 128-lane vreg).
+    Accepts bf16 coefficient storage (FovModelSoA): each slice upcasts to
+    f32 at the point of use — XLA fuses the convert into the consuming
+    multiply, so the HBM read stays at bf16 width.
     """
+    if sh_t.dtype != jnp.float32:
+        _orig = sh_t
+
+        class _Up:
+            def __getitem__(self, idx):
+                return _orig[idx].astype(jnp.float32)
+        sh_t = _Up()
     result = SH_C0 * sh_t[:, 0]
     if degree > 0:
         result = (result - SH_C1 * y * sh_t[:, 1] + SH_C1 * z * sh_t[:, 2]

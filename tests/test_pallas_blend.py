@@ -179,8 +179,12 @@ def test_fov_soa_matches_plain():
     out_s = jax.jit(lambda: fov.rasterize_fov_soa(
         model, cam, gaze=gaze, alpha=0.3, blending=True, bg_color=bg,
         config=cfg)["render"])()
+    # pack_fov_model stores SH/color/opacity rows bf16 (inference packing;
+    # the plain path reads f32 inputs), so colors differ by ~2^-9 relative
+    # before the shared u8/bf16 dtable quantization: pixel deltas stay
+    # within ~2 8-bit display LSBs.
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_p),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=0, atol=1e-2)
 
 
 def test_fov_unfused_expand_matches_xla():
