@@ -184,7 +184,8 @@ def build_fov_dtable(t1cols, t2cols, valid, depth, cap2, chunk):
 
 def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
                    cap, camera, fov_cfg, interpret, dummy_slack=None,
-                   compact_capacity=None, chunk=256, kbatch=16):
+                   compact_capacity=None, chunk=256, kbatch=16,
+                   prebuilt=None, n_rows=None):
     """Fused-Pallas foveated binning: expansion + OBB + level cull + per-pair
     level selection in one kernel (ops/pallas/expand_fov), then ONE stable
     tile sort whose payloads are the finished kernel SoA rows.
@@ -198,7 +199,7 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
     cap rounded up to the kernel chunking."""
     from fovsplat.ops.pallas import expand_fov as pex
 
-    n = depth.shape[0]
+    n = depth.shape[0] if depth is not None else n_rows
     num_tiles = gx * gy
     L = fov_cfg.fov_num
     # NO depth presort. A 33-operand payload sort wedges the XLA TPU
@@ -215,8 +216,27 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
     # sees kept pairs, bounded by compact_capacity (default: no shrink).
     cap_out = cap2 if compact_capacity is None else compact_capacity
 
-    dtable, cum_pad, gstarts, total, total_f = build_fov_dtable(
-        t1cols, t2cols, valid, depth, cap2, chunk)
+    if prebuilt is None:
+        dtable, cum_pad, gstarts, total, total_f = build_fov_dtable(
+            t1cols, t2cols, valid, depth, cap2, chunk)
+        cum_pad = cum_pad[None, :]
+    else:
+        # Table built by the fused per-Gaussian kernel
+        # (ops/pallas/build_table): derive the window-start prefetch
+        # scalars + sentinel tail here (same semantics as
+        # build_fov_dtable; cum[lane >= n] == total closes the last
+        # interval, the 2^30 tail covers the +128 window overread).
+        dtable, cum, total_f = prebuilt
+        assert cap2 < (1 << 24), (
+            f"pair capacity {cap2} >= 2^24: split-row cum_excl and f32 "
+            "pair indices would lose integer exactness")
+        cum_pad = jnp.concatenate(
+            [cum, jnp.full((1, 128), jnp.float32(1 << 30))], axis=1)
+        total = jnp.minimum(total_f, cap2).astype(jnp.int32)
+        chunk_firsts = jnp.arange(0, cap2, chunk, dtype=jnp.float32)
+        gstarts = jnp.clip(
+            jnp.searchsorted(cum[0, :n], chunk_firsts,
+                             side='right').astype(jnp.int32) - 1, 0, n - 1)
     overflow = jnp.maximum(total_f.astype(jnp.int32) - cap2, 0)
 
     gaze_dir = jnp.stack(foveation._ncd2dir(
@@ -225,7 +245,7 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
         fov_cfg.real_viewing_distance))
 
     key, attrs, kept = pex.expand_fov_pallas(
-        dtable, cum_pad[None, :], gstarts, total, gaze_dir,
+        dtable, cum_pad, gstarts, total, gaze_dir,
         jnp.float32(alpha), cap=cap2, cap_out=cap_out,
         chunk=chunk, batch=kbatch, grid_x=gx, grid_y=gy,
         width=camera.width, height=camera.height,
@@ -588,6 +608,8 @@ class FovModelSoA:
     dc_t: Any       # (3, L, N) per-level DC
     opac_t: Any     # (L, N) activated per-level opacity
     hl: Any         # (N,) f32 highest levels
+    geo_t: Any      # (16, N_pad) f32 table-kernel geometry rows
+    col_t: Any      # (64, N_pad) bf16 table-kernel color rows
 
 
 def pack_fov_model(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
@@ -604,14 +626,28 @@ def pack_fov_model(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
     rest_t = jnp.concatenate(
         [jnp.zeros((3, 1, n), jnp.bfloat16),
          jnp.asarray(shs_rest, jnp.bfloat16).transpose(2, 1, 0)], axis=1)
+    dc_t = jnp.asarray(shs_dcs, jnp.bfloat16).transpose(2, 1, 0)
+    opac_t = jnp.asarray(opacities, jnp.bfloat16).T
+    hl = jnp.asarray(highest_levels, jnp.float32)
+    xyz = jnp.asarray(means3d, jnp.float32)
+    sc = jnp.asarray(scales, jnp.float32)
+    rot = jnp.asarray(rotations, jnp.float32)
+
+    # Packed tables for the fused table-build kernel
+    # (ops/pallas/build_table): one f32 geometry table and one bf16 color
+    # table, both lane-padded to the kernel chunk.
+    from fovsplat.ops.pallas import build_table as ptab
+    n_pad = ((n + ptab.TCHUNK - 1) // ptab.TCHUNK) * ptab.TCHUNK
+    geo = jnp.concatenate(
+        [xyz.T, sc.T, rot.T, hl[None, :],
+         jnp.zeros((ptab.GROWS - 11, n), jnp.float32)], axis=0)
+    col = jnp.concatenate(
+        [rest_t.reshape(48, n), dc_t.reshape(12, n), opac_t], axis=0)
     return FovModelSoA(
-        xyz=jnp.asarray(means3d, jnp.float32),
-        scales=jnp.asarray(scales, jnp.float32),
-        rotations=jnp.asarray(rotations, jnp.float32),
-        rest_t=rest_t,
-        dc_t=jnp.asarray(shs_dcs, jnp.bfloat16).transpose(2, 1, 0),
-        opac_t=jnp.asarray(opacities, jnp.bfloat16).T,
-        hl=jnp.asarray(highest_levels, jnp.float32))
+        xyz=xyz, scales=sc, rotations=rot,
+        rest_t=rest_t, dc_t=dc_t, opac_t=opac_t, hl=hl,
+        geo_t=jnp.pad(geo, ((0, 0), (0, n_pad - n))),
+        col_t=jnp.pad(col, ((0, 0), (0, n_pad - n))))
 
 
 def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
@@ -629,10 +665,7 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
     cap = config.padded_capacity()
     L = fov_cfg.fov_num
     hl = model.hl
-
-    pc = projection.preprocess_cols(model.xyz, model.scales, model.rotations,
-                                    camera,
-                                    scale_modifier=config.scale_modifier)
+    n = model.xyz.shape[0]
 
     levels = foveation.compute_tile_levels(gaze, camera.width, camera.height,
                                            alpha, fov_cfg)
@@ -641,65 +674,93 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
     if not blending:
         tile_blend = jnp.zeros_like(tile_blend)
 
-    # Level-rect clip on columns (see _clip_rects_to_levels): bbox per level
-    # selected by where-chain over L scalars — no (N, 4) gather.
+    # Per-level clip-bbox scalars (see _clip_rects_to_levels).
     lv2d = levels.reshape(gy, gx)
     txs = jax.lax.broadcasted_iota(jnp.int32, (gy, gx), 1)
     tys = jax.lax.broadcasted_iota(jnp.int32, (gy, gx), 0)
     big = jnp.int32(1 << 20)
-    hli = jnp.clip(hl.astype(jnp.int32), 0, L - 1)
-    bx0 = by0 = None
+    bb = []
     for h in range(L):
         ok = lv2d < (h + 1.0)
-        x0 = jnp.min(jnp.where(ok, txs, big))
-        y0 = jnp.min(jnp.where(ok, tys, big))
-        x1 = jnp.max(jnp.where(ok, txs + 1, 0))
-        y1 = jnp.max(jnp.where(ok, tys + 1, 0))
-        if h == 0:
-            bx0, by0, bx1, by1 = (jnp.full_like(hli, x0),
-                                  jnp.full_like(hli, y0),
-                                  jnp.full_like(hli, x1),
-                                  jnp.full_like(hli, y1))
-        else:
+        bb.append((jnp.min(jnp.where(ok, txs, big)),
+                   jnp.min(jnp.where(ok, tys, big)),
+                   jnp.max(jnp.where(ok, txs + 1, 0)),
+                   jnp.max(jnp.where(ok, tys + 1, 0))))
+
+    if config.pallas_table_kernel:
+        # Fused per-Gaussian table build (ops/pallas/build_table): one
+        # Pallas pass replaces preprocess_cols + level clip + SH + the
+        # split-row table stack + the tiles-touched cumsum.
+        from fovsplat.ops.pallas import build_table as ptab
+        consts = ptab.make_table_consts(
+            camera,
+            jnp.stack([b[0] for b in bb]), jnp.stack([b[1] for b in bb]),
+            jnp.stack([b[2] for b in bb]), jnp.stack([b[3] for b in bb]))
+        dtable, cum, total_f = ptab.build_fov_table_pallas(
+            model.geo_t, model.col_t, consts, n=n,
+            grid_x=gx, grid_y=gy, width=camera.width, height=camera.height,
+            focal_x=float(camera.focal_x), focal_y=float(camera.focal_y),
+            tan_fovx=float(camera.tan_fovx), tan_fovy=float(camera.tan_fovy),
+            scale_modifier=config.scale_modifier, fov_num=L,
+            sh_degree=sh_degree, interpret=config.pallas_interpret)
+        packed, seg_start, num_pairs, overflow, _cap2 = _bin_fov_fused(
+            None, None, None, None, gaze, alpha, gx, gy, cap, camera,
+            fov_cfg, config.pallas_interpret, config.dummy_slack,
+            config.compact_capacity, config.expand_chunk,
+            config.expand_batch, prebuilt=(dtable, cum, total_f), n_rows=n)
+    else:
+        pc = projection.preprocess_cols(
+            model.xyz, model.scales, model.rotations, camera,
+            scale_modifier=config.scale_modifier)
+        # Level-rect clip on columns: bbox per level selected by
+        # where-chain over L scalars — no (N, 4) gather.
+        hli = jnp.clip(hl.astype(jnp.int32), 0, L - 1)
+        bx0 = jnp.full_like(hli, bb[0][0])
+        by0 = jnp.full_like(hli, bb[0][1])
+        bx1 = jnp.full_like(hli, bb[0][2])
+        by1 = jnp.full_like(hli, bb[0][3])
+        for h in range(1, L):
             m = hli == h
-            bx0 = jnp.where(m, x0, bx0)
-            by0 = jnp.where(m, y0, by0)
-            bx1 = jnp.where(m, x1, bx1)
-            by1 = jnp.where(m, y1, by1)
-    rx0 = jnp.maximum(pc.rx0, bx0)
-    ry0 = jnp.maximum(pc.ry0, by0)
-    rx1 = jnp.minimum(pc.rx1, bx1)
-    ry1 = jnp.minimum(pc.ry1, by1)
-    tnum = (jnp.maximum(rx1 - rx0, 0) * jnp.maximum(ry1 - ry0, 0))
-    # hl < 0 encodes "dead" rows (eval/fps folds the live mask in this way).
-    valid = pc.valid & (tnum > 0) & (hl >= 0.0)
-    tnum = jnp.where(valid, tnum, 0)
-    rx1 = jnp.maximum(rx1, rx0)
+            bx0 = jnp.where(m, bb[h][0], bx0)
+            by0 = jnp.where(m, bb[h][1], by0)
+            bx1 = jnp.where(m, bb[h][2], bx1)
+            by1 = jnp.where(m, bb[h][3], by1)
+        rx0 = jnp.maximum(pc.rx0, bx0)
+        ry0 = jnp.maximum(pc.ry0, by0)
+        rx1 = jnp.minimum(pc.rx1, bx1)
+        ry1 = jnp.minimum(pc.ry1, by1)
+        tnum = (jnp.maximum(rx1 - rx0, 0) * jnp.maximum(ry1 - ry0, 0))
+        # hl < 0 encodes "dead" rows (eval/fps folds the live mask in).
+        valid = pc.valid & (tnum > 0) & (hl >= 0.0)
+        tnum = jnp.where(valid, tnum, 0)
+        rx1 = jnp.maximum(rx1, rx0)
 
-    # Per-level colors as columns: shared SH-rest term + per-level DC.
-    dx_ = model.xyz[:, 0] - camera.cam_center[0]
-    dy_ = model.xyz[:, 1] - camera.cam_center[1]
-    dz_ = model.xyz[:, 2] - camera.cam_center[2]
-    inv = jax.lax.rsqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
-    rest_c = sh._eval_sh_nlast(sh_degree, model.rest_t, dx_ * inv, dy_ * inv,
-                               dz_ * inv) + 0.5          # (3, N)
+        # Per-level colors as columns: shared SH-rest + per-level DC.
+        dx_ = model.xyz[:, 0] - camera.cam_center[0]
+        dy_ = model.xyz[:, 1] - camera.cam_center[1]
+        dz_ = model.xyz[:, 2] - camera.cam_center[2]
+        inv = jax.lax.rsqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
+        rest_c = sh._eval_sh_nlast(sh_degree, model.rest_t, dx_ * inv,
+                                   dy_ * inv, dz_ * inv) + 0.5    # (3, N)
 
-    t1cols = [
-        rx0.astype(jnp.float32), ry0.astype(jnp.float32),
-        jnp.maximum(rx1 - rx0, 1).astype(jnp.float32),
-        tnum.astype(jnp.float32),
-        pc.mx, pc.my, pc.v1x, pc.v1y, pc.v2x, pc.v2y, pc.len1, pc.len2,
-        pc.ca, pc.cb, pc.cc, hl,
-    ]
-    t2cols = ([model.opac_t[l].astype(jnp.float32) for l in range(L)]
-              + [jnp.maximum(sh.SH_C0 * model.dc_t[c, l].astype(jnp.float32)
-                             + rest_c[c], 0.0)
-                 for c in range(3) for l in range(L)])
+        t1cols = [
+            rx0.astype(jnp.float32), ry0.astype(jnp.float32),
+            jnp.maximum(rx1 - rx0, 1).astype(jnp.float32),
+            tnum.astype(jnp.float32),
+            pc.mx, pc.my, pc.v1x, pc.v1y, pc.v2x, pc.v2y, pc.len1, pc.len2,
+            pc.ca, pc.cb, pc.cc, hl,
+        ]
+        t2cols = ([model.opac_t[l].astype(jnp.float32) for l in range(L)]
+                  + [jnp.maximum(
+                      sh.SH_C0 * model.dc_t[c, l].astype(jnp.float32)
+                      + rest_c[c], 0.0)
+                     for c in range(3) for l in range(L)])
 
-    packed, seg_start, num_pairs, overflow, _cap2 = _bin_fov_fused(
-        t1cols, t2cols, valid, pc.depth, gaze, alpha, gx, gy, cap, camera,
-        fov_cfg, config.pallas_interpret, config.dummy_slack,
-        config.compact_capacity, config.expand_chunk, config.expand_batch)
+        packed, seg_start, num_pairs, overflow, _cap2 = _bin_fov_fused(
+            t1cols, t2cols, valid, pc.depth, gaze, alpha, gx, gy, cap,
+            camera, fov_cfg, config.pallas_interpret, config.dummy_slack,
+            config.compact_capacity, config.expand_chunk,
+            config.expand_batch)
 
     # Per-tile activity + blend + smoothstep merge (same as rasterize_fov).
     l1_i = levels.astype(jnp.int32)

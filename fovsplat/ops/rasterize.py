@@ -60,6 +60,11 @@ class RasterizeConfig:
                                       # mask area scales with chunk*wsize)
     expand_batch: int = 16            # fused expand kernel: chunks per
                                       # grid program (amortizes launch cost)
+    pallas_table_kernel: bool = True  # SoA foveated path: build the
+                                      # expand kernel's split-row table
+                                      # with the fused per-Gaussian Pallas
+                                      # pass (ops/pallas/build_table)
+                                      # instead of ~50 XLA column passes
     dummy_slack: int | None = None    # fused paths: slot budget for the
                                       # one-dummy-pair-per-invalid-row
                                       # scheme. None = N (always safe);
