@@ -160,6 +160,30 @@ dtable, cum_pad, gstarts, total, total_f = timeit(
 print("pairs incl dummies:", int(jax.device_get(total_f)), "cap:", cap2,
       flush=True)
 
+# Fused per-Gaussian table kernel (production default for the SoA path):
+# replaces cols + table build above in one pass.
+from fovsplat.ops.pallas import build_table as ptab
+lv2d_k = levels.reshape(gy, gx)
+txs_k = jax.lax.broadcasted_iota(jnp.int32, (gy, gx), 1)
+tys_k = jax.lax.broadcasted_iota(jnp.int32, (gy, gx), 0)
+bbs = []
+for h in range(L):
+    ok = lv2d_k < (h + 1.0)
+    bbs.append((jnp.min(jnp.where(ok, txs_k, 1 << 20)),
+                jnp.min(jnp.where(ok, tys_k, 1 << 20)),
+                jnp.max(jnp.where(ok, txs_k + 1, 0)),
+                jnp.max(jnp.where(ok, tys_k + 1, 0))))
+consts_k = ptab.make_table_consts(
+    cam, jnp.stack([b[0] for b in bbs]), jnp.stack([b[1] for b in bbs]),
+    jnp.stack([b[2] for b in bbs]), jnp.stack([b[3] for b in bbs]))
+tk = jax.jit(lambda g, c, k: ptab.build_fov_table_pallas(
+    g, c, k, n=n, grid_x=gx, grid_y=gy, width=cam.width, height=cam.height,
+    focal_x=float(cam.focal_x), focal_y=float(cam.focal_y),
+    tan_fovx=float(cam.tan_fovx), tan_fovy=float(cam.tan_fovy),
+    fov_num=L))
+timeit(tk, model.geo_t, model.col_t, consts_k, reps=10,
+       label="table KERNEL (cols+table fused)")
+
 gaze_dir = jnp.stack(foveation._ncd2dir(
     gaze[0], gaze[1], fov_cfg.real_image_width,
     cam.height / cam.width * fov_cfg.real_image_width,
@@ -181,16 +205,18 @@ print("kept pairs (post OBB/level cull):", int(jax.device_get(kept)),
 
 
 def tile_sort(key, attrs):
+    # 6 packed rows -> 3 i64 payload operands + 2 zero pad rows (matches
+    # foveated._bin_fov_fused).
     with jax.enable_x64(True):
         res = jax.lax.sort(
             (key, fov._pack_i64(attrs[0], attrs[1]),
              fov._pack_i64(attrs[2], attrs[3]),
-             fov._pack_i64(attrs[4], attrs[5]),
-             fov._pack_i64(attrs[6], attrs[7])),
+             fov._pack_i64(attrs[4], attrs[5])),
             num_keys=1)
         sorted_key = res[0]
         packed = jnp.concatenate(
-            [fov._unpack_i64(res[i]) for i in range(1, 5)], axis=0)
+            [fov._unpack_i64(res[i]) for i in range(1, 4)]
+            + [jnp.zeros((2, key.shape[0]), jnp.float32)], axis=0)
     db = pex.key_depth_bits(num_tiles)
     seg_start = jnp.searchsorted(
         sorted_key, jnp.arange(num_tiles + 1, dtype=jnp.int32) << db,
