@@ -241,8 +241,8 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
     pairs only, bounded by compact_capacity (None = no shrink).
 
     Returns (packed (ROW=16, CAP3) f32 sorted SoA rows
-    [mx,my,ca,cb,cc,op,r,g,b,...pad], seg_start (T+1,), num_pairs, overflow,
-    CAP3)."""
+    [mx, my, P_caca, P_cbcc, OPRGB, ...pad] (expand_ps1_pallas quantized
+    layout), seg_start (T+1,), num_pairs, overflow, CAP3)."""
     from fovsplat.ops.pallas import expand_fov as pex
 
     n = depth.shape[0]
@@ -311,19 +311,19 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
     overflow = overflow + jnp.maximum(kept - (cap3 - (chunk + 128)), 0)
 
     # ONE single-key sort over the COMPACTED pairs (depth rides inside the
-    # fused key); the 9 f32 payload rows ride as 4 bit-packed i64 operands
-    # + 1 f32 — lax.sort cost scales with operand count AND element count.
+    # fused key); the 5 packed payload rows (expand_ps1_pallas quantized
+    # layout) ride as 2 bit-packed i64 operands + 1 f32 — lax.sort cost
+    # scales with operand count AND element count.
     from fovsplat.ops.foveated import _pack_i64, _unpack_i64
     db = pex.key_depth_bits(num_tiles)
     with jax.enable_x64(True):
         res = jax.lax.sort(
             (key, _pack_i64(attrs[0], attrs[1]),
-             _pack_i64(attrs[2], attrs[3]), _pack_i64(attrs[4], attrs[5]),
-             _pack_i64(attrs[6], attrs[7]), attrs[8]),
+             _pack_i64(attrs[2], attrs[3]), attrs[4]),
             num_keys=1)
         packed = jnp.concatenate(
-            [*(_unpack_i64(res[i]) for i in range(1, 5)), res[5][None, :],
-             jnp.zeros((7, cap3), jnp.float32)], axis=0)   # (16, CAP3)
+            [*(_unpack_i64(res[i]) for i in range(1, 3)), res[3][None, :],
+             jnp.zeros((11, cap3), jnp.float32)], axis=0)   # (16, CAP3)
     seg_start = jnp.searchsorted(
         res[0], jnp.arange(num_tiles + 1, dtype=jnp.int32) << db,
         side='left').astype(jnp.int32)

@@ -40,6 +40,28 @@ ALPHA_MAX = 0.99
 T_EPS = 1e-4
 ROW = 16          # packed attributes per pair
 
+_MASK_HI = -65536                     # 0xFFFF0000
+
+
+def _hi(p):
+    """High bf16 half of a packed lane, as f32."""
+    return pltpu.bitcast(pltpu.bitcast(p, jnp.int32) & _MASK_HI, jnp.float32)
+
+
+def _lo(p):
+    """Low bf16 half of a packed lane, as f32."""
+    return pltpu.bitcast(pltpu.bitcast(p, jnp.int32) << 16, jnp.float32)
+
+
+def _u8(p, sh, scale):
+    """8-bit field at bit offset `sh` of a packed lane, rescaled to f32."""
+    i = jax.lax.shift_right_logical(pltpu.bitcast(p, jnp.int32), sh)
+    return (i & 255).astype(jnp.float32) * scale
+
+
+C_OP = 1.0 / 255.0    # u8 opacity step == ALPHA_MIN
+C_COL = 2.0 / 255.0   # u8 color step on [0, 2]
+
 
 def pack_pairs(mean2d, conic, opacity, color):
     """(CAP,2),(CAP,3),(CAP,),(CAP,3) -> (ROW, CAP) f32 attribute-major."""
@@ -204,16 +226,18 @@ def _fwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
         in_seg = (gid >= start) & (gid < end)
 
         if pfeat is not None:
-            # Inference path: power as a bilinear form on the MXU in
-            # tile-local coords (see blend_fov); |terms| <= O(10) under the
-            # OBB cull, so HIGH precision is ~2e-4 absolute in power. The
-            # training path keeps the elementwise form — its backward
+            # Inference path: quantized pair rows (expand_ps1_pallas
+            # layout: [mx, my, P_caca, P_cbcc, OPRGB]) and power as a
+            # bilinear form on the MXU in tile-local coords (see
+            # blend_fov); |terms| <= O(10) under the OBB cull, so HIGH
+            # precision is ~2e-4 absolute in power. The training path
+            # keeps f32 rows and the elementwise form — its backward
             # recomputes alpha elementwise and must match bitwise.
             mxl = data[0:1, :] - tx0
             myl = data[1:2, :] - ty0
-            ca = data[2:3, :]
-            cb = data[3:4, :]
-            cc = data[4:5, :]
+            ca = _hi(data[2:3, :]) + _lo(data[2:3, :])
+            cb = _hi(data[3:4, :])
+            cc = _lo(data[3:4, :])
             feat = jnp.concatenate(
                 [-0.5 * (ca * mxl * mxl + cc * myl * myl) - cb * mxl * myl,
                  ca * mxl + cb * myl,
@@ -222,7 +246,10 @@ def _fwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
                  jnp.zeros((2, chunk), jnp.float32)], axis=0)
             power = _power_mxu(pfeat, feat)
             G = jnp.exp(jnp.minimum(power, 0.0))
-            alpha = jnp.minimum(ALPHA_MAX, data[5:6, :] * G)
+            alpha = jnp.minimum(ALPHA_MAX, _u8(data[4:5, :], 24, C_OP) * G)
+            col_r = _u8(data[4:5, :], 16, C_COL)
+            col_g = _u8(data[4:5, :], 8, C_COL)
+            col_b = _u8(data[4:5, :], 0, C_COL)
             # power is analytically <= 0; the exact-path <=0 test only
             # guards numerical noise. MXU roundoff (~2e-4) near a
             # Gaussian's CENTER (power ~ 0) must not drop a full-opacity
@@ -231,6 +258,9 @@ def _fwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
         else:
             alpha, geo_ok, _, _, _ = _alpha_from_chunk(data, px, py,
                                                        power_cutoff)
+            col_r = data[6:7, :]
+            col_g = data[7:8, :]
+            col_b = data[8:9, :]
         ok = geo_ok & (alpha >= ALPHA_MIN) & in_seg
         a_eff = jnp.where(ok, alpha, 0.0)
 
@@ -247,9 +277,9 @@ def _fwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
         contribute = (a_eff > 0) & ~trigger & ~done_before
         weight = jnp.where(contribute, a_eff * T_row, 0.0)   # (PIX, chunk)
 
-        cr = cr + jnp.sum(weight * data[6:7, :], axis=1, keepdims=True)
-        cg = cg + jnp.sum(weight * data[7:8, :], axis=1, keepdims=True)
-        cb_ = cb_ + jnp.sum(weight * data[8:9, :], axis=1, keepdims=True)
+        cr = cr + jnp.sum(weight * col_r, axis=1, keepdims=True)
+        cg = cg + jnp.sum(weight * col_g, axis=1, keepdims=True)
+        cb_ = cb_ + jnp.sum(weight * col_b, axis=1, keepdims=True)
 
         log_delta = jnp.sum(jnp.where(contribute, logs, 0.0), axis=1,
                             keepdims=True)                   # (PIX, 1)

@@ -473,8 +473,8 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
     binning.bin_fused_ps1), ORIGINAL Gaussian order (no depth presort —
     invalid rows carry one dummy pair with valid=0; see module docstring).
     Output rows (POROWS=16), compacted values (+ (1,128) i32 kept count):
-    [tile, depth, mx, my, ca, cb, cc, op, r, g, b, pad x5] — rows 2..10
-    are exactly the blend_fwd ROW prefix."""
+    [tile, depth, mx, my, P_caca, P_cbcc, OPRGB, pad x9] — rows 2..6 are
+    the blend_fwd fwd-only (quantized) row prefix."""
     cb_ = pl.program_id(0)
     total = ints_ref[0]
     out_w = chunk + 128
@@ -589,27 +589,47 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
             dst = tail_len.astype(jnp.float32) + rank
             ohT = ((d_iota == dst) & keep).astype(jnp.bfloat16)
 
-            # ONE bf16 permutation matmul, every f32 value as exact bf16 x3
-            # split PARTS straight from the split-row table (tile, a 13-bit
-            # int, splits x2 in-kernel), reconstructed exactly after.
+            # ONE bf16 permutation matmul: geometry (tile/depth/mx/my/ca)
+            # rides as exact bf16 split parts and reconstructs f32-exact;
+            # conic cb/cc, opacity and colors reconstruct f32 BEFORE the
+            # matmul and ride as single bf16 rows — they quantize to
+            # bf16/u8 in the packed output anyway (same ladder as the fov
+            # kernel: quantization bounds in the module docstring).
             tilef = tile.astype(jnp.float32)
             t_hi = tilef.astype(jnp.bfloat16).astype(jnp.float32)
             vals = jnp.concatenate(
                 [t_hi, tilef - t_hi,
                  w[46:49, :],                    # depth x3
                  w[6:9, :], w[9:12, :],          # mx, my x3
-                 w[24:27, :], w[27:30, :],       # ca, cb x3
-                 w[30:33, :], w[33:36, :],       # cc, op x3
-                 w[36:39, :], w[39:42, :],       # r, g x3
-                 w[42:45, :]], axis=0)           # b x3 -> (32, chunk)
-            staged3 = jax.lax.dot_general(
+                 w[24:27, :],                    # ca x3
+                 w[27:28, :] + w[28:29, :] + w[29:30, :],   # cb
+                 w[30:31, :] + w[31:32, :] + w[32:33, :],   # cc
+                 w[33:34, :] + w[34:35, :] + w[35:36, :],   # op
+                 w[36:37, :] + w[37:38, :] + w[38:39, :],   # r
+                 w[39:40, :] + w[40:41, :] + w[41:42, :],   # g
+                 w[42:43, :] + w[43:44, :] + w[44:45, :],   # b
+                 ], axis=0)                      # (20, chunk)
+            staged = jax.lax.dot_general(
                 vals.astype(jnp.bfloat16), ohT, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (32, out_w)
+                preferred_element_type=jnp.float32)          # (20, out_w)
+            ca_f = staged[11:12] + staged[12:13] + staged[13:14]
+            ca_hi = ca_f.astype(jnp.bfloat16).astype(jnp.float32)
+            q8 = lambda v, sc: jnp.clip(jnp.floor(v * sc + 0.5),
+                                        0.0, 255.0).astype(jnp.int32)
+            oprgb = pltpu.bitcast(
+                (q8(staged[16:17], 255.0) << 24)
+                | (q8(staged[17:18], 127.5) << 16)
+                | (q8(staged[18:19], 127.5) << 8)
+                | q8(staged[19:20], 127.5), jnp.float32)
             staged = jnp.concatenate(
-                [staged3[0:1] + staged3[1:2]]
-                + [staged3[2 + 3 * i:3 + 3 * i] + staged3[3 + 3 * i:4 + 3 * i]
-                   + staged3[4 + 3 * i:5 + 3 * i] for i in range(10)]
-                + [jnp.zeros((POROWS - 11, out_w), jnp.float32)], axis=0)
+                [staged[0:1] + staged[1:2],                  # tile
+                 staged[2:3] + staged[3:4] + staged[4:5],    # depth
+                 staged[5:6] + staged[6:7] + staged[7:8],    # mx
+                 staged[8:9] + staged[9:10] + staged[10:11],  # my
+                 _pack2_i32(ca_hi, ca_f - ca_hi),            # P_caca
+                 _pack2_i32(staged[14:15], staged[15:16]),   # P_cbcc
+                 oprgb,
+                 jnp.zeros((POROWS - 7, out_w), jnp.float32)], axis=0)
 
             head = jnp.where(lane128 < tail_len, tail[...], staged[:, 0:128])
             blk = jnp.concatenate([head, staged[:, 128:]], axis=1)
@@ -654,8 +674,11 @@ def expand_ps1_pallas(dtable, cum, gstarts, total,
     reads); gstarts (CAP//chunk,) i32; total () i32. cap_out bounds the
     COMPACTED output (kept pairs only; defaults to cap).
     Returns (key (CAP_OUT,) i32 fused (tile << depth_bits | depth bits)
-    sort key — sentinel-masked past the kept count, attrs (9, CAP_OUT) f32
-    [mx, my, ca, cb, cc, op, r, g, b], kept () i32)."""
+    sort key — sentinel-masked past the kept count, attrs (5, CAP_OUT) f32
+    [mx, my, P_caca, P_cbcc, OPRGB] (ca as a bf16 x2 split pair; cb | cc
+    bf16; OPRGB = op_u8 << 24 | r_u8 << 16 | g_u8 << 8 | b_u8, opacity
+    u8/255, colors u8 on [0, 2] — same inference quantization ladder as
+    the fov kernel), kept () i32)."""
     n_pad = dtable.shape[1]
     assert cap % (chunk * batch) == 0, (cap, chunk, batch)
     if cap_out is None:
@@ -705,7 +728,7 @@ def expand_ps1_pallas(dtable, cum, gstarts, total,
         jax.lax.bitcast_convert_type(out[1], jnp.int32), 32 - db)
     key = jnp.where(lane < usable, (tile_i << db) | dpart,
                     num_tiles << db)
-    return key, out[2:11], kept
+    return key, out[2:7], kept
 
 
 @functools.partial(jax.jit, static_argnames=(

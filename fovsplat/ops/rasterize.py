@@ -167,11 +167,23 @@ def rasterize(means3d, scales, rotations, opacities, camera,
         elif cfg.pallas_fwd_only:
             # Inference path: attributes were carried through the sort
             # (zero post-sort gathers); the kernel handles unaligned
-            # segments by flooring DMA windows, so no alignment pass either.
+            # segments by flooring DMA windows, so no alignment pass
+            # either. Pack into the kernel's quantized row layout
+            # (expand_ps1_pallas docstring: ca split-bf16, cb|cc bf16,
+            # op/colors u8).
+            A = bn.pair_attrs        # [mx, my, ca, cb, cc, op, r, g, b]
+            q8 = lambda v, sc: jnp.clip(jnp.floor(v * sc + 0.5),
+                                        0.0, 255.0).astype(jnp.int32)
+            oprgb = jax.lax.bitcast_convert_type(
+                (q8(A[5], 255.0) << 24) | (q8(A[6], 127.5) << 16)
+                | (q8(A[7], 127.5) << 8) | q8(A[8], 127.5), jnp.float32)
+            ca_hi = A[2].astype(jnp.bfloat16).astype(jnp.float32)
+            from fovsplat.ops.pallas.blend_fov import pack2bf16_xla
             packed = jnp.concatenate(
-                [bn.pair_attrs,
-                 jnp.zeros((pk.ROW - bn.pair_attrs.shape[0], cap),
-                           jnp.float32)], axis=0)
+                [A[0:2],
+                 jnp.stack([pack2bf16_xla(ca_hi, A[2] - ca_hi),
+                            pack2bf16_xla(A[3], A[4]), oprgb], axis=0),
+                 jnp.zeros((pk.ROW - 5, cap), jnp.float32)], axis=0)
             tile_color, final_T, n_contrib = pk.blend_pallas_fwd_only(
                 packed, bn.seg_start[:-1], bn.seg_start[1:], gx, gy,
                 cfg.pallas_chunk, cfg.power_cutoff, cfg.pallas_interpret)

@@ -107,12 +107,14 @@ def test_pallas_fwd_only_unaligned():
         *a, cam, colors=colors, config=cfg_f)["render"])(
         means, scales, quats, ops_)
     # The fwd-only (inference) kernel evaluates power via a bf16x2 MXU
-    # bilinear form (~2e-4 absolute error in power); a pair at the
-    # ALPHA_MIN inclusion boundary can flip, bounding pixel diffs at
-    # ~alpha_min (0.004). The training kernel (test_pallas_blend_matches)
-    # keeps the exact elementwise power and stays at tight tolerance.
+    # bilinear form (~2e-4 absolute in power) and rides the quantized pair
+    # rows (expand_ps1_pallas ladder: ca split-bf16, cb/cc bf16, opacity
+    # u8 at the 1/255 ALPHA_MIN step, colors u8): worst pixels sit within
+    # ~3 8-bit display LSBs of the f32 oracle. The training kernel
+    # (test_pallas_blend_matches) keeps exact f32 rows + elementwise power
+    # and stays at tight tolerance.
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
-                               rtol=2e-3, atol=5e-3)
+                               rtol=0, atol=1.2e-2)
 
 
 def test_pallas_fov_matches_xla():
