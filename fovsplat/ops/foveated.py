@@ -550,7 +550,8 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
             jnp.zeros_like(l1_active, jnp.float32)], axis=-1)
         c1, t1, c2, t2 = pkf.blend_fov_pallas(
             packed, seg_start[:-1], seg_start[1:], tile_act, gx, gy,
-            config.pallas_chunk, config.power_cutoff, config.pallas_interpret)
+            config.pallas_chunk, config.power_cutoff,
+            config.pallas_interpret, batch=config.pallas_blend_batch)
     else:
         # XLA fallback (CPU tests/oracle): per-level rows gathered post-sort
         # from one packed (N*L, 5) table — two row gathers per pair instead
@@ -781,7 +782,8 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
         jnp.zeros_like(l1_active, jnp.float32)], axis=-1)
     c1, t1, c2, t2 = pkf.blend_fov_pallas(
         packed, seg_start[:-1], seg_start[1:], tile_act, gx, gy,
-        config.pallas_chunk, config.power_cutoff, config.pallas_interpret)
+        config.pallas_chunk, config.power_cutoff, config.pallas_interpret,
+        batch=config.pallas_blend_batch)
 
     bg = (jnp.zeros(3, jnp.float32) if bg_color is None
           else jnp.asarray(bg_color, jnp.float32))

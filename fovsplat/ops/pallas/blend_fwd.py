@@ -585,13 +585,15 @@ blend_pallas.defvjp(_blend_pallas_fwd, _blend_pallas_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_x", "grid_y", "chunk",
-                                             "power_cutoff", "interpret"))
+                                             "power_cutoff", "interpret",
+                                             "batch"))
 def blend_pallas_fwd_only(pair_data, seg_start, seg_end, grid_x, grid_y,
-                          chunk=256, power_cutoff=-4.5, interpret=False):
+                          chunk=256, power_cutoff=-4.5, interpret=False,
+                          batch=8):
     """Forward-only blend over an UNALIGNED tile-sorted pair list (the
     inference path: no binning.align_segments needed — the kernel floors
     DMA windows to 128 and masks). Not differentiable; training uses
     blend_pallas on a chunk-aligned layout."""
     out, nc = _forward(pair_data, seg_start, seg_end, grid_x, grid_y, chunk,
-                       power_cutoff, interpret, mxu_power=True)
+                       power_cutoff, interpret, batch=batch, mxu_power=True)
     return out[:, :, 0:3], out[:, :, 3], nc[:, :, 0]

@@ -60,6 +60,8 @@ class RasterizeConfig:
                                       # mask area scales with chunk*wsize)
     expand_batch: int = 16            # fused expand kernel: chunks per
                                       # grid program (amortizes launch cost)
+    pallas_blend_batch: int = 8       # blend kernels: tiles per grid
+                                      # program (amortizes ~9 us launch)
     pallas_table_kernel: bool = True  # SoA foveated path: build the
                                       # expand kernel's split-row table
                                       # with the fused per-Gaussian Pallas
@@ -163,7 +165,8 @@ def rasterize(means3d, scales, rotations, opacities, camera,
         if fused:
             tile_color, final_T, n_contrib = pk.blend_pallas_fwd_only(
                 packed, seg_start[:-1], seg_start[1:], gx, gy,
-                cfg.pallas_chunk, cfg.power_cutoff, cfg.pallas_interpret)
+                cfg.pallas_chunk, cfg.power_cutoff, cfg.pallas_interpret,
+                batch=cfg.pallas_blend_batch)
         elif cfg.pallas_fwd_only:
             # Inference path: attributes were carried through the sort
             # (zero post-sort gathers); the kernel handles unaligned
@@ -186,7 +189,8 @@ def rasterize(means3d, scales, rotations, opacities, camera,
                  jnp.zeros((pk.ROW - 5, cap), jnp.float32)], axis=0)
             tile_color, final_T, n_contrib = pk.blend_pallas_fwd_only(
                 packed, bn.seg_start[:-1], bn.seg_start[1:], gx, gy,
-                cfg.pallas_chunk, cfg.power_cutoff, cfg.pallas_interpret)
+                cfg.pallas_chunk, cfg.power_cutoff, cfg.pallas_interpret,
+                batch=cfg.pallas_blend_batch)
         else:
             bn2 = binning.align_segments(bn, cfg.pallas_chunk, gx * gy,
                                          cfg.aligned_capacity(gx * gy))
