@@ -34,6 +34,12 @@ def main():
     # the tile sort is linear in this capacity. Per-gaze kept/overflow is
     # printed — overflow > 0 means pairs were dropped.
     ap.add_argument("--compact-capacity", type=int, default=1_441_792)
+    # ours = per-level DC/opacity (the headline, reference 702.12 FPS);
+    # naive = SM-FR shared model (reference 871.5); mmfr = 4 models x 4
+    # level-masked passes/frame (reference 293.5) — all on the synthetic
+    # bicycle-scale cloud (fov3dgs/fps/*/bicycle.txt last lines).
+    ap.add_argument("--mode", default="ours",
+                    choices=["ours", "naive", "mmfr"])
     args = ap.parse_args()
 
     import jax
@@ -70,8 +76,55 @@ def main():
                           dummy_slack=args.dummy_slack,
                           compact_capacity=args.compact_capacity)
 
+    if args.mode == "naive":
+        # SM-FR (reference N7): ONE shared color/opacity per Gaussian,
+        # levels only gate participation via highest_levels. Broadcast
+        # per-level arrays reproduce that exactly through the same
+        # kernels (identical L1/L2 values -> the dual-chain blend
+        # degenerates to the shared-alpha reuse of the naive rasterizer).
+        opac4 = jnp.broadcast_to(opac4[:, :1], opac4.shape)
+        shs_dcs = jnp.broadcast_to(shs_dcs[:, :1, :], shs_dcs.shape)
     model = jax.jit(fov.pack_fov_model)(means, scales, quats, opac4,
                                         shs_dcs, rest, hl)
+    if args.mode == "mmfr":
+        from fovsplat.eval import mmfr as emm
+        rngs = np.random.default_rng(1)
+        # 4 independently-pruned single-level models with the reference's
+        # per-layer point-count profile (pnum/ours-Q/bicycle.txt ratios).
+        counts = [n, int(n * 0.4008), int(n * 0.2176), int(n * 0.1742)]
+        models = []
+        for li, cnt in enumerate(counts):
+            idx = rngs.choice(n, size=cnt, replace=False)
+            colors = jnp.clip(0.5 + 0.282095 * shs_dcs[idx, li % 4, :], 0, 1)
+            models.append(dict(xyz=means[idx], scaling=scales[idx],
+                               rotation=quats[idx],
+                               opacity=opac4[idx, li % 4], colors=colors))
+        mm_cfg = RasterizeConfig(pair_capacity=args.pair_capacity,
+                                 chunk=4096, backend="pallas",
+                                 pallas_chunk=256, pallas_fwd_only=True)
+        full_mm = jax.jit(lambda cam, gaze: emm.render_mmfr(
+            models, cam, gaze, 0.05, mm_cfg))
+        per_gaze = []
+        gazes = [(x, y) for y in (0.2, 0.5, 0.8) for x in (0.2, 0.5, 0.8)]
+        for gz in gazes:
+            gaze = jnp.asarray(gz, jnp.float32)
+            for _ in range(args.warmups):
+                out = full_mm(cams[0], gaze)
+            float(np.asarray(jax.device_get(out.ravel()[0])))
+            times = []
+            for cam in cams:
+                t0 = time.perf_counter()
+                for _ in range(args.reps):
+                    out = full_mm(cam, gaze)
+                float(np.asarray(jax.device_get(out.ravel()[0])))
+                times.append((time.perf_counter() - t0) / args.reps)
+            fps = 1.0 / float(np.mean(times))
+            per_gaze.append(fps)
+            print(f"gaze={gz} fps={fps:.2f}", flush=True)
+        print(f"avg MM-FR FPS over 9 gazes x {len(cams)} views: "
+              f"{float(np.mean(per_gaze)):.2f} "
+              f"(reference MM-FR bicycle: 293.5)", flush=True)
+        return
     full = jax.jit(lambda mdl, cam, gaze: fov.rasterize_fov_soa(
         mdl, cam, gaze=gaze, alpha=0.05, blending=True, config=cfg))
     render = jax.jit(lambda mdl, cam, gaze: fov.rasterize_fov_soa(
@@ -102,9 +155,10 @@ def main():
         fps = 1.0 / float(np.mean(times))
         per_gaze.append(fps)
         print(f"gaze={gz} fps={fps:.2f}", flush=True)
-    print(f"avg FPS over 9 gazes x {len(cams)} views: "
+    ref = {"ours": 702.12, "naive": 871.5}[args.mode]
+    print(f"avg {args.mode} FPS over 9 gazes x {len(cams)} views: "
           f"{float(np.mean(per_gaze)):.2f} "
-          f"(reference ours-Q bicycle: 702.12)", flush=True)
+          f"(reference bicycle: {ref})", flush=True)
 
 
 if __name__ == "__main__":
