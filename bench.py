@@ -72,6 +72,29 @@ def build_render(args, cam, arrays, backend):
             m, s, q, o4, sd, re, h, cam, gaze=gaze, alpha=0.05,
             blending=True, config=cfg)["render"])
         return lambda m, s, q: fn(m, s, q, opac4, shs_dcs, rest, hl)
+    if backend == "pallas":
+        # ps1 SoA fast path: pack once (like the reference's per-run model
+        # load), per frame the fused table kernel + expand + quantized
+        # sort + fwd-only blend run with zero XLA column passes.
+        from fovsplat.ops import sh as shm
+        packed = {}
+        dc = ((colors - 0.5) / shm.SH_C0)[:, None, :]
+        restz = jnp.zeros((colors.shape[0], 15, 3), jnp.float32)
+        build = jax.jit(rast.pack_ps1_model)
+        fn = jax.jit(lambda mdl: rast.rasterize_ps1_soa(
+            mdl, cam, config=cfg)["render"])
+
+        def render(m, s, q, _diag=False):
+            if "mdl" not in packed:
+                packed["mdl"] = build(m, s, q, opac, dc, restz)
+            if _diag:
+                out = jax.jit(lambda mdl: rast.rasterize_ps1_soa(
+                    mdl, cam, config=cfg))(packed["mdl"])
+                print(f"# ps1 pairs kept={int(out['num_pairs'])} "
+                      f"overflow={int(out['overflow'])}", file=sys.stderr)
+                return out["render"]
+            return fn(packed["mdl"])
+        return render
     fn = jax.jit(lambda m, s, q, o, c: rast.rasterize(
         m, s, q, o, cam, colors=c, config=cfg)["render"])
     return lambda m, s, q: fn(m, s, q, opac, colors)

@@ -221,7 +221,7 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
 def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
                   pair_capacity: int, interpret: bool = False,
                   dummy_slack=None, compact_capacity=None, chunk=256,
-                  kbatch=16):
+                  kbatch=16, prebuilt=None, n_rows=None):
     """Single-level fused-Pallas binning (ops/pallas/expand_fov._ps1_kernel):
     pair expansion + OBB cull in-kernel, one 2-key (tile, depth) sort
     carrying the finished blend-kernel SoA.
@@ -245,7 +245,7 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
     layout), seg_start (T+1,), num_pairs, overflow, CAP3)."""
     from fovsplat.ops.pallas import expand_fov as pex
 
-    n = depth.shape[0]
+    n = depth.shape[0] if depth is not None else n_rows
     num_tiles = grid_x * grid_y
     cap_d = pair_capacity + (n if dummy_slack is None else dummy_slack)
     cap2 = ((cap_d + chunk * kbatch - 1) // (chunk * kbatch)) \
@@ -255,6 +255,25 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
         f"pair capacity {cap2} >= 2^24 breaks split-row integer exactness")
 
     from fovsplat.ops.foveated import _split2, _split3
+
+    if prebuilt is not None:
+        # Table built by the fused per-Gaussian kernel
+        # (ops/pallas/build_table mode='ps1'): derive the window-start
+        # prefetch scalars + sentinel tail here (cum[lane >= n] == total
+        # closes the last interval; the 2^30 tail covers the +128 window
+        # overread).
+        dtable, cum, total_f = prebuilt
+        total = jnp.minimum(total_f, cap2).astype(jnp.int32)
+        overflow = jnp.maximum(total_f.astype(jnp.int32) - cap2, 0)
+        cum_pad2 = jnp.concatenate(
+            [cum, jnp.full((1, 128), jnp.float32(1 << 30))], axis=1)
+        chunk_firsts = jnp.arange(0, cap2, chunk, dtype=jnp.float32)
+        gstarts = jnp.clip(
+            jnp.searchsorted(cum[0, :n], chunk_firsts,
+                             side='right').astype(jnp.int32) - 1, 0, n - 1)
+        return _ps1_expand_sort(pex, dtable, cum_pad2, gstarts, total,
+                                total_f, overflow, grid_x, grid_y, cap2,
+                                compact_capacity, chunk, kbatch, interpret)
 
     t1 = list(t1cols)
     tnum = jnp.where(valid, t1[3], 1.0)
@@ -302,9 +321,18 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
         jnp.searchsorted(cum_excl, chunk_firsts, side='right').astype(
             jnp.int32) - 1, 0, n - 1)
 
+    return _ps1_expand_sort(pex, dtable, cum_pad[None, :], gstarts, total,
+                            total_f, overflow, grid_x, grid_y, cap2,
+                            compact_capacity, chunk, kbatch, interpret)
+
+
+def _ps1_expand_sort(pex, dtable, cum_pad2, gstarts, total, total_f,
+                     overflow, grid_x, grid_y, cap2, compact_capacity,
+                     chunk, kbatch, interpret):
+    num_tiles = grid_x * grid_y
     cap_out = cap2 if compact_capacity is None else compact_capacity
     key, attrs, kept = pex.expand_ps1_pallas(
-        dtable, cum_pad[None, :], gstarts, total, cap=cap2, cap_out=cap_out,
+        dtable, cum_pad2, gstarts, total, cap=cap2, cap_out=cap_out,
         chunk=chunk, batch=kbatch,
         grid_x=grid_x, grid_y=grid_y, interpret=interpret)
     cap3 = key.shape[0]

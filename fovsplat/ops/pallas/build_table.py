@@ -78,7 +78,7 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
             *, chunk: int, n: int, grid_x: int, grid_y: int,
             width: int, height: int, focal_x: float, focal_y: float,
             tan_fovx: float, tan_fovy: float, scale_modifier: float,
-            fov_num: int, sh_degree: int):
+            fov_num: int, sh_degree: int, mode: str = "fov"):
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -181,26 +181,29 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
     tiles0 = (rx1 - rx0) * (ry1 - ry0)
     valid0 = in_front & det_ok & (tiles0 > 0)
 
-    hl = g[10:11, :]
-    hli = jnp.clip(hl.astype(jnp.int32), 0, fov_num - 1)
-    bx0 = k(_C_BBOX + 0)
-    by0 = k(_C_BBOX + fov_num)
-    bx1 = k(_C_BBOX + 2 * fov_num)
-    by1 = k(_C_BBOX + 3 * fov_num)
-    for h in range(1, fov_num):
-        m = hli == h
-        bx0 = jnp.where(m, k(_C_BBOX + h), bx0)
-        by0 = jnp.where(m, k(_C_BBOX + fov_num + h), by0)
-        bx1 = jnp.where(m, k(_C_BBOX + 2 * fov_num + h), bx1)
-        by1 = jnp.where(m, k(_C_BBOX + 3 * fov_num + h), by1)
-    rx0 = jnp.maximum(rx0, bx0.astype(jnp.int32))
-    ry0 = jnp.maximum(ry0, by0.astype(jnp.int32))
-    rx1 = jnp.minimum(rx1, bx1.astype(jnp.int32))
-    ry1 = jnp.minimum(ry1, by1.astype(jnp.int32))
-    tnum = jnp.maximum(rx1 - rx0, 0) * jnp.maximum(ry1 - ry0, 0)
-
     lane = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    valid = valid0 & (tnum > 0) & (hl >= 0.0) & (lane < n)
+    if mode == "fov":
+        hl = g[10:11, :]
+        hli = jnp.clip(hl.astype(jnp.int32), 0, fov_num - 1)
+        bx0 = k(_C_BBOX + 0)
+        by0 = k(_C_BBOX + fov_num)
+        bx1 = k(_C_BBOX + 2 * fov_num)
+        by1 = k(_C_BBOX + 3 * fov_num)
+        for h in range(1, fov_num):
+            m = hli == h
+            bx0 = jnp.where(m, k(_C_BBOX + h), bx0)
+            by0 = jnp.where(m, k(_C_BBOX + fov_num + h), by0)
+            bx1 = jnp.where(m, k(_C_BBOX + 2 * fov_num + h), bx1)
+            by1 = jnp.where(m, k(_C_BBOX + 3 * fov_num + h), by1)
+        rx0 = jnp.maximum(rx0, bx0.astype(jnp.int32))
+        ry0 = jnp.maximum(ry0, by0.astype(jnp.int32))
+        rx1 = jnp.minimum(rx1, bx1.astype(jnp.int32))
+        ry1 = jnp.minimum(ry1, by1.astype(jnp.int32))
+        tnum = jnp.maximum(rx1 - rx0, 0) * jnp.maximum(ry1 - ry0, 0)
+        valid = valid0 & (tnum > 0) & (hl >= 0.0) & (lane < n)
+    else:                         # ps1: no level clip, no hl gating
+        tnum = tiles0
+        valid = valid0 & (lane < n)
     rx1 = jnp.maximum(rx1, rx0)
 
     # Dummy rows: every INVALID row in [0, n) carries one culled pair so
@@ -213,7 +216,7 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
     ry0_f = jnp.where(valid, ry0.astype(jnp.float32), 0.0)
     rw_f = jnp.where(valid,
                      jnp.maximum(rx1 - rx0, 1).astype(jnp.float32), 1.0)
-    hl_row = jnp.where(valid, hl, -2.0)
+    hl_row = jnp.where(valid, hl, -2.0) if mode == "fov" else None
 
     # --- OBB principal axes (preprocess_cols tail) ---
     multi = tnum > 1
@@ -244,9 +247,12 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
     col = col_ref[...]
 
     def rest_eval(ch):
+        # Includes the C0 term: the fov table's k=0 rows are zero (DC
+        # rides per level), the ps1 table's k=0 rows hold the DC itself.
         def cf(kk):
             return col[ch * 16 + kk:ch * 16 + kk + 1, :].astype(jnp.float32)
-        r = (- shmod.SH_C1 * dy * cf(1) + shmod.SH_C1 * dz * cf(2)
+        r = (shmod.SH_C0 * cf(0)
+             - shmod.SH_C1 * dy * cf(1) + shmod.SH_C1 * dz * cf(2)
              - shmod.SH_C1 * dx * cf(3))
         if sh_degree > 1:
             r = (r + shmod.SH_C2[0] * xy * cf(4)
@@ -266,15 +272,20 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
         return r + 0.5
 
     rest_c = [rest_eval(ch) for ch in range(3)]
-    dc0 = 48
-    op0 = 60
-    ops_lv = [col[op0 + l:op0 + l + 1, :].astype(jnp.float32)
-              for l in range(fov_num)]
-    cols_lv = [jnp.maximum(
-        shmod.SH_C0 * col[dc0 + ch * fov_num + l:
-                          dc0 + ch * fov_num + l + 1, :].astype(jnp.float32)
-        + rest_c[ch], 0.0)
-        for ch in range(3) for l in range(fov_num)]
+    if mode == "fov":
+        dc0 = 48
+        op0 = 60
+        ops_lv = [col[op0 + l:op0 + l + 1, :].astype(jnp.float32)
+                  for l in range(fov_num)]
+        cols_lv = [jnp.maximum(
+            shmod.SH_C0 * col[dc0 + ch * fov_num + l:
+                              dc0 + ch * fov_num + l + 1,
+                              :].astype(jnp.float32)
+            + rest_c[ch], 0.0)
+            for ch in range(3) for l in range(fov_num)]
+    else:
+        ops_lv = [col[48:49, :].astype(jnp.float32)]
+        cols_lv = [jnp.maximum(rc, 0.0) for rc in rest_c]
 
     # --- exclusive prefix of tnum + global carry (sequential grid) ---
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
@@ -288,19 +299,28 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
     carry[0] = kc + incl[0, chunk - 1]
     cum_ref[...] = cum_excl
 
-    # --- dtable rows (build_fov_dtable layout) ---
+    # --- dtable rows ---
     rows = [rx0_f, ry0_f, rw_f,
             *_split3(cum_excl),
             *_split3(px), *_split3(py),
             *_split2(v1x), *_split2(v1y),
             *_split2(v2x), *_split2(v2y),
             *_split2(len1), *_split2(len2),
-            *_split3(ca),
-            hl_row,
-            *_split3(depth),
-            jnp.zeros((1, chunk), jnp.float32)]
-    rows += ops_lv + cols_lv + [cb, cc]
-    out = jnp.concatenate(rows, axis=0).astype(jnp.bfloat16)   # (50, chunk)
+            *_split3(ca)]
+    if mode == "fov":
+        # build_fov_dtable layout (50 rows).
+        rows += [hl_row, *_split3(depth),
+                 jnp.zeros((1, chunk), jnp.float32)]
+        rows += ops_lv + cols_lv + [cb, cc]
+    else:
+        # binning.bin_fused_ps1 layout (49 rows): cb/cc/op/r/g/b as x3
+        # splits, valid flag row 45, depth rows 46-48.
+        rows += [*_split3(cb), *_split3(cc), *_split3(ops_lv[0]),
+                 *_split3(cols_lv[0]), *_split3(cols_lv[1]),
+                 *_split3(cols_lv[2]),
+                 jnp.where(valid, 1.0, 0.0),
+                 *_split3(depth)]
+    out = jnp.concatenate(rows, axis=0).astype(jnp.bfloat16)
     dt_ref[...] = jnp.concatenate(
         [out, jnp.zeros((TROWS - out.shape[0], chunk), jnp.bfloat16)],
         axis=0)
@@ -309,11 +329,12 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
 @functools.partial(jax.jit, static_argnames=(
     "n", "chunk", "grid_x", "grid_y", "width", "height", "focal_x",
     "focal_y", "tan_fovx", "tan_fovy", "scale_modifier", "fov_num",
-    "sh_degree", "interpret"))
+    "sh_degree", "interpret", "mode"))
 def build_fov_table_pallas(geo_t, col_t, consts, *, n, chunk=4096,
                            grid_x, grid_y, width, height, focal_x, focal_y,
                            tan_fovx, tan_fovy, scale_modifier=1.0,
-                           fov_num=4, sh_degree=3, interpret=False):
+                           fov_num=4, sh_degree=3, interpret=False,
+                           mode="fov"):
     """geo_t (16, N_pad) f32, col_t (64, N_pad) bf16 (N_pad a multiple of
     `chunk`), consts (1, 128) f32 (see module docstring).
 
@@ -327,7 +348,8 @@ def build_fov_table_pallas(geo_t, col_t, consts, *, n, chunk=4096,
         _kernel, chunk=chunk, n=n, grid_x=grid_x, grid_y=grid_y,
         width=width, height=height, focal_x=focal_x, focal_y=focal_y,
         tan_fovx=tan_fovx, tan_fovy=tan_fovy,
-        scale_modifier=scale_modifier, fov_num=fov_num, sh_degree=sh_degree)
+        scale_modifier=scale_modifier, fov_num=fov_num, sh_degree=sh_degree,
+        mode=mode)
     dtable, cum = pl.pallas_call(
         kernel,
         grid=grid,
@@ -346,9 +368,9 @@ def build_fov_table_pallas(geo_t, col_t, consts, *, n, chunk=4096,
     return dtable, cum, total_f
 
 
-def make_table_consts(camera, bx0, by0, bx1, by1):
+def make_table_consts(camera, bx0=None, by0=None, bx1=None, by1=None):
     """(1, 128) f32 consts vector (module docstring layout). bx0..by1 are
-    (L,) per-level clip-bbox scalars."""
+    (L,) per-level clip-bbox scalars (fov mode only)."""
     c = jnp.zeros((128,), jnp.float32)
     wv = jnp.asarray(camera.world_view, jnp.float32)
     fp = jnp.asarray(camera.full_proj, jnp.float32)
@@ -358,9 +380,12 @@ def make_table_consts(camera, bx0, by0, bx1, by1):
     c = c.at[_C_FP3:_C_FP3 + 4].set(fp[3])
     c = c.at[_C_CAM:_C_CAM + 3].set(
         jnp.asarray(camera.cam_center, jnp.float32))
-    L = bx0.shape[0]
-    c = c.at[_C_BBOX:_C_BBOX + L].set(bx0.astype(jnp.float32))
-    c = c.at[_C_BBOX + L:_C_BBOX + 2 * L].set(by0.astype(jnp.float32))
-    c = c.at[_C_BBOX + 2 * L:_C_BBOX + 3 * L].set(bx1.astype(jnp.float32))
-    c = c.at[_C_BBOX + 3 * L:_C_BBOX + 4 * L].set(by1.astype(jnp.float32))
+    if bx0 is not None:
+        L = bx0.shape[0]
+        c = c.at[_C_BBOX:_C_BBOX + L].set(bx0.astype(jnp.float32))
+        c = c.at[_C_BBOX + L:_C_BBOX + 2 * L].set(by0.astype(jnp.float32))
+        c = c.at[_C_BBOX + 2 * L:_C_BBOX + 3 * L].set(
+            bx1.astype(jnp.float32))
+        c = c.at[_C_BBOX + 3 * L:_C_BBOX + 4 * L].set(
+            by1.astype(jnp.float32))
     return c[None, :]

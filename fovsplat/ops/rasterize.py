@@ -220,3 +220,83 @@ def rasterize(means3d, scales, rotations, opacities, camera,
         "binned": bn,
         "prep": prep,
     }
+
+# --------------------------------------------------- ps1 SoA fast path
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Ps1ModelSoA:
+    """Single-level model packed once for the inference render loop
+    (counterpart of foveated.FovModelSoA): the fused table-build kernel
+    (ops/pallas/build_table mode='ps1') reads the two packed tables
+    directly — no per-frame (N, 3) column slicing or SH-layout
+    transposes. SH/opacity rows are stored bf16 (the expand kernel's
+    attribute table quantizes to bf16/u8 anyway); geometry stays f32."""
+    geo_t: Any      # (16, N_pad) f32 [x, y, z, sx, sy, sz, q0..q3, pad]
+    col_t: Any      # (64, N_pad) bf16 [SH 3x16 (DC at k=0), opacity, pad]
+    n: int = dataclasses.field(metadata=dict(static=True))  # row count
+
+
+def pack_ps1_model(means3d, scales, rotations, opacities, features_dc,
+                   features_rest) -> Ps1ModelSoA:
+    """scales/rotations/opacities ACTIVATED; features_dc (N, 1, 3),
+    features_rest (N, K-1, 3)."""
+    from fovsplat.ops.pallas import build_table as ptab
+    n = means3d.shape[0]
+    n_pad = ((n + ptab.TCHUNK - 1) // ptab.TCHUNK) * ptab.TCHUNK
+    geo = jnp.concatenate(
+        [jnp.asarray(means3d, jnp.float32).T,
+         jnp.asarray(scales, jnp.float32).T,
+         jnp.asarray(rotations, jnp.float32).T,
+         jnp.zeros((ptab.GROWS - 10, n), jnp.float32)], axis=0)
+    sh48 = jnp.concatenate(
+        [jnp.asarray(features_dc, jnp.bfloat16).transpose(2, 1, 0),
+         jnp.asarray(features_rest, jnp.bfloat16).transpose(2, 1, 0)],
+        axis=1).reshape(48, n)
+    col = jnp.concatenate(
+        [sh48, jnp.asarray(opacities, jnp.bfloat16)[None, :],
+         jnp.zeros((ptab.CROWS - 49, n), jnp.bfloat16)], axis=0)
+    return Ps1ModelSoA(
+        geo_t=jnp.pad(geo, ((0, 0), (0, n_pad - n))),
+        col_t=jnp.pad(col, ((0, 0), (0, n_pad - n))),
+        n=n)
+
+
+def rasterize_ps1_soa(model: Ps1ModelSoA, camera, bg_color=None,
+                      sh_degree: int = 3,
+                      config: RasterizeConfig = RasterizeConfig()):
+    """Inference-only single-level render over a pre-packed SoA model:
+    fused table kernel -> fused expand/compact kernel -> quantized tile
+    sort -> fwd-only blend. Same kernels as rasterize(pallas_fwd_only)
+    minus the per-frame XLA column stage."""
+    from fovsplat.ops.pallas import blend_fwd as pk
+    from fovsplat.ops.pallas import build_table as ptab
+    gx = (camera.width + 15) // 16
+    gy = (camera.height + 15) // 16
+    cap = config.padded_capacity()
+    consts = ptab.make_table_consts(camera)
+    dtable, cum, total_f = ptab.build_fov_table_pallas(
+        model.geo_t, model.col_t, consts, n=model.n, grid_x=gx, grid_y=gy,
+        width=camera.width, height=camera.height,
+        focal_x=float(camera.focal_x), focal_y=float(camera.focal_y),
+        tan_fovx=float(camera.tan_fovx), tan_fovy=float(camera.tan_fovy),
+        scale_modifier=config.scale_modifier, fov_num=1,
+        sh_degree=sh_degree, interpret=config.pallas_interpret,
+        mode="ps1")
+    packed, seg_start, num_pairs, overflow, _cap3 = binning.bin_fused_ps1(
+        None, None, None, gx, gy, cap, config.pallas_interpret,
+        config.dummy_slack, config.compact_capacity, config.expand_chunk,
+        config.expand_batch, prebuilt=(dtable, cum, total_f),
+        n_rows=model.n)
+    tile_color, final_T, n_contrib = pk.blend_pallas_fwd_only(
+        packed, seg_start[:-1], seg_start[1:], gx, gy, config.pallas_chunk,
+        config.power_cutoff, config.pallas_interpret,
+        batch=config.pallas_blend_batch)
+    image = blend.tiles_to_image(tile_color, gx, gy, camera.width,
+                                 camera.height)
+    T_img = blend.tiles_to_image(final_T, gx, gy, camera.width,
+                                 camera.height)
+    if bg_color is not None:
+        image = image + T_img[..., None] * jnp.asarray(bg_color, image.dtype)
+    return {"render": image, "final_T": T_img,
+            "num_pairs": num_pairs, "overflow": overflow}

@@ -189,10 +189,16 @@ def test_network_gui_protocol():
 
     th = threading.Thread(target=client)
     th.start()
-    for _ in range(100):
+    # Poll with a deadline, not a fixed attempt count: under full-suite
+    # load the client's connect can lag the server's non-blocking accept
+    # by more than 100 poll iterations (observed flake).
+    import time as _time
+    deadline = _time.time() + 10.0
+    while _time.time() < deadline:
         msg = gui.serve_step(
             lambda cam: np.full((cam.height, cam.width, 3), 0.5), "scene")
         if msg is not None:
             break
+        _time.sleep(0.01)
     th.join(timeout=5)
     assert result == {"img_len": 96, "verify": "scene"}

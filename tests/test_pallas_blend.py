@@ -437,3 +437,33 @@ def test_quantized_inference_psnr():
     mse1 = float(jnp.mean((out_p1 - out_x1) ** 2))
     psnr1 = 10.0 * np.log10(1.0 / max(mse1, 1e-12))
     assert psnr1 > 40.0, f"ps1 quantized-path PSNR {psnr1:.1f} dB < 40 dB"
+
+
+def test_ps1_soa_matches_xla():
+    """rasterize_ps1_soa (packed model + fused table kernel) vs the f32
+    XLA oracle — same quantization ladder tolerance as the row-input
+    fwd-only path (test_pallas_fwd_only_unaligned)."""
+    rng = np.random.default_rng(88)
+    n = 400
+    means, scales, quats, ops_, colors = synthetic_cloud(n=n, seed=88)
+    # SH model whose sh_to_rgb matches `colors`: dc = (colors - 0.5) / C0.
+    from fovsplat.ops import sh as shm
+    dc = ((np.asarray(colors) - 0.5) / shm.SH_C0)[:, None, :]
+    rest = rng.normal(0, 0.03, (n, 15, 3)).astype(np.float32)
+    cam = make_test_camera(width=96, height=64)
+    base = dict(pair_capacity=1 << 13, chunk=256)
+    bg = jnp.array([0.15, 0.05, 0.1])
+
+    out_x = jax.jit(lambda: rasterize.rasterize(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(ops_), cam, shs=jnp.concatenate(
+            [jnp.asarray(dc, jnp.float32), jnp.asarray(rest)], axis=1),
+        bg_color=bg, config=rasterize.RasterizeConfig(**base))["render"])()
+
+    model = rasterize.pack_ps1_model(means, scales, quats, ops_, dc, rest)
+    out_p = jax.jit(lambda m: rasterize.rasterize_ps1_soa(
+        m, cam, bg_color=bg, config=rasterize.RasterizeConfig(
+            **base, backend="pallas", pallas_chunk=128,
+            pallas_interpret=True, pallas_fwd_only=True))["render"])(model)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=0, atol=1.2e-2)
