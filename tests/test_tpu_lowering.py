@@ -81,3 +81,20 @@ def test_ps1_pallas_path_lowers_for_tpu():
     lowered = f.trace(means, scales, quats, opac, colors).lower(
         lowering_platforms=("tpu",))
     assert "tpu_custom_call" in lowered.as_text()
+
+
+def test_ps1_soa_path_lowers_for_tpu():
+    n = 50_000
+    means, scales, quats, opac, colors = _cloud(n, levels=False, seed=2)
+    dc = ((colors - 0.5) / 0.28209479177387814)[:, None, :]
+    rest = jnp.zeros((n, 15, 3), jnp.float32)
+    cam = _cam()
+    cfg = rast.RasterizeConfig(
+        pair_capacity=1 << 18, chunk=4096, backend="pallas",
+        pallas_chunk=256, pallas_fwd_only=True)
+    model = jax.jit(rast.pack_ps1_model)(means, scales, quats, opac, dc,
+                                         rest)
+    f = jax.jit(lambda m: rast.rasterize_ps1_soa(m, cam,
+                                                 config=cfg)["render"])
+    lowered = f.trace(model).lower(lowering_platforms=("tpu",))
+    assert "tpu_custom_call" in lowered.as_text()
