@@ -700,8 +700,6 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
         dtable, cum, total_f = ptab.build_fov_table_pallas(
             model.geo_t, model.col_t, consts, n=n,
             grid_x=gx, grid_y=gy, width=camera.width, height=camera.height,
-            focal_x=float(camera.focal_x), focal_y=float(camera.focal_y),
-            tan_fovx=float(camera.tan_fovx), tan_fovy=float(camera.tan_fovy),
             scale_modifier=config.scale_modifier, fov_num=L,
             sh_degree=sh_degree, interpret=config.pallas_interpret)
         packed, seg_start, num_pairs, overflow, _cap2 = _bin_fov_fused(

@@ -59,6 +59,7 @@ _C_FP0 = 12          # full_proj row 0
 _C_FP1 = 16          # full_proj row 1
 _C_FP3 = 20          # full_proj row 3
 _C_CAM = 24          # cam_center xyz
+_C_FOC = 27          # focal_x, focal_y, tan_fovx, tan_fovy
 _C_BBOX = 32         # x0[4], y0[4], x1[4], y1[4]
 
 
@@ -76,8 +77,7 @@ def _split2(x):
 
 def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
             *, chunk: int, n: int, grid_x: int, grid_y: int,
-            width: int, height: int, focal_x: float, focal_y: float,
-            tan_fovx: float, tan_fovy: float, scale_modifier: float,
+            width: int, height: int, scale_modifier: float,
             fov_num: int, sh_degree: int, mode: str = "fov"):
     c = pl.program_id(0)
 
@@ -135,8 +135,10 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
     tY = k(_C_WV + 4) * x + k(_C_WV + 5) * y + k(_C_WV + 6) * z \
         + k(_C_WV + 7)
     tz = depth
-    limx = 1.3 * tan_fovx
-    limy = 1.3 * tan_fovy
+    focal_x = k(_C_FOC)
+    focal_y = k(_C_FOC + 1)
+    limx = 1.3 * k(_C_FOC + 2)
+    limy = 1.3 * k(_C_FOC + 3)
     tx = jnp.clip(tX / tz, -limx, limx) * tz
     ty = jnp.clip(tY / tz, -limy, limy) * tz
     inv_z = 1.0 / tz
@@ -327,12 +329,11 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n", "chunk", "grid_x", "grid_y", "width", "height", "focal_x",
-    "focal_y", "tan_fovx", "tan_fovy", "scale_modifier", "fov_num",
-    "sh_degree", "interpret", "mode"))
+    "n", "chunk", "grid_x", "grid_y", "width", "height", "scale_modifier",
+    "fov_num", "sh_degree", "interpret", "mode"))
 def build_fov_table_pallas(geo_t, col_t, consts, *, n, chunk=4096,
-                           grid_x, grid_y, width, height, focal_x, focal_y,
-                           tan_fovx, tan_fovy, scale_modifier=1.0,
+                           grid_x, grid_y, width, height,
+                           scale_modifier=1.0,
                            fov_num=4, sh_degree=3, interpret=False,
                            mode="fov"):
     """geo_t (16, N_pad) f32, col_t (64, N_pad) bf16 (N_pad a multiple of
@@ -346,8 +347,7 @@ def build_fov_table_pallas(geo_t, col_t, consts, *, n, chunk=4096,
     grid = (n_pad // chunk,)
     kernel = functools.partial(
         _kernel, chunk=chunk, n=n, grid_x=grid_x, grid_y=grid_y,
-        width=width, height=height, focal_x=focal_x, focal_y=focal_y,
-        tan_fovx=tan_fovx, tan_fovy=tan_fovy,
+        width=width, height=height,
         scale_modifier=scale_modifier, fov_num=fov_num, sh_degree=sh_degree,
         mode=mode)
     dtable, cum = pl.pallas_call(
@@ -380,6 +380,10 @@ def make_table_consts(camera, bx0=None, by0=None, bx1=None, by1=None):
     c = c.at[_C_FP3:_C_FP3 + 4].set(fp[3])
     c = c.at[_C_CAM:_C_CAM + 3].set(
         jnp.asarray(camera.cam_center, jnp.float32))
+    c = c.at[_C_FOC].set(jnp.asarray(camera.focal_x, jnp.float32))
+    c = c.at[_C_FOC + 1].set(jnp.asarray(camera.focal_y, jnp.float32))
+    c = c.at[_C_FOC + 2].set(jnp.asarray(camera.tan_fovx, jnp.float32))
+    c = c.at[_C_FOC + 3].set(jnp.asarray(camera.tan_fovy, jnp.float32))
     if bx0 is not None:
         L = bx0.shape[0]
         c = c.at[_C_BBOX:_C_BBOX + L].set(bx0.astype(jnp.float32))

@@ -278,8 +278,6 @@ def rasterize_ps1_soa(model: Ps1ModelSoA, camera, bg_color=None,
     dtable, cum, total_f = ptab.build_fov_table_pallas(
         model.geo_t, model.col_t, consts, n=model.n, grid_x=gx, grid_y=gy,
         width=camera.width, height=camera.height,
-        focal_x=float(camera.focal_x), focal_y=float(camera.focal_y),
-        tan_fovx=float(camera.tan_fovx), tan_fovy=float(camera.tan_fovy),
         scale_modifier=config.scale_modifier, fov_num=1,
         sh_degree=sh_degree, interpret=config.pallas_interpret,
         mode="ps1")

@@ -178,8 +178,6 @@ consts_k = ptab.make_table_consts(
     jnp.stack([b[2] for b in bbs]), jnp.stack([b[3] for b in bbs]))
 tk = jax.jit(lambda g, c, k: ptab.build_fov_table_pallas(
     g, c, k, n=n, grid_x=gx, grid_y=gy, width=cam.width, height=cam.height,
-    focal_x=float(cam.focal_x), focal_y=float(cam.focal_y),
-    tan_fovx=float(cam.tan_fovx), tan_fovy=float(cam.tan_fovy),
     fov_num=L))
 timeit(tk, model.geo_t, model.col_t, consts_k, reps=10,
        label="table KERNEL (cols+table fused)")

@@ -40,6 +40,8 @@ def main():
     # bicycle-scale cloud (fov3dgs/fps/*/bicycle.txt last lines).
     ap.add_argument("--mode", default="ours",
                     choices=["ours", "naive", "mmfr"])
+    ap.add_argument("--interpret", action="store_true",
+                    help="pallas interpret mode (CPU smoke test)")
     args = ap.parse_args()
 
     import jax
@@ -73,6 +75,7 @@ def main():
     cfg = RasterizeConfig(pair_capacity=args.pair_capacity, chunk=4096,
                           backend="pallas", pallas_chunk=256,
                           pallas_fwd_only=True,
+                          pallas_interpret=args.interpret,
                           dummy_slack=args.dummy_slack,
                           compact_capacity=args.compact_capacity)
 
@@ -101,13 +104,15 @@ def main():
                                opacity=opac4[idx, li % 4], colors=colors))
         mm_cfg = RasterizeConfig(pair_capacity=args.pair_capacity,
                                  chunk=4096, backend="pallas",
-                                 pallas_chunk=256, pallas_fwd_only=True)
+                                 pallas_chunk=256, pallas_fwd_only=True,
+                                 pallas_interpret=args.interpret)
         full_mm = jax.jit(lambda cam, gaze: emm.render_mmfr(
             models, cam, gaze, 0.05, mm_cfg))
         per_gaze = []
         gazes = [(x, y) for y in (0.2, 0.5, 0.8) for x in (0.2, 0.5, 0.8)]
         for gz in gazes:
             gaze = jnp.asarray(gz, jnp.float32)
+            out = full_mm(cams[0], gaze)
             for _ in range(args.warmups):
                 out = full_mm(cams[0], gaze)
             float(np.asarray(jax.device_get(out.ravel()[0])))
