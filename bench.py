@@ -32,6 +32,8 @@ def build_render(args, cam, arrays, backend):
                                chunk=args.chunk, backend=backend,
                                pallas_chunk=256,
                                pallas_fwd_only=backend == "pallas",
+                               pallas_interpret=getattr(args, "interpret",
+                                                        False),
                                dummy_slack=args.dummy_slack,
                                compact_capacity=args.compact_capacity)
     if args.mode == "fov":
@@ -116,6 +118,8 @@ def main():
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--mode", default="fov", choices=["ps1", "fov"])
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--interpret", action="store_true",
+                    help="pallas interpret mode (CPU smoke test)")
     ap.add_argument("--ply", default=None,
                     help="real composed-model PLY (ours_composed schema); "
                          "replaces the synthetic cloud when provided")
@@ -221,7 +225,7 @@ def run_bench(args, cam, arrays, n):
         else:
             raise
     assert img.shape == (args.height, args.width, 3)
-    if args.mode == "fov" and backend == "pallas":
+    if backend == "pallas":
         fn(means, scales, quats, _diag=True)        # overflow guard
 
     for _ in range(args.warmup):
