@@ -24,6 +24,8 @@ _ap.add_argument("--prefix-mode", default="logmm",
 _ap.add_argument("--compact-capacity", type=int, default=1_835_008)
 _ap.add_argument("--expand-chunk", type=int, default=256)
 _ap.add_argument("--expand-batch", type=int, default=16)
+_ap.add_argument("--interpret", action="store_true",
+                 help="pallas interpret mode + tiny shapes (CPU smoke)")
 _ap.add_argument("--force-single", action="store_true",
                  help="zero l2_active: every tile takes the single-chain "
                       "path (isolates the dual-chain cost)")
@@ -37,7 +39,7 @@ from fovsplat.ops.pallas import expand_fov as pex
 from fovsplat.ops.rasterize import RasterizeConfig, _grid
 
 rng = np.random.default_rng(0)
-n = 1_161_358
+n = 3000 if _args.interpret else 1_161_358
 L = 4
 means = jnp.asarray(rng.normal(0, 1.2, (n, 3)), jnp.float32)
 scales = jnp.asarray(rng.uniform(0.002, 0.012, (n, 3)), jnp.float32)
@@ -51,18 +53,23 @@ rest = jnp.asarray(rng.normal(0, 0.05, (n, 15, 3)), jnp.float32)
 gaze = jnp.array([0.5, 0.5], jnp.float32)
 alpha = 0.05
 cam = look_at_camera([0.4, -0.3, -4.0], [0, 0, 0], [0, -1, 0],
-                     fovx=1.1, fovy=0.76, width=1237, height=822)
+                     fovx=1.1, fovy=0.76,
+                     width=160 if _args.interpret else 1237,
+                     height=128 if _args.interpret else 822)
 gx, gy = _grid(cam)
 num_tiles = gx * gy
 # Measured across the 9 bench gazes: real pairs <= 1.65M, invalid rows
 # (dummy pairs) <= 0.86M, total <= 2.32M slots. 1.8M + 0.85M = 2.65M gives
 # ~14% headroom; the overflow counter reports any excess.
-cap = 1_835_008
-dummy_slack = 851_968
+cap = 65_536 if _args.interpret else 1_835_008
+dummy_slack = 8_192 if _args.interpret else 851_968
+if _args.interpret:
+    _args.compact_capacity = 32_768
 chunk = _args.blend_chunk
 fov_cfg = fov.FoveationConfig()
 cfg = RasterizeConfig(pair_capacity=cap, chunk=4096, backend="pallas",
                       pallas_chunk=chunk, pallas_fwd_only=True,
+                      pallas_interpret=_args.interpret,
                       dummy_slack=dummy_slack,
                       compact_capacity=_args.compact_capacity)
 
@@ -178,7 +185,7 @@ consts_k = ptab.make_table_consts(
     jnp.stack([b[2] for b in bbs]), jnp.stack([b[3] for b in bbs]))
 tk = jax.jit(lambda g, c, k: ptab.build_fov_table_pallas(
     g, c, k, n=n, grid_x=gx, grid_y=gy, width=cam.width, height=cam.height,
-    fov_num=L))
+    fov_num=L, interpret=_args.interpret))
 timeit(tk, model.geo_t, model.col_t, consts_k, reps=10,
        label="table KERNEL (cols+table fused)")
 
@@ -195,7 +202,7 @@ expand = jax.jit(lambda d, c, g, t: pex.expand_fov_pallas(
     real_w=fov_cfg.real_image_width,
     real_h=cam.height / cam.width * fov_cfg.real_image_width,
     dist=fov_cfg.real_viewing_distance, fov_num=L,
-    sqrt_max_ps=fov_cfg.sqrt_max_ps))
+    sqrt_max_ps=fov_cfg.sqrt_max_ps, interpret=_args.interpret))
 key, attrs, kept = timeit(expand, dtable, cum_pad, gstarts, total, reps=10,
                           label="expand kernel (compacting)")
 print("kept pairs (post OBB/level cull):", int(jax.device_get(kept)),
@@ -246,8 +253,8 @@ tile_act = jnp.stack([
     jnp.zeros_like(l1_active, jnp.float32)], axis=-1)
 
 kern = jax.jit(lambda p, s, e, a: pkf.blend_fov_pallas(
-    p, s, e, a, gx, gy, chunk, -4.5, False, batch=_args.blend_batch,
-    prefix_mode=_args.prefix_mode))
+    p, s, e, a, gx, gy, chunk, -4.5, _args.interpret,
+    batch=_args.blend_batch, prefix_mode=_args.prefix_mode))
 timeit(kern, packed, seg_start[:-1], seg_start[1:], tile_act, reps=10,
        label="blend kernel")
 
