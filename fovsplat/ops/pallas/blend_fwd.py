@@ -386,12 +386,16 @@ def _bwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
     Tf = fin[:, 4:5]
     nc = fin[:, 5:6]
     max_nc = jnp.max(nc)
-    # Deepest chunk that contains a contributing pair.
-    num_chunks = jnp.minimum(pl.cdiv(n, chunk),
-                             pl.cdiv(max_nc.astype(jnp.int32), chunk))
+    # UNALIGNED segments: chunk windows start at the chunk-floor of the
+    # segment start; [start, end) masking handles the head, and the
+    # boundary chunk shared with earlier tiles is read-merge-written (see
+    # the write step below). Walk only to the deepest contributing pair.
+    base = pl.multiple_of((start // chunk) * chunk, chunk)
+    deepest = jnp.minimum(end, start + max_nc.astype(jnp.int32))
+    num_chunks = pl.cdiv(deepest - base, chunk)
 
     def get_dma(slot, k):
-        src = pl.multiple_of(jnp.minimum(start + k * chunk, cap - chunk),
+        src = pl.multiple_of(jnp.minimum(base + k * chunk, cap - chunk),
                              chunk)
         return pltpu.make_async_copy(pairs_hbm.at[:, pl.ds(src, chunk)],
                                      buf.at[slot], sem.at[slot])
@@ -410,7 +414,7 @@ def _bwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
 
         get_dma(kk % 2, kk).wait()
         data = buf[kk % 2]
-        src = pl.multiple_of(jnp.minimum(start + kk * chunk, cap - chunk),
+        src = pl.multiple_of(jnp.minimum(base + kk * chunk, cap - chunk),
                              chunk)
         gid = src + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         in_seg = (gid >= start) & (gid < end)
@@ -471,7 +475,25 @@ def _bwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
             zero, zero, zero, zero, zero, zero, zero,
         ], axis=0)                                           # (ROW, chunk)
         slot = kk % 2
-        gbuf[slot] = g_out
+        # Boundary chunk shared with EARLIER tiles (lanes < start): their
+        # gradient rows are already in HBM (the grid is sequential and
+        # every write below completes synchronously), so read-merge-write
+        # keeps them. Lanes >= end carry zeros here and are merged over by
+        # the LATER tile that owns them, in its own boundary pass.
+        @pl.when((kk == 0) & (base < start))
+        def _():
+            rdma = pltpu.make_async_copy(
+                grads_hbm.at[:, pl.ds(src, chunk)], gbuf.at[1 - slot],
+                gsem.at[1 - slot])
+            rdma.start()
+            rdma.wait()
+            lane_g = src + jax.lax.broadcasted_iota(
+                jnp.int32, (ROW, chunk), 1)
+            gbuf[slot] = jnp.where(lane_g < start, gbuf[1 - slot], g_out)
+
+        @pl.when(jnp.logical_not((kk == 0) & (base < start)))
+        def _():
+            gbuf[slot] = g_out
         wdma = pltpu.make_async_copy(gbuf.at[slot],
                                      grads_hbm.at[:, pl.ds(src, chunk)],
                                      gsem.at[slot])
@@ -528,18 +550,21 @@ def _backward(pair_data, seg_start, seg_end, fin, n_contrib_max,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(seg_start, seg_end, pair_data, fin)[0]
     # Rows whose chunk was never processed (beyond the deepest contributor,
-    # or outside any segment) are uninitialized: zero them. Row->tile lookup
-    # via boundary-scatter + cumsum (searchsorted over millions of rows is
+    # or outside any segment) are uninitialized: zero them. The kernel's
+    # chunk windows start at the chunk-floor of each (unaligned) segment
+    # start, so tile t's written rows cover [start_t, min(end_t,
+    # floor(start_t) + nchunks_t * chunk)). Row->tile lookup via
+    # boundary-scatter + cumsum (searchsorted over millions of rows is
     # very slow on TPU).
-    seg_chunks = (jnp.maximum(seg_end0 - seg_start0, 0) + chunk - 1) // chunk
-    done_chunks = jnp.minimum(seg_chunks,
-                              (n_contrib_max + chunk - 1) // chunk)
+    base_t = (seg_start0 // chunk) * chunk
+    deepest_t = jnp.minimum(seg_end0, seg_start0 + n_contrib_max)
+    nchunks_t = (jnp.maximum(deepest_t - base_t, 0) + chunk - 1) // chunk
+    cover_end = jnp.minimum(seg_end0, base_t + nchunks_t * chunk)
     marks = jnp.zeros(cap, jnp.int32).at[seg_start0[1:]].add(1, mode='drop')
     idx = jnp.cumsum(marks)                                  # tile per row
     row = jnp.arange(cap, dtype=jnp.int32)
     within = (row >= jnp.take(seg_start0, idx)) & \
-             (row < jnp.take(seg_start0, idx)
-              + jnp.take(done_chunks, idx) * chunk)
+             (row < jnp.take(cover_end, idx))
     return jnp.where(within[None, :], grads, 0.0)
 
 

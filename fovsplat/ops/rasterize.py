@@ -192,14 +192,16 @@ def rasterize(means3d, scales, rotations, opacities, camera,
                 cfg.pallas_chunk, cfg.power_cutoff, cfg.pallas_interpret,
                 batch=cfg.pallas_blend_batch)
         else:
-            bn2 = binning.align_segments(bn, cfg.pallas_chunk, gx * gy,
-                                         cfg.aligned_capacity(gx * gy))
-            gid = jnp.minimum(bn2.pair_gauss, means3d.shape[0] - 1)
+            # Training path: UNALIGNED segments straight from the tile
+            # sort — the backward read-merge-writes boundary chunks
+            # (blend_fwd._bwd_one_tile), so align_segments' re-spacing
+            # gather and its +T*chunk capacity inflation are gone.
+            gid = jnp.minimum(bn.pair_gauss, means3d.shape[0] - 1)
             packed = pk.pack_pairs(prep.mean2d[gid], prep.conic[gid],
                                    opacities[gid], colors[gid])
             tile_color, final_T, n_contrib = pk.blend_pallas(
-                packed, bn2.seg_start, bn2.seg_end, gx, gy, cfg.pallas_chunk,
-                cfg.power_cutoff, cfg.pallas_interpret)
+                packed, bn.seg_start[:-1], bn.seg_start[1:], gx, gy,
+                cfg.pallas_chunk, cfg.power_cutoff, cfg.pallas_interpret)
     else:
         gid = jnp.minimum(bn.pair_gauss, means3d.shape[0] - 1)
         tile_color, final_T, n_contrib = blend.blend(

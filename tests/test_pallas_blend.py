@@ -467,3 +467,66 @@ def test_ps1_soa_matches_xla():
             pallas_interpret=True, pallas_fwd_only=True))["render"])(model)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                rtol=0, atol=1.2e-2)
+
+
+def test_blend_pallas_unaligned_gradients():
+    """blend_pallas over the RAW (unaligned) tile-sorted pair list must
+    reproduce the chunk-aligned path bit-for-bit in forward AND gradients:
+    the backward's boundary chunks are read-merge-written (grid programs
+    run sequentially and every gradient write completes synchronously), so
+    align_segments is no longer a correctness requirement."""
+    means, scales, quats, ops_, colors = synthetic_cloud(n=300, seed=55)
+    cam = make_test_camera(width=96, height=64)
+    gx = (cam.width + 15) // 16
+    gy = (cam.height + 15) // 16
+    num_tiles = gx * gy
+    cap = 1 << 13
+    chunk = 128
+
+    prep = jax.jit(lambda m, s, q: projection.preprocess(m, s, q, cam))(
+        means, scales, quats)
+    bn = jax.jit(lambda p: binning.bin_gaussians(p, gx, gy, cap))(prep)
+
+    def packed_for(gid):
+        g = jnp.minimum(gid, means.shape[0] - 1)
+        return blend_fwd.pack_pairs(prep.mean2d[g], prep.conic[g],
+                                    jnp.asarray(ops_)[g],
+                                    jnp.asarray(colors)[g])
+
+    def loss(packed, ss, se):
+        c, T, _ = blend_fwd.blend_pallas(packed, ss, se, gx, gy, chunk,
+                                         -4.5, True)
+        return jnp.sum(c * jnp.cos(c)) + jnp.sum(T * 0.3), (c, T)
+
+    # Aligned reference.
+    acap = ((cap + num_tiles * chunk + chunk - 1) // chunk) * chunk
+    bn2 = jax.jit(lambda b: binning.align_segments(b, chunk, num_tiles,
+                                                   acap))(bn)
+    pa = packed_for(bn2.pair_gauss)
+    (la, (ca_, Ta)), ga = jax.value_and_grad(loss, has_aux=True)(
+        pa, bn2.seg_start, bn2.seg_end)
+
+    # Unaligned path.
+    pu = packed_for(bn.pair_gauss)
+    (lu, (cu, Tu)), gu = jax.value_and_grad(loss, has_aux=True)(
+        pu, bn.seg_start[:-1], bn.seg_start[1:])
+
+    np.testing.assert_allclose(np.asarray(cu), np.asarray(ca_),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Tu), np.asarray(Ta),
+                               rtol=1e-5, atol=1e-6)
+    # Per-pair gradients: compare after scattering back to Gaussians
+    # (the two layouts order pairs differently only by padding).
+    from fovsplat.ops.pallas.blend_fwd import unpack_grads
+    n = means.shape[0]
+
+    def to_gauss(g, gid, valid_len):
+        dm, dc, do, dcol = unpack_grads(g)
+        gid = jnp.minimum(gid, n - 1)
+        seg = lambda x: jax.ops.segment_sum(x, gid, num_segments=n)
+        return (seg(dm), seg(dc), seg(do), seg(dcol))
+    ga_g = to_gauss(ga, bn2.pair_gauss, None)
+    gu_g = to_gauss(gu, bn.pair_gauss, None)
+    for a, u in zip(ga_g, gu_g):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
