@@ -221,7 +221,7 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
 def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
                   pair_capacity: int, interpret: bool = False,
                   dummy_slack=None, compact_capacity=None, chunk=256,
-                  kbatch=16, prebuilt=None, n_rows=None):
+                  kbatch=16, prebuilt=None, n_rows=None, train=False):
     """Single-level fused-Pallas binning (ops/pallas/expand_fov._ps1_kernel):
     pair expansion + OBB cull in-kernel, one 2-key (tile, depth) sort
     carrying the finished blend-kernel SoA.
@@ -273,7 +273,8 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
                              side='right').astype(jnp.int32) - 1, 0, n - 1)
         return _ps1_expand_sort(pex, dtable, cum_pad2, gstarts, total,
                                 total_f, overflow, grid_x, grid_y, cap2,
-                                compact_capacity, chunk, kbatch, interpret)
+                                compact_capacity, chunk, kbatch, interpret,
+                                train)
 
     t1 = list(t1cols)
     tnum = jnp.where(valid, t1[3], 1.0)
@@ -289,7 +290,8 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
     #   0 rx0 | 1 ry0 | 2 rw | 3-5 cum_excl | 6-8 mx | 9-11 my
     #   12-13 v1x | 14-15 v1y | 16-17 v2x | 18-19 v2y | 20-21 len1
     #   22-23 len2 | 24-26 ca | 27-29 cb | 30-32 cc | 33-35 op
-    #   36-38 r | 39-41 g | 42-44 b | 45 valid | 46-48 depth | 49-63 pad
+    #   36-38 r | 39-41 g | 42-44 b | 45 valid | 46-48 depth
+    #   49-51 gid (train-mode payload) | 52-63 pad
     cols = [jnp.where(valid, t1[0], 0.0),
             jnp.where(valid, t1[1], 0.0),
             jnp.where(valid, t1[2], 1.0),
@@ -303,7 +305,8 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
             *_split3(t1[16]), *_split3(t1[17]),         # r, g
             *_split3(t1[18]),                           # b
             valid.astype(jnp.float32),
-            *_split3(depth)]
+            *_split3(depth),
+            *_split3(jnp.arange(n, dtype=jnp.float32))]   # gid (train mode)
 
     wsize = chunk + pex.WPAD
     n_pad = max(((n + 127) // 128) * 128, wsize + 1)
@@ -323,35 +326,49 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
 
     return _ps1_expand_sort(pex, dtable, cum_pad[None, :], gstarts, total,
                             total_f, overflow, grid_x, grid_y, cap2,
-                            compact_capacity, chunk, kbatch, interpret)
+                            compact_capacity, chunk, kbatch, interpret,
+                            train)
 
 
 def _ps1_expand_sort(pex, dtable, cum_pad2, gstarts, total, total_f,
                      overflow, grid_x, grid_y, cap2, compact_capacity,
-                     chunk, kbatch, interpret):
+                     chunk, kbatch, interpret, train=False):
     num_tiles = grid_x * grid_y
     cap_out = cap2 if compact_capacity is None else compact_capacity
     key, attrs, kept = pex.expand_ps1_pallas(
         dtable, cum_pad2, gstarts, total, cap=cap2, cap_out=cap_out,
         chunk=chunk, batch=kbatch,
-        grid_x=grid_x, grid_y=grid_y, interpret=interpret)
+        grid_x=grid_x, grid_y=grid_y, interpret=interpret, train=train)
     cap3 = key.shape[0]
     overflow = overflow + jnp.maximum(kept - (cap3 - (chunk + 128)), 0)
 
     # ONE single-key sort over the COMPACTED pairs (depth rides inside the
-    # fused key); the 5 packed payload rows (expand_ps1_pallas quantized
-    # layout) ride as 2 bit-packed i64 operands + 1 f32 — lax.sort cost
-    # scales with operand count AND element count.
+    # fused key). Inference: 5 packed quantized rows as 2 bit-packed i64
+    # operands + 1 f32. Train: 10 exact f32 rows [mx..b, gid] as 5 i64 —
+    # lax.sort cost scales with operand count AND element count.
     from fovsplat.ops.foveated import _pack_i64, _unpack_i64
     db = pex.key_depth_bits(num_tiles)
     with jax.enable_x64(True):
-        res = jax.lax.sort(
-            (key, _pack_i64(attrs[0], attrs[1]),
-             _pack_i64(attrs[2], attrs[3]), attrs[4]),
-            num_keys=1)
-        packed = jnp.concatenate(
-            [*(_unpack_i64(res[i]) for i in range(1, 3)), res[3][None, :],
-             jnp.zeros((11, cap3), jnp.float32)], axis=0)   # (16, CAP3)
+        if train:
+            res = jax.lax.sort(
+                (key, _pack_i64(attrs[0], attrs[1]),
+                 _pack_i64(attrs[2], attrs[3]),
+                 _pack_i64(attrs[4], attrs[5]),
+                 _pack_i64(attrs[6], attrs[7]),
+                 _pack_i64(attrs[8], attrs[9])),
+                num_keys=1)
+            packed = jnp.concatenate(
+                [*(_unpack_i64(res[i]) for i in range(1, 6)),
+                 jnp.zeros((6, cap3), jnp.float32)], axis=0)  # (16, CAP3)
+        else:
+            res = jax.lax.sort(
+                (key, _pack_i64(attrs[0], attrs[1]),
+                 _pack_i64(attrs[2], attrs[3]), attrs[4]),
+                num_keys=1)
+            packed = jnp.concatenate(
+                [*(_unpack_i64(res[i]) for i in range(1, 3)),
+                 res[3][None, :],
+                 jnp.zeros((11, cap3), jnp.float32)], axis=0)  # (16, CAP3)
     seg_start = jnp.searchsorted(
         res[0], jnp.arange(num_tiles + 1, dtype=jnp.int32) << db,
         side='left').astype(jnp.int32)

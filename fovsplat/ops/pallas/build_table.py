@@ -315,13 +315,15 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
                  jnp.zeros((1, chunk), jnp.float32)]
         rows += ops_lv + cols_lv + [cb, cc]
     else:
-        # binning.bin_fused_ps1 layout (49 rows): cb/cc/op/r/g/b as x3
-        # splits, valid flag row 45, depth rows 46-48.
+        # binning.bin_fused_ps1 layout (52 rows): cb/cc/op/r/g/b as x3
+        # splits, valid flag row 45, depth rows 46-48, gid rows 49-51
+        # (train-mode payload; inference ignores them).
         rows += [*_split3(cb), *_split3(cc), *_split3(ops_lv[0]),
                  *_split3(cols_lv[0]), *_split3(cols_lv[1]),
                  *_split3(cols_lv[2]),
                  jnp.where(valid, 1.0, 0.0),
-                 *_split3(depth)]
+                 *_split3(depth),
+                 *_split3(lane.astype(jnp.float32))]
     out = jnp.concatenate(rows, axis=0).astype(jnp.bfloat16)
     dt_ref[...] = jnp.concatenate(
         [out, jnp.zeros((TROWS - out.shape[0], chunk), jnp.bfloat16)],

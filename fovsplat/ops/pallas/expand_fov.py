@@ -464,7 +464,8 @@ POROWS = 16          # ps1 output rows (key + 9 attrs + pad)
 def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
                 win, cbuf, obuf, tail, cntbuf, kcum, insem, gsem, outsem,
                 *, chunk: int, wsize: int, batch: int, grid_x: int,
-                num_tiles: int, n_pad: int, cap_out: int):
+                num_tiles: int, n_pad: int, cap_out: int,
+                train: bool = False):
     """Plain (single-level) pair expansion + OBB cull, output COMPACTED
     exactly like the foveated kernel (see module docstring — same
     rank/permute/tail machinery; culled + dummy pairs never reach HBM).
@@ -589,47 +590,72 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
             dst = tail_len.astype(jnp.float32) + rank
             ohT = ((d_iota == dst) & keep).astype(jnp.bfloat16)
 
-            # ONE bf16 permutation matmul: geometry (tile/depth/mx/my/ca)
-            # rides as exact bf16 split parts and reconstructs f32-exact;
+            # ONE bf16 permutation matmul. Inference: geometry
+            # (tile/depth/mx/my/ca) rides as exact bf16 split parts;
             # conic cb/cc, opacity and colors reconstruct f32 BEFORE the
             # matmul and ride as single bf16 rows — they quantize to
             # bf16/u8 in the packed output anyway (same ladder as the fov
             # kernel: quantization bounds in the module docstring).
+            # Train: EVERY value rides as exact x3 splits and the output
+            # rows stay f32 (the differentiable blend recomputes alpha
+            # elementwise and the backward must match bitwise); gid rides
+            # as a payload for the gradient segment-sum.
             tilef = tile.astype(jnp.float32)
             t_hi = tilef.astype(jnp.bfloat16).astype(jnp.float32)
-            vals = jnp.concatenate(
-                [t_hi, tilef - t_hi,
-                 w[46:49, :],                    # depth x3
-                 w[6:9, :], w[9:12, :],          # mx, my x3
-                 w[24:27, :],                    # ca x3
-                 w[27:28, :] + w[28:29, :] + w[29:30, :],   # cb
-                 w[30:31, :] + w[31:32, :] + w[32:33, :],   # cc
-                 w[33:34, :] + w[34:35, :] + w[35:36, :],   # op
-                 w[36:37, :] + w[37:38, :] + w[38:39, :],   # r
-                 w[39:40, :] + w[40:41, :] + w[41:42, :],   # g
-                 w[42:43, :] + w[43:44, :] + w[44:45, :],   # b
-                 ], axis=0)                      # (20, chunk)
-            staged = jax.lax.dot_general(
-                vals.astype(jnp.bfloat16), ohT, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (20, out_w)
-            ca_f = staged[11:12] + staged[12:13] + staged[13:14]
-            ca_hi = ca_f.astype(jnp.bfloat16).astype(jnp.float32)
-            q8 = lambda v, sc: jnp.clip(jnp.floor(v * sc + 0.5),
-                                        0.0, 255.0).astype(jnp.int32)
-            oprgb = pltpu.bitcast(
-                (q8(staged[16:17], 255.0) << 24)
-                | (q8(staged[17:18], 127.5) << 16)
-                | (q8(staged[18:19], 127.5) << 8)
-                | q8(staged[19:20], 127.5), jnp.float32)
-            staged = jnp.concatenate(
-                [staged[0:1] + staged[1:2],                  # tile
-                 staged[2:3] + staged[3:4] + staged[4:5],    # depth
-                 staged[5:6] + staged[6:7] + staged[7:8],    # mx
-                 staged[8:9] + staged[9:10] + staged[10:11],  # my
-                 _pack2_i32(ca_hi, ca_f - ca_hi),            # P_caca
-                 _pack2_i32(staged[14:15], staged[15:16]),   # P_cbcc
-                 oprgb,
-                 jnp.zeros((POROWS - 7, out_w), jnp.float32)], axis=0)
+            if train:
+                vals = jnp.concatenate(
+                    [t_hi, tilef - t_hi,
+                     w[46:49, :],                # depth x3
+                     w[6:9, :], w[9:12, :],      # mx, my x3
+                     w[24:27, :], w[27:30, :],   # ca, cb x3
+                     w[30:33, :], w[33:36, :],   # cc, op x3
+                     w[36:39, :], w[39:42, :],   # r, g x3
+                     w[42:45, :], w[49:52, :],   # b, gid x3
+                     ], axis=0)                  # (35, chunk)
+                staged3 = jax.lax.dot_general(
+                    vals.astype(jnp.bfloat16), ohT, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (35, out_w)
+                staged = jnp.concatenate(
+                    [staged3[0:1] + staged3[1:2]]
+                    + [staged3[2 + 3 * i:3 + 3 * i]
+                       + staged3[3 + 3 * i:4 + 3 * i]
+                       + staged3[4 + 3 * i:5 + 3 * i] for i in range(11)]
+                    + [jnp.zeros((POROWS - 12, out_w), jnp.float32)],
+                    axis=0)
+            else:
+                vals = jnp.concatenate(
+                    [t_hi, tilef - t_hi,
+                     w[46:49, :],                    # depth x3
+                     w[6:9, :], w[9:12, :],          # mx, my x3
+                     w[24:27, :],                    # ca x3
+                     w[27:28, :] + w[28:29, :] + w[29:30, :],   # cb
+                     w[30:31, :] + w[31:32, :] + w[32:33, :],   # cc
+                     w[33:34, :] + w[34:35, :] + w[35:36, :],   # op
+                     w[36:37, :] + w[37:38, :] + w[38:39, :],   # r
+                     w[39:40, :] + w[40:41, :] + w[41:42, :],   # g
+                     w[42:43, :] + w[43:44, :] + w[44:45, :],   # b
+                     ], axis=0)                      # (20, chunk)
+                staged = jax.lax.dot_general(
+                    vals.astype(jnp.bfloat16), ohT, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (20, out_w)
+                ca_f = staged[11:12] + staged[12:13] + staged[13:14]
+                ca_hi = ca_f.astype(jnp.bfloat16).astype(jnp.float32)
+                q8 = lambda v, sc: jnp.clip(jnp.floor(v * sc + 0.5),
+                                            0.0, 255.0).astype(jnp.int32)
+                oprgb = pltpu.bitcast(
+                    (q8(staged[16:17], 255.0) << 24)
+                    | (q8(staged[17:18], 127.5) << 16)
+                    | (q8(staged[18:19], 127.5) << 8)
+                    | q8(staged[19:20], 127.5), jnp.float32)
+                staged = jnp.concatenate(
+                    [staged[0:1] + staged[1:2],                  # tile
+                     staged[2:3] + staged[3:4] + staged[4:5],    # depth
+                     staged[5:6] + staged[6:7] + staged[7:8],    # mx
+                     staged[8:9] + staged[9:10] + staged[10:11],  # my
+                     _pack2_i32(ca_hi, ca_f - ca_hi),            # P_caca
+                     _pack2_i32(staged[14:15], staged[15:16]),   # P_cbcc
+                     oprgb,
+                     jnp.zeros((POROWS - 7, out_w), jnp.float32)], axis=0)
 
             head = jnp.where(lane128 < tail_len, tail[...], staged[:, 0:128])
             blk = jnp.concatenate([head, staged[:, 128:]], axis=1)
@@ -663,10 +689,11 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cap", "cap_out", "chunk", "batch", "grid_x", "grid_y", "interpret"))
+    "cap", "cap_out", "chunk", "batch", "grid_x", "grid_y", "interpret",
+    "train"))
 def expand_ps1_pallas(dtable, cum, gstarts, total,
                       *, cap, cap_out=None, chunk=512, batch=8, grid_x,
-                      grid_y, interpret=False):
+                      grid_y, interpret=False, train=False):
     """dtable (PROWS, N_pad) bf16 split-row table in ORIGINAL order
     (layout in binning.bin_fused_ps1; valid flag row 45, depth rows
     46-48); cum (1, N_pad + 128) f32 exclusive cumsum (dummy pairs
@@ -710,7 +737,8 @@ def expand_ps1_pallas(dtable, cum, gstarts, total,
     )
     kernel = functools.partial(
         _ps1_kernel, chunk=chunk, wsize=wsize, batch=batch, grid_x=grid_x,
-        num_tiles=grid_x * grid_y, n_pad=n_pad, cap_out=cap_out)
+        num_tiles=grid_x * grid_y, n_pad=n_pad, cap_out=cap_out,
+        train=train)
     out, cnt = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((POROWS, cap_out), jnp.float32),
@@ -728,6 +756,8 @@ def expand_ps1_pallas(dtable, cum, gstarts, total,
         jax.lax.bitcast_convert_type(out[1], jnp.int32), 32 - db)
     key = jnp.where(lane < usable, (tile_i << db) | dpart,
                     num_tiles << db)
+    if train:
+        return key, out[2:12], kept      # [mx,my,ca,cb,cc,op,r,g,b,gid]
     return key, out[2:7], kept
 
 

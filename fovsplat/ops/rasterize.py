@@ -129,9 +129,40 @@ def rasterize(means3d, scales, rotations, opacities, camera,
     opacities = jnp.asarray(opacities)
 
     fwd_only = cfg.backend == "pallas" and cfg.pallas_fwd_only
-    fused = fwd_only and cfg.pallas_fused_expand and tile_mask_fn is None \
-        and cfg.use_obb
-    if fused:
+    fused_any = (cfg.backend == "pallas" and cfg.pallas_fused_expand
+                 and tile_mask_fn is None and cfg.use_obb)
+    fused = fwd_only and fused_any
+    fused_train = fused_any and not fwd_only
+    if fused_train:
+        # Train-mode fused binning: expand/compact kernel + 5-i64 sort
+        # with gid payload; differentiable via the custom-VJP builder
+        # (gather semantics). Replaces the XLA expansion + the CAP-sized
+        # pack_pairs gather of the unfused path.
+        diff_cols = (prep.mean2d[:, 0], prep.mean2d[:, 1],
+                     prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+                     opacities, colors[:, 0], colors[:, 1], colors[:, 2])
+        # stop_gradient: rect/eigen/OBB inputs are non-differentiable by
+        # design (pair SELECTION is treated as constant, like the
+        # reference); without it, zero cotangents still evaluate their
+        # VJP chains, whose guarded rsqrt jacobians can be inf (0 x inf
+        # = NaN in d_means).
+        aux_cols = jax.tree.map(jax.lax.stop_gradient, (
+            prep.rect_min[:, 0].astype(jnp.float32),
+            prep.rect_min[:, 1].astype(jnp.float32),
+            jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0],
+                        1).astype(jnp.float32),
+            prep.tiles_touched.astype(jnp.float32),
+            prep.eigen_vec[:, 0, 0], prep.eigen_vec[:, 0, 1],
+            prep.eigen_vec[:, 1, 0], prep.eigen_vec[:, 1, 1],
+            prep.eigen_len[:, 0], prep.eigen_len[:, 1]))
+        builder = _fused_train_pair_builder(gx, gy, cap, cfg,
+                                            means3d.shape[0])
+        packed, seg_start, num_pairs, overflow, _cap3 = builder(
+            diff_cols, aux_cols, prep.valid, prep.depth)
+        bn = binning.Binned(pair_gauss=None, pair_tile=None,
+                            seg_start=seg_start, num_pairs=num_pairs,
+                            overflow=overflow, depth_order=None)
+    elif fused:
         t1cols = [
             prep.rect_min[:, 0].astype(jnp.float32),
             prep.rect_min[:, 1].astype(jnp.float32),
@@ -162,7 +193,11 @@ def rasterize(means3d, scales, rotations, opacities, camera,
 
     if cfg.backend == "pallas":
         from fovsplat.ops.pallas import blend_fwd as pk
-        if fused:
+        if fused_train:
+            tile_color, final_T, n_contrib = pk.blend_pallas(
+                packed, seg_start[:-1], seg_start[1:], gx, gy,
+                cfg.pallas_chunk, cfg.power_cutoff, cfg.pallas_interpret)
+        elif fused:
             tile_color, final_T, n_contrib = pk.blend_pallas_fwd_only(
                 packed, seg_start[:-1], seg_start[1:], gx, gy,
                 cfg.pallas_chunk, cfg.power_cutoff, cfg.pallas_interpret,
@@ -222,6 +257,51 @@ def rasterize(means3d, scales, rotations, opacities, camera,
         "binned": bn,
         "prep": prep,
     }
+
+
+
+def _fused_train_pair_builder(gx, gy, cap, cfg, n):
+    """custom-VJP wrapper for the train-mode fused binning: forward runs
+    the (non-differentiable) expand/compact kernel + tile sort; backward
+    treats the pipeline as a generalized gather — per-pair cotangents
+    scatter back to per-Gaussian columns by the gid payload the kernel
+    carried through the sort (deterministic segment-sum, the TPU answer
+    to the reference backward's atomics)."""
+
+    @jax.custom_vjp
+    def build(diff_cols, aux_cols, valid, depth):
+        t1cols = [aux_cols[0], aux_cols[1], aux_cols[2], aux_cols[3],
+                  diff_cols[0], diff_cols[1],
+                  aux_cols[4], aux_cols[5], aux_cols[6], aux_cols[7],
+                  aux_cols[8], aux_cols[9],
+                  diff_cols[2], diff_cols[3], diff_cols[4], diff_cols[5],
+                  diff_cols[6], diff_cols[7], diff_cols[8]]
+        return binning.bin_fused_ps1(
+            t1cols, valid, depth, gx, gy, cap, cfg.pallas_interpret,
+            cfg.dummy_slack, cfg.compact_capacity, cfg.expand_chunk,
+            cfg.expand_batch, train=True)
+
+    def fwd(diff_cols, aux_cols, valid, depth):
+        out = build(diff_cols, aux_cols, valid, depth)
+        packed, seg_start, num_pairs, overflow, cap3 = out
+        return out, (packed[9], num_pairs)
+
+    def bwd(res, ct):
+        gid_row, num_pairs = res
+        d_packed = ct[0]                          # (16, CAP3)
+        lane = jnp.arange(gid_row.shape[0], dtype=jnp.int32)
+        gid = jnp.where(lane < num_pairs,
+                        gid_row.astype(jnp.int32), n)
+        seg = lambda r: jax.ops.segment_sum(
+            jnp.where(lane < num_pairs, d_packed[r], 0.0), gid,
+            num_segments=n + 1)[:n]
+        d_diff = tuple(seg(r) for r in range(9))
+        d_aux = tuple(jnp.zeros(n, jnp.float32) for _ in range(10))
+        return d_diff, d_aux, None, jnp.zeros(n, jnp.float32)
+
+    build.defvjp(fwd, bwd)
+    return build
+
 
 # --------------------------------------------------- ps1 SoA fast path
 

@@ -98,3 +98,24 @@ def test_ps1_soa_path_lowers_for_tpu():
                                                  config=cfg)["render"])
     lowered = f.trace(model).lower(lowering_platforms=("tpu",))
     assert "tpu_custom_call" in lowered.as_text()
+
+
+def test_train_step_lowers_for_tpu():
+    """Fused training path (train-mode expand kernel + unaligned blend
+    fwd+bwd) lowers cleanly for TPU, including the gradient graph."""
+    n = 20_000
+    means, scales, quats, opac, colors = _cloud(n, levels=False, seed=3)
+    cam = _cam(320, 192)
+    cfg = rast.RasterizeConfig(
+        pair_capacity=1 << 16, chunk=4096, backend="pallas",
+        pallas_chunk=256)
+    target = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
+
+    def loss(m, s, q, o, c):
+        out = rast.rasterize(m, s, q, o, cam, colors=c, config=cfg)
+        return jnp.mean((out["render"] - target) ** 2)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+    lowered = g.trace(means, scales, quats, opac, colors).lower(
+        lowering_platforms=("tpu",))
+    assert lowered.as_text().count("tpu_custom_call") >= 3
