@@ -115,31 +115,43 @@ def rasterize(means3d, scales, rotations, opacities, camera,
     cfg = config
     cap = cfg.padded_capacity()
 
-    prep = projection.preprocess(means3d, scales, rotations, camera,
-                                 scale_modifier=cfg.scale_modifier,
-                                 live_mask=live_mask)
-    if mean2d_offset is not None:
-        # The reference's screenspace_points trick
-        # (gaussian_renderer/__init__.py:28-32): a zero tensor added to the
-        # projected means whose gradient drives densification.
-        prep = dataclasses.replace(prep, mean2d=prep.mean2d + mean2d_offset)
-    if colors is None:
-        colors = sh.sh_to_rgb(sh_degree, shs, means3d, camera.cam_center)
-    colors = jnp.asarray(colors)
-    opacities = jnp.asarray(opacities)
-
     fwd_only = cfg.backend == "pallas" and cfg.pallas_fwd_only
     fused_any = (cfg.backend == "pallas" and cfg.pallas_fused_expand
                  and tile_mask_fn is None and cfg.use_obb)
     fused = fwd_only and fused_any
     fused_train = fused_any and not fwd_only
+
+    if fused_any:
+        # Fused paths run the column preprocess (unrolled (N,) math — no
+        # (N, 3) lane-waste layouts, measured ~4x faster on TPU) and feed
+        # its columns straight into the expand kernel's table builder.
+        prep = projection.preprocess_cols(
+            means3d, scales, rotations, camera,
+            scale_modifier=cfg.scale_modifier, live_mask=live_mask)
+        mx_c, my_c = prep.mx, prep.my
+        if mean2d_offset is not None:
+            # The reference's screenspace_points trick
+            # (gaussian_renderer/__init__.py:28-32).
+            mx_c = mx_c + mean2d_offset[:, 0]
+            my_c = my_c + mean2d_offset[:, 1]
+    else:
+        prep = projection.preprocess(means3d, scales, rotations, camera,
+                                     scale_modifier=cfg.scale_modifier,
+                                     live_mask=live_mask)
+        if mean2d_offset is not None:
+            prep = dataclasses.replace(prep,
+                                       mean2d=prep.mean2d + mean2d_offset)
+    if colors is None:
+        colors = sh.sh_to_rgb(sh_degree, shs, means3d, camera.cam_center)
+    colors = jnp.asarray(colors)
+    opacities = jnp.asarray(opacities)
+
     if fused_train:
         # Train-mode fused binning: expand/compact kernel + 5-i64 sort
         # with gid payload; differentiable via the custom-VJP builder
         # (gather semantics). Replaces the XLA expansion + the CAP-sized
         # pack_pairs gather of the unfused path.
-        diff_cols = (prep.mean2d[:, 0], prep.mean2d[:, 1],
-                     prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+        diff_cols = (mx_c, my_c, prep.ca, prep.cb, prep.cc,
                      opacities, colors[:, 0], colors[:, 1], colors[:, 2])
         # stop_gradient: rect/eigen/OBB inputs are non-differentiable by
         # design (pair SELECTION is treated as constant, like the
@@ -147,14 +159,11 @@ def rasterize(means3d, scales, rotations, opacities, camera,
         # VJP chains, whose guarded rsqrt jacobians can be inf (0 x inf
         # = NaN in d_means).
         aux_cols = jax.tree.map(jax.lax.stop_gradient, (
-            prep.rect_min[:, 0].astype(jnp.float32),
-            prep.rect_min[:, 1].astype(jnp.float32),
-            jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0],
-                        1).astype(jnp.float32),
-            prep.tiles_touched.astype(jnp.float32),
-            prep.eigen_vec[:, 0, 0], prep.eigen_vec[:, 0, 1],
-            prep.eigen_vec[:, 1, 0], prep.eigen_vec[:, 1, 1],
-            prep.eigen_len[:, 0], prep.eigen_len[:, 1]))
+            prep.rx0.astype(jnp.float32), prep.ry0.astype(jnp.float32),
+            jnp.maximum(prep.rx1 - prep.rx0, 1).astype(jnp.float32),
+            prep.tnum.astype(jnp.float32),
+            prep.v1x, prep.v1y, prep.v2x, prep.v2y,
+            prep.len1, prep.len2))
         builder = _fused_train_pair_builder(gx, gy, cap, cfg,
                                             means3d.shape[0])
         packed, seg_start, num_pairs, overflow, _cap3 = builder(
@@ -164,16 +173,13 @@ def rasterize(means3d, scales, rotations, opacities, camera,
                             overflow=overflow, depth_order=None)
     elif fused:
         t1cols = [
-            prep.rect_min[:, 0].astype(jnp.float32),
-            prep.rect_min[:, 1].astype(jnp.float32),
-            jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0],
-                        1).astype(jnp.float32),
-            prep.tiles_touched.astype(jnp.float32),
-            prep.mean2d[:, 0], prep.mean2d[:, 1],
-            prep.eigen_vec[:, 0, 0], prep.eigen_vec[:, 0, 1],
-            prep.eigen_vec[:, 1, 0], prep.eigen_vec[:, 1, 1],
-            prep.eigen_len[:, 0], prep.eigen_len[:, 1],
-            prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+            prep.rx0.astype(jnp.float32), prep.ry0.astype(jnp.float32),
+            jnp.maximum(prep.rx1 - prep.rx0, 1).astype(jnp.float32),
+            prep.tnum.astype(jnp.float32),
+            mx_c, my_c,
+            prep.v1x, prep.v1y, prep.v2x, prep.v2y,
+            prep.len1, prep.len2,
+            prep.ca, prep.cb, prep.cc,
             opacities, colors[:, 0], colors[:, 1], colors[:, 2],
         ]
         packed, seg_start, num_pairs, overflow, _cap2 = binning.bin_fused_ps1(
