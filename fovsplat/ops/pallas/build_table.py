@@ -88,10 +88,13 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
     def k(i):
         return consts_ref[0:1, i:i + 1]
 
-    g = geo_ref[...]
-    x = g[0:1, :]
-    y = g[1:2, :]
-    z = g[2:3, :]
+    # Single-row ref reads (no whole-block materialization — the geo/col
+    # blocks are 256/512 KB and would spill vregs if loaded at once).
+    def g(i):
+        return geo_ref[i:i + 1, :]
+    x = g(0)
+    y = g(1)
+    z = g(2)
 
     # --- view/projection (preprocess_cols) ---
     depth = k(_C_WV + 8) * x + k(_C_WV + 9) * y + k(_C_WV + 10) * z \
@@ -106,10 +109,10 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
     in_front = depth > NEAR_CULL_Z
 
     # --- cov3d from scale/quat (_cov3d_cols) ---
-    qr = g[6:7, :]
-    qx = g[7:8, :]
-    qy = g[8:9, :]
-    qz = g[9:10, :]
+    qr = g(6)
+    qx = g(7)
+    qy = g(8)
+    qz = g(9)
     r00 = 1 - 2 * (qy * qy + qz * qz)
     r01 = 2 * (qx * qy - qr * qz)
     r02 = 2 * (qx * qz + qr * qy)
@@ -119,9 +122,9 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
     r20 = 2 * (qx * qz - qr * qy)
     r21 = 2 * (qy * qz + qr * qx)
     r22 = 1 - 2 * (qx * qx + qy * qy)
-    s0 = (g[3:4, :] * scale_modifier) ** 2
-    s1 = (g[4:5, :] * scale_modifier) ** 2
-    s2 = (g[5:6, :] * scale_modifier) ** 2
+    s0 = (g(3) * scale_modifier) ** 2
+    s1 = (g(4) * scale_modifier) ** 2
+    s2 = (g(5) * scale_modifier) ** 2
     sxx = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
     sxy = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
     sxz = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
@@ -185,7 +188,7 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
 
     lane = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     if mode == "fov":
-        hl = g[10:11, :]
+        hl = g(10)
         hli = jnp.clip(hl.astype(jnp.int32), 0, fov_num - 1)
         bx0 = k(_C_BBOX + 0)
         by0 = k(_C_BBOX + fov_num)
@@ -246,13 +249,12 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
     dz = dzc * inv_n
     xx, yy2, zz = dx * dx, dy * dy, dz * dz
     xy, yz, xz = dx * dy, dy * dz, dx * dz
-    col = col_ref[...]
-
     def rest_eval(ch):
         # Includes the C0 term: the fov table's k=0 rows are zero (DC
         # rides per level), the ps1 table's k=0 rows hold the DC itself.
         def cf(kk):
-            return col[ch * 16 + kk:ch * 16 + kk + 1, :].astype(jnp.float32)
+            return col_ref[ch * 16 + kk:ch * 16 + kk + 1,
+                           :].astype(jnp.float32)
         r = (shmod.SH_C0 * cf(0)
              - shmod.SH_C1 * dy * cf(1) + shmod.SH_C1 * dz * cf(2)
              - shmod.SH_C1 * dx * cf(3))
@@ -277,16 +279,16 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
     if mode == "fov":
         dc0 = 48
         op0 = 60
-        ops_lv = [col[op0 + l:op0 + l + 1, :].astype(jnp.float32)
+        ops_lv = [col_ref[op0 + l:op0 + l + 1, :].astype(jnp.float32)
                   for l in range(fov_num)]
         cols_lv = [jnp.maximum(
-            shmod.SH_C0 * col[dc0 + ch * fov_num + l:
-                              dc0 + ch * fov_num + l + 1,
-                              :].astype(jnp.float32)
+            shmod.SH_C0 * col_ref[dc0 + ch * fov_num + l:
+                                  dc0 + ch * fov_num + l + 1,
+                                  :].astype(jnp.float32)
             + rest_c[ch], 0.0)
             for ch in range(3) for l in range(fov_num)]
     else:
-        ops_lv = [col[48:49, :].astype(jnp.float32)]
+        ops_lv = [col_ref[48:49, :].astype(jnp.float32)]
         cols_lv = [jnp.maximum(rc, 0.0) for rc in rest_c]
 
     # --- exclusive prefix of tnum + global carry (sequential grid) ---
