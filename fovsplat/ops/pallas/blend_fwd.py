@@ -210,7 +210,7 @@ def _fwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
         get_dma(0, 0).start()
 
     def body(state):
-        k, cont, T_pix, cr, cg, cb_, nc = state
+        k, cont, T_pix, frozen, cr, cg, cb_, nc = state
         del cont
         get_dma(k % 2, k).wait()
         # Speculative prefetch BEFORE compute (the kernel is otherwise
@@ -264,6 +264,11 @@ def _fwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
         ok = geo_ok & (alpha >= ALPHA_MIN) & in_seg
         a_eff = jnp.where(ok, alpha, 0.0)
 
+        # Cross-chunk pixel freeze (the CUDA per-pixel 'done' flag,
+        # forward.cu:380-426): a pixel that triggered T < T_EPS in an
+        # EARLIER chunk must not resume accumulating here even though its
+        # carried T_pix still sits above the threshold.
+        a_eff = jnp.where(frozen, 0.0, a_eff)
         one_minus = 1.0 - a_eff
         logs = jnp.log1p(-a_eff)
         # Prefix sums as one fused upper-triangular matmul on the MXU
@@ -275,6 +280,8 @@ def _fwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
         done_before = jnp.dot(trigger.astype(jnp.float32), triu,
                               preferred_element_type=jnp.float32) > 0
         contribute = (a_eff > 0) & ~trigger & ~done_before
+        frozen = frozen | (jnp.max(trigger.astype(jnp.float32), axis=1,
+                                   keepdims=True) > 0)
         weight = jnp.where(contribute, a_eff * T_row, 0.0)   # (PIX, chunk)
 
         cr = cr + jnp.sum(weight * col_r, axis=1, keepdims=True)
@@ -289,16 +296,19 @@ def _fwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
         nc = jnp.maximum(nc, jnp.max(jnp.where(contribute, rank, 0.0),
                                      axis=1, keepdims=True))
 
-        cont = (k + 1 < num_chunks) & (jnp.max(T_pix) >= T_EPS)
-        return k + 1, cont, T_pix, cr, cg, cb_, nc
+        alive = jnp.logical_not(frozen) & (T_pix >= T_EPS)
+        cont = (k + 1 < num_chunks) & (jnp.max(
+            alive.astype(jnp.float32)) > 0)
+        return k + 1, cont, T_pix, frozen, cr, cg, cb_, nc
 
     def cond(state):
         return state[1]
 
     init = (jnp.int32(0), num_chunks > 0, jnp.ones((PIX, 1), jnp.float32),
+            jnp.zeros((PIX, 1), bool),
             jnp.zeros((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32),
             jnp.zeros((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32))
-    kf, _, T_pix, cr, cg, cb_, nc = jax.lax.while_loop(cond, body, init)
+    kf, _, T_pix, _, cr, cg, cb_, nc = jax.lax.while_loop(cond, body, init)
 
     # Drain: an early (saturation) exit left chunk kf's speculative DMA in
     # flight — wait it so semaphore state stays clean for the next tile.

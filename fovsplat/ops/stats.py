@@ -160,23 +160,90 @@ def rasterize_stats(means3d, scales, rotations, opacities, camera,
     cap = config.padded_capacity()
     n = means3d.shape[0]
 
-    prep = projection.preprocess(means3d, scales, rotations, camera,
-                                 scale_modifier=config.scale_modifier,
-                                 live_mask=live_mask)
+    use_pallas = (config.backend == "pallas" and config.pallas_fused_expand
+                  and config.use_obb)
+    if use_pallas:
+        prep = projection.preprocess_cols(
+            means3d, scales, rotations, camera,
+            scale_modifier=config.scale_modifier, live_mask=live_mask)
+    else:
+        prep = projection.preprocess(means3d, scales, rotations, camera,
+                                     scale_modifier=config.scale_modifier,
+                                     live_mask=live_mask)
     if colors is None:
         colors = sh.sh_to_rgb(sh_degree, shs, means3d, camera.cam_center)
     colors = jnp.asarray(colors)
     opacities = jnp.asarray(opacities)
 
-    bn = binning.bin_gaussians(prep, gx, gy, cap, use_obb=config.use_obb)
-    gid = jnp.minimum(bn.pair_gauss, n - 1)
     lm_tiles = None
     if loss_map is not None:
         lm_tiles = image_to_tiles(loss_map, gx, gy)
-    tile_color, final_T, gs_count, contribs = blend_stats(
-        bn.pair_tile, bn.pair_gauss, prep.mean2d[gid], prep.conic[gid],
-        opacities[gid], colors[gid], bn.seg_start, bn.num_pairs, n,
-        gx, gy, config.chunk, config.power_cutoff, mode, lm_tiles)
+
+    if use_pallas:
+        # Fused path: train-mode binning (exact rows + gid payload) + the
+        # Pallas stats kernel (per-pair statistic rows, no atomics), then
+        # segment reductions by gid.
+        from fovsplat.ops.pallas import blend_stats as pbs
+        t1cols = [prep.rx0.astype(jnp.float32), prep.ry0.astype(jnp.float32),
+                  jnp.maximum(prep.rx1 - prep.rx0, 1).astype(jnp.float32),
+                  prep.tnum.astype(jnp.float32),
+                  prep.mx, prep.my,
+                  prep.v1x, prep.v1y, prep.v2x, prep.v2y,
+                  prep.len1, prep.len2,
+                  prep.ca, prep.cb, prep.cc,
+                  opacities, colors[:, 0], colors[:, 1], colors[:, 2]]
+        packed, seg_start, num_pairs, overflow, cap3 = binning.bin_fused_ps1(
+            t1cols, prep.valid, prep.depth, gx, gy, cap,
+            config.pallas_interpret, config.dummy_slack,
+            config.compact_capacity, config.expand_chunk,
+            config.expand_batch, train=True)
+        tile_color, final_T, pair_stats, arg = pbs.blend_stats_pallas(
+            packed, seg_start[:-1], seg_start[1:], gx, gy,
+            config.pallas_chunk, config.power_cutoff,
+            config.pallas_interpret, batch=config.pallas_blend_batch)
+        lane = jnp.arange(cap3, dtype=jnp.int32)
+        in_use = lane < num_pairs
+        gid_pair = jnp.where(in_use, packed[9].astype(jnp.int32), n)
+        segsum = lambda v: jax.ops.segment_sum(
+            jnp.where(in_use, v, 0.0), gid_pair, num_segments=n + 1)[:n]
+        if mode == "sum":
+            gs_count = jax.ops.segment_sum(
+                in_use.astype(jnp.int32), gid_pair,
+                num_segments=n + 1)[:n]
+            contribs = segsum(pair_stats[0])
+        elif mode == "max":
+            gs_count = jax.ops.segment_sum(
+                in_use.astype(jnp.int32), gid_pair,
+                num_segments=n + 1)[:n]
+            contribs = jnp.maximum(jax.ops.segment_max(
+                jnp.where(in_use, pair_stats[2], 0.0), gid_pair,
+                num_segments=n + 1)[:n], 0.0)   # segment_max identity=-inf
+        elif mode == "count_opacity":
+            gs_count = segsum(pair_stats[1]).astype(jnp.int32)
+            contribs = segsum(packed[5] * pair_stats[1])
+        else:  # loss_weighted_max_count
+            gs_count = segsum(pair_stats[1]).astype(jnp.int32)
+            lm = (jnp.ones((gx * gy, PIX), jnp.float32) if lm_tiles is None
+                  else lm_tiles)
+            best_lane = jnp.clip(arg[:, :, 0].astype(jnp.int32),
+                                 0, cap3 - 1).reshape(-1)
+            has_best = (arg[:, :, 1] > 0).reshape(-1)
+            gid_best = jnp.where(has_best,
+                                 jnp.take(gid_pair, best_lane), n)
+            contribs = jax.ops.segment_sum(
+                jnp.where(has_best, lm.reshape(-1), 0.0), gid_best,
+                num_segments=n + 1)[:n]
+        bn = binning.Binned(pair_gauss=None, pair_tile=None,
+                            seg_start=seg_start, num_pairs=num_pairs,
+                            overflow=overflow, depth_order=None)
+    else:
+        bn = binning.bin_gaussians(prep, gx, gy, cap,
+                                   use_obb=config.use_obb)
+        gid = jnp.minimum(bn.pair_gauss, n - 1)
+        tile_color, final_T, gs_count, contribs = blend_stats(
+            bn.pair_tile, bn.pair_gauss, prep.mean2d[gid], prep.conic[gid],
+            opacities[gid], colors[gid], bn.seg_start, bn.num_pairs, n,
+            gx, gy, config.chunk, config.power_cutoff, mode, lm_tiles)
 
     image = tiles_to_image(tile_color, gx, gy, camera.width, camera.height)
     T_img = tiles_to_image(final_T, gx, gy, camera.width, camera.height)

@@ -92,3 +92,39 @@ def test_count_opacity_mode(setup):
     sc = np.asarray(out["contribs"])
     assert (sc <= gs * 0.95 + 1e-5).all()   # score = sum of opacities <= count*max_op
     assert (sc[gs > 0] > 0).all()
+
+
+@pytest.mark.parametrize("mode", list(stats.MODES))
+def test_pallas_stats_matches_xla(setup, mode):
+    """Pallas stats path (fused train-mode binning + stats kernel +
+    gid segment reductions) vs the XLA oracle, all four counting modes."""
+    means, scales, quats, ops_, colors, cam = setup
+    lm = (np.abs(np.random.default_rng(5).normal(
+        0.5, 0.2, (cam.height, cam.width))).astype(np.float32)
+        if mode == "loss_weighted_max_count" else None)
+    kw = dict(loss_map=None if lm is None else jnp.asarray(lm))
+
+    out_x = jax.jit(lambda *a: stats.rasterize_stats(
+        *a, cam, colors=jnp.asarray(colors), mode=mode,
+        config=RasterizeConfig(pair_capacity=1 << 13, chunk=256), **kw))(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(ops_))
+    out_p = jax.jit(lambda *a: stats.rasterize_stats(
+        *a, cam, colors=jnp.asarray(colors), mode=mode,
+        config=RasterizeConfig(pair_capacity=1 << 13, chunk=256,
+                               backend="pallas", pallas_chunk=128,
+                               pallas_interpret=True), **kw))(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(ops_))
+
+    np.testing.assert_allclose(np.asarray(out_p["render"]),
+                               np.asarray(out_x["render"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_p["final_T"]),
+                               np.asarray(out_x["final_T"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out_p["gs_count"]),
+                                  np.asarray(out_x["gs_count"]))
+    np.testing.assert_allclose(np.asarray(out_p["contribs"]),
+                               np.asarray(out_x["contribs"]),
+                               rtol=1e-4, atol=1e-5)

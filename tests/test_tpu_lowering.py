@@ -119,3 +119,19 @@ def test_train_step_lowers_for_tpu():
     lowered = g.trace(means, scales, quats, opac, colors).lower(
         lowering_platforms=("tpu",))
     assert lowered.as_text().count("tpu_custom_call") >= 3
+
+
+def test_stats_path_lowers_for_tpu():
+    from fovsplat.ops import stats
+    n = 20_000
+    means, scales, quats, opac, colors = _cloud(n, levels=False, seed=4)
+    cam = _cam(320, 192)
+    cfg = rast.RasterizeConfig(
+        pair_capacity=1 << 16, chunk=4096, backend="pallas",
+        pallas_chunk=256)
+    f = jax.jit(lambda m, s, q, o, c: stats.rasterize_stats(
+        m, s, q, o, cam, colors=c, mode="loss_weighted_max_count",
+        config=cfg)["contribs"])
+    lowered = f.trace(means, scales, quats, opac, colors).lower(
+        lowering_platforms=("tpu",))
+    assert "tpu_custom_call" in lowered.as_text()
