@@ -21,7 +21,10 @@ from fovsplat.train import loops, optim
 
 backend = os.environ.get("BENCH_BACKEND", "pallas")
 n = int(os.environ.get("BENCH_N", "1161358"))
-width, height = 1600, 1063
+interp = os.environ.get("BENCH_INTERPRET", "") == "1"
+width, height = (160, 128) if interp else (1600, 1063)
+if interp:
+    n = min(n, 3000)
 
 rng = np.random.default_rng(0)
 params = GaussianParams(
@@ -38,7 +41,8 @@ cam = look_at_camera([0.4, -0.3, -4.0], [0, 0, 0], [0, -1, 0],
 gt = jnp.asarray(rng.uniform(0, 1, (height, width, 3)), jnp.float32)
 
 cfg = loops.LoopConfig(raster=RasterizeConfig(
-    pair_capacity=1 << 22, chunk=4096, backend=backend, pallas_chunk=256))
+    pair_capacity=1 << 16 if interp else 1 << 22, chunk=4096,
+    backend=backend, pallas_chunk=256, pallas_interpret=interp))
 step = loops.make_photometric_step(cfg)
 
 st, aux = step(state, cam, gt, jnp.int32(0), jnp.float32(0.0))
