@@ -6,9 +6,11 @@ TPU counterpart of the reference renderCUDA forward
 
   * pair attributes are stored attribute-major (ROW=16, CAP) so each chunk
     is one lane-aligned HBM slice; chunks stream HBM->VMEM with
-    double-buffered async DMA; segments are chunk-aligned
-    (binning.align_segments) so a chunk never straddles two tiles and the
-    backward can DMA per-chunk gradient slices race-free,
+    double-buffered async DMA; segments may be UNALIGNED — the forward
+    floors windows to 128 and masks, and the backward floors to the chunk
+    and read-merge-writes the boundary chunk shared with earlier tiles
+    (race-free: the grid is sequential and every gradient write completes
+    synchronously),
   * compute runs in (PIX, chunk) orientation: pixels on sublanes, pairs on
     lanes; the sequential early-exit semantics are applied in closed form
     with upper-triangular matmul prefix sums on the MXU (cumsum/cumprod are
