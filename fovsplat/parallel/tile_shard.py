@@ -28,7 +28,8 @@ NATTR = 11   # mx my ca cb cc op r g b depth tile
 
 
 def _device_render(m, s, q, o, c, camera, gx, gy, ndev, tiles_per_dev,
-                   cap_local, c2, chunk, power_cutoff, axis):
+                   cap_local, c2, chunk, power_cutoff, axis,
+                   backend="xla", interpret=False):
     num_tiles = gx * gy
     prep = projection.preprocess(m, s, q, camera)
     bn = binning.bin_gaussians(prep, gx, gy, cap_local)
@@ -77,9 +78,33 @@ def _device_render(m, s, q, o, c, camera, gx, gy, ndev, tiles_per_dev,
         side='left').astype(jnp.int32)
     num_pairs = seg_start[-1]
 
-    tile_color, final_T, _ = blend._blend_forward_impl(
-        r_tile, mean2d, conic, opac, col3, seg_start, num_pairs,
-        gx, gy, chunk, power_cutoff)
+    if backend == "pallas":
+        # Production kernel on each shard's local (tile-sorted) list —
+        # the scaling path blends with the same fwd-only Pallas kernel
+        # as the single-chip route (quantized row layout,
+        # expand_ps1_pallas docstring).
+        from fovsplat.ops.pallas import blend_fwd as pk
+        from fovsplat.ops.pallas.blend_fov import pack2bf16_xla
+        q8 = lambda v, sc: jnp.clip(jnp.floor(v * sc + 0.5),
+                                    0.0, 255.0).astype(jnp.int32)
+        oprgb = jax.lax.bitcast_convert_type(
+            (q8(opac, 255.0) << 24) | (q8(col3[:, 0], 127.5) << 16)
+            | (q8(col3[:, 1], 127.5) << 8) | q8(col3[:, 2], 127.5),
+            jnp.float32)
+        ca = conic[:, 0]
+        ca_hi = ca.astype(jnp.bfloat16).astype(jnp.float32)
+        packed = jnp.stack(
+            [mean2d[:, 0], mean2d[:, 1],
+             pack2bf16_xla(ca_hi, ca - ca_hi),
+             pack2bf16_xla(conic[:, 1], conic[:, 2]), oprgb]
+            + [jnp.zeros_like(oprgb)] * (pk.ROW - 5), axis=0)
+        tile_color, final_T, _ = pk.blend_pallas_fwd_only(
+            packed, seg_start[:-1], seg_start[1:], gx, gy,
+            min(chunk, 256), power_cutoff, interpret)
+    else:
+        tile_color, final_T, _ = blend._blend_forward_impl(
+            r_tile, mean2d, conic, opac, col3, seg_start, num_pairs,
+            gx, gy, chunk, power_cutoff)
 
     # Keep only my tile rows; all_gather assembles the full tile-major image.
     my_dev = jax.lax.axis_index(axis)
@@ -99,7 +124,8 @@ def render_tile_sharded(mesh: Mesh, means3d, scales, rotations, opacities,
                         colors, camera, pair_capacity: int = 1 << 18,
                         per_dest_capacity: int | None = None,
                         chunk: int = 1024, power_cutoff: float = -4.5,
-                        axis: str = "data", bg_color=None):
+                        axis: str = "data", bg_color=None,
+                        backend: str = "xla", interpret: bool = False):
     """Render one view with the Gaussian cloud sharded over `axis`.
 
     All per-Gaussian arrays are sharded on axis 0 (N divisible by mesh
@@ -115,7 +141,8 @@ def render_tile_sharded(mesh: Mesh, means3d, scales, rotations, opacities,
     def fn(m, s, q, o, c):
         return _device_render(m, s, q, o, c, camera, gx, gy, ndev,
                               tiles_per_dev, cap_local, c2, chunk,
-                              power_cutoff, axis)
+                              power_cutoff, axis, backend=backend,
+                              interpret=interpret)
 
     shard = P(axis)
     rep = P()

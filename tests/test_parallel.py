@@ -66,3 +66,28 @@ def test_tile_sharded_render_matches_single():
         config=rasterize.RasterizeConfig(pair_capacity=1 << 14, chunk=256))
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref["render"]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_tile_sharded_pallas_backend():
+    """Tile-sharded render with the production Pallas blend kernel inside
+    shard_map matches the XLA-blend tile-sharded path to the inference
+    quantization tolerance."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fovsplat.parallel import tile_shard
+    from fovsplat.parallel.data_parallel import make_mesh
+    from tests.utils import make_test_camera, synthetic_cloud
+
+    means, scales, quats, ops_, colors = synthetic_cloud(n=256, seed=91)
+    cam = make_test_camera(width=96, height=64)
+    mesh = make_mesh(4)
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(ops_), jnp.asarray(colors))
+    img_x, aux_x = tile_shard.render_tile_sharded(
+        mesh, *args, cam, pair_capacity=1 << 12)
+    img_p, aux_p = tile_shard.render_tile_sharded(
+        mesh, *args, cam, pair_capacity=1 << 12, backend="pallas",
+        interpret=True)
+    assert int(aux_x["overflow"]) == 0 and int(aux_p["overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
+                               rtol=0, atol=1.2e-2)
