@@ -30,15 +30,24 @@ def render_mmfr(models, camera, gaze, alpha,
     level_i = levels.astype(jnp.int32)
     num_tiles = levels.shape[0]
 
+    use_fused = (config.backend == "pallas" and config.pallas_fused_expand
+                 and config.use_obb)
     total = None
     for li, m in enumerate(models):
-        def tile_mask(orig, tile, li=li):
-            t = jnp.minimum(tile, num_tiles - 1)
-            return level_i[t] == li
+        if use_fused:
+            # Fused route: bin the whole model once, then render only the
+            # owned tiles by EMPTYING other tiles' segments — exactly the
+            # reference's per-pass tile_skips (N8 renderCUDA_mmfr writes 0
+            # on non-owned tiles), with no per-pair tile-mask path.
+            out = _render_level_fused(m, camera, level_i, li, config)
+        else:
+            def tile_mask(orig, tile, li=li):
+                t = jnp.minimum(tile, num_tiles - 1)
+                return level_i[t] == li
 
-        out = rast.rasterize(m["xyz"], m["scaling"], m["rotation"],
-                             m["opacity"], camera, colors=m["colors"],
-                             config=config, tile_mask_fn=tile_mask)
+            out = rast.rasterize(m["xyz"], m["scaling"], m["rotation"],
+                                 m["opacity"], camera, colors=m["colors"],
+                                 config=config, tile_mask_fn=tile_mask)
         img = out["render"]
         # Zero out tiles not owned by this level (renderCUDA_mmfr writes 0
         # there); also composite bg only on owned tiles.
@@ -54,3 +63,36 @@ def render_mmfr(models, camera, gaze, alpha,
                 jnp.asarray(bg_color)
         total = contrib if total is None else total + contrib
     return total
+
+def _render_level_fused(m, camera, level_i, li, config):
+    """One MM-FR level pass on the fused pipeline: column preprocess +
+    fused binning of the whole model, blend restricted to owned tiles by
+    segment masking."""
+    from fovsplat.ops import binning, projection
+    from fovsplat.ops.pallas import blend_fwd as pk
+    gx = (camera.width + TILE - 1) // TILE
+    gy = (camera.height + TILE - 1) // TILE
+    cap = config.padded_capacity()
+    pc = projection.preprocess_cols(m["xyz"], m["scaling"], m["rotation"],
+                                    camera,
+                                    scale_modifier=config.scale_modifier)
+    t1cols = [pc.rx0.astype(jnp.float32), pc.ry0.astype(jnp.float32),
+              jnp.maximum(pc.rx1 - pc.rx0, 1).astype(jnp.float32),
+              pc.tnum.astype(jnp.float32),
+              pc.mx, pc.my, pc.v1x, pc.v1y, pc.v2x, pc.v2y,
+              pc.len1, pc.len2, pc.ca, pc.cb, pc.cc,
+              m["opacity"], m["colors"][:, 0], m["colors"][:, 1],
+              m["colors"][:, 2]]
+    packed, seg_start, num_pairs, overflow, _cap3 = binning.bin_fused_ps1(
+        t1cols, pc.valid, pc.depth, gx, gy, cap, config.pallas_interpret,
+        config.dummy_slack, config.compact_capacity, config.expand_chunk,
+        config.expand_batch)
+    owned = level_i == li
+    ss = seg_start[:-1]
+    se = jnp.where(owned, seg_start[1:], ss)   # empty non-owned segments
+    tile_color, final_T, _ = pk.blend_pallas_fwd_only(
+        packed, ss, se, gx, gy, config.pallas_chunk, config.power_cutoff,
+        config.pallas_interpret, batch=config.pallas_blend_batch)
+    image = tiles_to_image(tile_color, gx, gy, camera.width, camera.height)
+    T_img = tiles_to_image(final_T, gx, gy, camera.width, camera.height)
+    return {"render": image, "final_T": T_img, "overflow": overflow}

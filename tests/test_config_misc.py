@@ -70,3 +70,36 @@ def test_video_path():
     cams = video.ellipse_path(views, n_frames=8)
     assert len(cams) == 8
     assert cams[0].width == 32
+
+
+def test_mmfr_fused_matches_xla():
+    """MM-FR fused route (bin once + segment-masked blend — the
+    reference's tile_skips) vs the per-pair tile-mask XLA route."""
+    import numpy as np
+    from fovsplat.eval import mmfr
+    from fovsplat.ops.rasterize import RasterizeConfig
+    from tests.utils import make_test_camera, synthetic_cloud
+
+    rng = np.random.default_rng(7)
+    cam = make_test_camera(width=96, height=64)
+    models = []
+    for li in range(4):
+        n = 160 - 30 * li
+        means, scales, quats, ops_, colors = synthetic_cloud(n=n,
+                                                             seed=100 + li)
+        models.append(dict(xyz=jnp.asarray(means),
+                           scaling=jnp.asarray(scales),
+                           rotation=jnp.asarray(quats),
+                           opacity=jnp.asarray(ops_),
+                           colors=jnp.asarray(colors)))
+    gaze = jnp.array([0.4, 0.6], jnp.float32)
+    img_x = jax.jit(lambda: mmfr.render_mmfr(
+        models, cam, gaze, 0.3,
+        RasterizeConfig(pair_capacity=1 << 12, chunk=256)))()
+    img_p = jax.jit(lambda: mmfr.render_mmfr(
+        models, cam, gaze, 0.3,
+        RasterizeConfig(pair_capacity=1 << 12, chunk=256,
+                        backend="pallas", pallas_chunk=128,
+                        pallas_interpret=True, pallas_fwd_only=True)))()
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
+                               rtol=0, atol=1.2e-2)
