@@ -34,6 +34,8 @@ def build_render(args, cam, arrays, backend):
                                pallas_fwd_only=backend == "pallas",
                                pallas_interpret=getattr(args, "interpret",
                                                         False),
+                               pallas_table_kernel=not getattr(
+                                   args, "no_table_kernel", False),
                                dummy_slack=args.dummy_slack,
                                compact_capacity=args.compact_capacity)
     if args.mode == "fov":
@@ -120,6 +122,9 @@ def main():
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("--interpret", action="store_true",
                     help="pallas interpret mode (CPU smoke test)")
+    ap.add_argument("--no-table-kernel", action="store_true",
+                    help="A/B: XLA column stage instead of the fused "
+                         "table-build kernel")
     ap.add_argument("--ply", default=None,
                     help="real composed-model PLY (ours_composed schema); "
                          "replaces the synthetic cloud when provided")

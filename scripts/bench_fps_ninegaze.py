@@ -42,6 +42,9 @@ def main():
                     choices=["ours", "naive", "mmfr"])
     ap.add_argument("--interpret", action="store_true",
                     help="pallas interpret mode (CPU smoke test)")
+    ap.add_argument("--no-table-kernel", action="store_true",
+                    help="A/B: XLA column stage instead of the fused "
+                         "table-build kernel")
     args = ap.parse_args()
 
     import jax
@@ -76,6 +79,7 @@ def main():
                           backend="pallas", pallas_chunk=256,
                           pallas_fwd_only=True,
                           pallas_interpret=args.interpret,
+                          pallas_table_kernel=not args.no_table_kernel,
                           dummy_slack=args.dummy_slack,
                           compact_capacity=args.compact_capacity)
 
