@@ -30,7 +30,8 @@ def build_render(args, cam, arrays, backend):
     means, scales, quats, opac, colors, fovdata = arrays
     cfg = rast.RasterizeConfig(pair_capacity=args.pair_capacity,
                                chunk=args.chunk, backend=backend,
-                               pallas_chunk=256,
+                               pallas_chunk=args.blend_chunk,
+                               pallas_blend_batch=args.blend_batch,
                                pallas_fwd_only=backend == "pallas",
                                pallas_interpret=getattr(args, "interpret",
                                                         False),
@@ -116,6 +117,10 @@ def main():
     ap.add_argument("--dummy-slack", type=int, default=None)
     ap.add_argument("--compact-capacity", type=int, default=None)
     ap.add_argument("--chunk", type=int, default=4096)
+    ap.add_argument("--blend-chunk", type=int, default=256,
+                    help="blend kernel: pairs per chunk (min per-tile work)")
+    ap.add_argument("--blend-batch", type=int, default=8,
+                    help="blend kernel: tiles per grid program")
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--mode", default="fov", choices=["ps1", "fov"])
