@@ -54,10 +54,11 @@ class RasterizeConfig:
                                       # to shrink the sort (its cost is
                                       # linear in capacity). Overflow is
                                       # counted, never silently reordered.
-    expand_chunk: int = 256           # fused expand kernel: pairs per chunk
-                                      # (256 beats 512 by ~19%: the kernel
-                                      # is mask-build bound and per-chunk
-                                      # mask area scales with chunk*wsize)
+    expand_chunk: int = 512           # fused expand kernel: pairs per chunk
+                                      # (512x16 9.6 ms vs 256x16 12.7 ms on
+                                      # the 1.16M bench: fewer chunks beat
+                                      # the larger per-chunk mask area
+                                      # after the compaction rework)
     expand_batch: int = 16            # fused expand kernel: chunks per
                                       # grid program (amortizes launch cost)
     pallas_blend_batch: int = 8       # blend kernels: tiles per grid
