@@ -45,7 +45,8 @@ def main(argv=None):
 
     p = sub.add_parser("fps", help="foveated FPS benchmark")
     _add_common(p)
-    p.add_argument("--mode", default="ours", choices=["ours", "naive"])
+    p.add_argument("--mode", default="ours",
+                   choices=["ours", "naive", "mmfr"])
     p.add_argument("--alpha", type=float, default=0.05)
 
     p = sub.add_parser("dryrun", help="multi-chip dry run")
@@ -177,8 +178,14 @@ def main(argv=None):
         model = compose_mod.ComposedModel(
             params=state.params, live=live, highest_levels=hl,
             shs_dcs=dcs, opacities=opac)
-        render = fps_mod.make_fov_render(state.params, model, rcfg,
-                                         alpha=args.alpha, mode=args.mode)
+        if args.mode == "mmfr":
+            models = fps_mod.mmfr_models_from_composed(state.params, model)
+            render = fps_mod.make_mmfr_render(models, rcfg,
+                                              alpha=args.alpha)
+        else:
+            render = fps_mod.make_fov_render(state.params, model, rcfg,
+                                             alpha=args.alpha,
+                                             mode=args.mode)
         cams = [v.camera for v in (scene.test_views or scene.train_views)]
         res = fps_mod.fps_benchmark(render, cams)
         print(json.dumps(res))

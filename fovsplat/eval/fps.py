@@ -25,9 +25,10 @@ def make_fov_render(params, composed, config, fov_cfg=None, alpha=0.05,
                     blending=True, mode="ours"):
     """Returns jitted render(camera, gaze) for the composed model.
 
-    mode: "ours" (per-level DC/opacity), "naive" (SM-FR: shared color and
-    opacity; levels only gate participation), or a list of 4 single-level
-    models for "mmfr" handled in fps_benchmark_mmfr.
+    mode: "ours" (per-level DC/opacity) or "naive" (SM-FR: shared color
+    and opacity; levels only gate participation). The MM-FR baseline
+    takes 4 single-level models instead — build its render function with
+    make_mmfr_render and feed it to the same fps_benchmark harness.
     """
     from fovsplat.ops.foveation import FoveationConfig
     fov_cfg = fov_cfg or FoveationConfig()
@@ -74,6 +75,54 @@ def make_fov_render(params, composed, config, fov_cfg=None, alpha=0.05,
                 opacity_shared=p.get_opacity())["render"]
 
     return jax.jit(render)
+
+
+def make_mmfr_render(models, config, fov_cfg=None, alpha=0.05):
+    """Jitted render(camera, gaze) for the MM-FR baseline (reference N8 +
+    gaussian_renderer_fov_mmfr/__init__.py:75-162): four single-level
+    models, one rasterizer pass per level restricted to that level's
+    tiles, images summed. `models`: list of 4 dicts with activated
+    xyz/scaling/rotation/opacity/colors (eval/mmfr.render_mmfr format;
+    train/multimodel.mm_render_models converts TrainerStates).
+
+    Feed the result to fps_benchmark — the reference benches MM-FR with
+    the same 9-gaze harness (render_compose_gazes_fps_mmfr.py)."""
+    from fovsplat.eval import mmfr as emm
+    from fovsplat.ops.foveation import FoveationConfig
+    fov_cfg = fov_cfg or FoveationConfig()
+
+    def render(camera, gaze):
+        return emm.render_mmfr(models, camera, gaze, alpha, config,
+                               fov_cfg=fov_cfg)
+
+    return jax.jit(render)
+
+
+def mmfr_models_from_composed(params, composed, camera_center=None,
+                              sh_degree: int = 3):
+    """Derive 4 single-level model dicts from a composed "ours" model:
+    level li keeps Gaussians with highest_level >= li and uses their
+    level-li DC/opacity. A stand-in when independently-pruned
+    LightGaussian models (train/multimodel.generate_mm_models) are not on
+    disk — the pass structure (and hence the FPS cost profile, the point
+    of the MM-FR baseline) is identical; colors are evaluated per view
+    inside render_mmfr's caller, so DC-only colors are used here."""
+    from fovsplat.ops import sh as sh_mod
+    live = jnp.asarray(composed.live)
+    hl = jnp.asarray(composed.highest_levels)
+    L = composed.opacities.shape[1]
+    models = []
+    for li in range(L):
+        keep = live & (hl >= li)
+        opac = jnp.where(keep, composed.opacities[:, li], 0.0)
+        colors = jnp.maximum(
+            sh_mod.SH_C0 * composed.shs_dcs[:, li, :] + 0.5, 0.0)
+        models.append({
+            "xyz": params.xyz, "scaling": params.get_scaling(),
+            "rotation": params.get_rotation(),
+            "opacity": opac, "colors": colors,
+        })
+    return models
 
 
 def fps_benchmark(render_fn, cameras, gazes=GAZES, warmups: int = 10,

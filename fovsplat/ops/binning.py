@@ -220,7 +220,7 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
 
 def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
                   pair_capacity: int, interpret: bool = False,
-                  dummy_slack=None, compact_capacity=None, chunk=256,
+                  dummy_slack=None, compact_capacity=None, chunk=512,
                   kbatch=16, prebuilt=None, n_rows=None, train=False):
     """Single-level fused-Pallas binning (ops/pallas/expand_fov._ps1_kernel):
     pair expansion + OBB cull in-kernel, one 2-key (tile, depth) sort

@@ -37,9 +37,6 @@ from fovsplat.ops.foveation import FoveationConfig
 from fovsplat.ops.projection import TILE
 from fovsplat.ops.rasterize import RasterizeConfig, _grid
 
-# Pre-expansion level-rect clipping (pure optimization; tests toggle it off
-# to assert output invariance).
-_CLIP_LEVEL_RECTS = True
 
 
 def _pack_i64(a, b):
@@ -100,21 +97,38 @@ def compute_fov_colors(means3d, shs_rest, shs_dcs, cam_center,
     return jnp.maximum(sh.SH_C0 * shs_dcs + rest[:, None, :], 0.0)
 
 
+def _trunc_bf16(x):
+    """bf16-representable truncation of f32 via explicit bit masking.
+
+    NOT ``x.astype(bf16).astype(f32)``: XLA's algebraic simplifier runs
+    with excess precision allowed and folds that convert pair to the
+    IDENTITY on TPU (verified on a v5e — the fold made every XLA-side
+    split below return (x, 0, 0), which the later bf16 table store then
+    rounded, silently corrupting cum_excl by up to +-1024 at bench scale
+    and mass-culling pairs). A bitcast+mask cannot be folded, and the
+    truncated value is exactly bf16-representable, so the bf16 store is
+    lossless."""
+    return jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(x, jnp.uint32)
+        & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
 def _split3(x):
     """f32 column -> 3 bf16-EXACT f32 parts with hi+mid+lo == x exactly
-    (8+8+8 >= f32's 24 mantissa bits). Stored as bf16 dtable rows, a 0/1
-    bf16 one-hot matmul passes the value through losslessly at ONE MXU
-    pass — small-M f32-HIGHEST matmuls run at <15% MXU utilization."""
-    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    (8+8+8 >= f32's 24 mantissa bits; truncating splits keep each part
+    and each residual exact). Stored as bf16 dtable rows, a 0/1 bf16
+    one-hot matmul passes the value through losslessly at ONE MXU pass —
+    small-M f32-HIGHEST matmuls run at <15% MXU utilization."""
+    hi = _trunc_bf16(x)
     r = x - hi
-    mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+    mid = _trunc_bf16(r)
     return hi, mid, r - mid
 
 
 def _split2(x):
-    """f32 column -> 2 bf16 parts; reconstruction has ~2^-17 relative
+    """f32 column -> 2 bf16 parts; reconstruction has ~2^-16 relative
     error — used for OBB axes/extents whose compares have real margins."""
-    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    hi = _trunc_bf16(x)
     return hi, x - hi
 
 
@@ -419,8 +433,9 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
     # The reference tests per (Gaussian, tile) only; clipping up front
     # shrinks the candidate-pair count (and the static pair capacity) 2-3x.
     # Output-invariant: removes only pairs level_mask would reject
-    # (tests/test_rasterize_parity.py toggles _CLIP_LEVEL_RECTS to check).
-    if _CLIP_LEVEL_RECTS:
+    # (tests/test_rasterize_parity.py toggles config.clip_level_rects to
+    # check).
+    if config.clip_level_rects:
         prep = _clip_rects_to_levels(prep, levels, hl, gx, gy, L)
 
     if colors_override is None:
@@ -534,7 +549,7 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
             brgb = jax.lax.bitcast_convert_type(
                 (q8(A[8], 127.5) << 24) | (q8(A[10], 127.5) << 16)
                 | (q8(A[11], 127.5) << 8) | q8(A[12], 127.5), jnp.float32)
-            ca_hi = A[2].astype(jnp.bfloat16).astype(jnp.float32)
+            ca_hi = _trunc_bf16(A[2])
             packed = jnp.concatenate(
                 [A[0:2],
                  jnp.stack([pkf.pack2bf16_xla(ca_hi, A[2] - ca_hi),

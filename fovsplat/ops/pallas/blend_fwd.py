@@ -159,8 +159,13 @@ def _pixel_quad_feat():
 def _power_mxu(pfeat2, feat):
     """feat (8, chunk) f32 pair features -> power (PIX, chunk) f32 via one
     bf16 MXU pass with an exact hi/lo operand split (see _pixel_quad_feat)."""
-    fhi = feat.astype(jnp.bfloat16)
-    flo = (feat - fhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # Masked truncation, not astype(bf16).astype(f32): XLA's
+    # excess-precision fold can elide a convert pair (foveated._trunc_bf16)
+    # and zero the lo operand; the masked form cannot regress.
+    fhi_f = pltpu.bitcast(pltpu.bitcast(feat, jnp.int32) & -65536,
+                          jnp.float32)
+    fhi = fhi_f.astype(jnp.bfloat16)
+    flo = (feat - fhi_f).astype(jnp.bfloat16)
     feat2 = jnp.concatenate([fhi, flo], axis=0)          # (16, chunk)
     return jax.lax.dot_general(
         pfeat2, feat2, (((1,), (0,)), ((), ())),

@@ -63,15 +63,27 @@ _C_FOC = 27          # focal_x, focal_y, tan_fovx, tan_fovy
 _C_BBOX = 32         # x0[4], y0[4], x1[4], y1[4]
 
 
+_MASK_HI = -65536    # 0xFFFF0000
+
+
+def _trunc_bf16(x):
+    """bf16-representable truncation via bit masking — immune to the
+    XLA excess-precision fold that elides f32->bf16->f32 convert pairs
+    (see foveated._trunc_bf16; Mosaic honors the converts today, but the
+    masked form costs the same and cannot regress)."""
+    return pltpu.bitcast(pltpu.bitcast(x, jnp.int32) & _MASK_HI,
+                         jnp.float32)
+
+
 def _split3(x):
-    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    hi = _trunc_bf16(x)
     r = x - hi
-    mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+    mid = _trunc_bf16(r)
     return hi, mid, r - mid
 
 
 def _split2(x):
-    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    hi = _trunc_bf16(x)
     return hi, x - hi
 
 

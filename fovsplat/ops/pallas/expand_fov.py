@@ -128,6 +128,15 @@ def _pack2_i32(a, b):
     return pltpu.bitcast(ua | ub, jnp.float32)
 
 
+def _trunc_bf16(x):
+    """bf16-representable truncation via bit masking — immune to the XLA
+    excess-precision fold that elides f32->bf16->f32 convert pairs (see
+    foveated._trunc_bf16; Mosaic honors the converts today, but the masked
+    form costs the same and cannot regress)."""
+    return pltpu.bitcast(pltpu.bitcast(x, jnp.int32) & _MASK_HI,
+                         jnp.float32)
+
+
 def _bf16x3_rows(x):
     """f32 rows -> 3 rows (hi, mid, lo), each EXACTLY bf16-representable,
     with hi + mid + lo == x exactly (8+8+8 >= f32's 24 mantissa bits; each
@@ -135,9 +144,9 @@ def _bf16x3_rows(x):
     f32 values through LOSSLESSLY at one MXU pass instead of HIGHEST's six
     — and small-M HIGHEST matmuls run at <15% MXU utilization, so this is
     the difference between ~1 us and ~0.1 us per chunk."""
-    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    hi = _trunc_bf16(x)
     r = x - hi
-    mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+    mid = _trunc_bf16(r)
     lo = r - mid
     return hi, mid, lo
 
@@ -366,7 +375,7 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm, cnt_hbm,
             # color/opacity/conic rows are already bf16-exact (o2's -1
             # sentinel is bf16-exact).
             tilef = tile.astype(jnp.float32)
-            t_hi = tilef.astype(jnp.bfloat16).astype(jnp.float32)
+            t_hi = _trunc_bf16(tilef)
             vals = jnp.concatenate(
                 [t_hi, tilef - t_hi,
                  w[28:31, :],                                # depth x3
@@ -388,7 +397,7 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm, cnt_hbm,
             # colors as u8 on [0, 2] (step 2/255; blend weights sum to <= 1
             # so the final pixel error stays within one 8-bit display LSB).
             ca_f = staged[11:12] + staged[12:13] + staged[13:14]
-            ca_hi = ca_f.astype(jnp.bfloat16).astype(jnp.float32)
+            ca_hi = _trunc_bf16(ca_f)
             q8 = lambda v, sc: jnp.clip(jnp.floor(v * sc + 0.5),
                                         0.0, 255.0).astype(jnp.int32)
             oprg = pltpu.bitcast(
@@ -601,7 +610,7 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
             # elementwise and the backward must match bitwise); gid rides
             # as a payload for the gradient segment-sum.
             tilef = tile.astype(jnp.float32)
-            t_hi = tilef.astype(jnp.bfloat16).astype(jnp.float32)
+            t_hi = _trunc_bf16(tilef)
             if train:
                 vals = jnp.concatenate(
                     [t_hi, tilef - t_hi,
@@ -639,7 +648,7 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
                     vals.astype(jnp.bfloat16), ohT, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)      # (20, out_w)
                 ca_f = staged[11:12] + staged[12:13] + staged[13:14]
-                ca_hi = ca_f.astype(jnp.bfloat16).astype(jnp.float32)
+                ca_hi = _trunc_bf16(ca_f)
                 q8 = lambda v, sc: jnp.clip(jnp.floor(v * sc + 0.5),
                                             0.0, 255.0).astype(jnp.int32)
                 oprgb = pltpu.bitcast(

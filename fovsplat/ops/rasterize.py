@@ -68,6 +68,13 @@ class RasterizeConfig:
                                       # with the fused per-Gaussian Pallas
                                       # pass (ops/pallas/build_table)
                                       # instead of ~50 XLA column passes
+    clip_level_rects: bool = True     # foveated paths: clip each
+                                      # Gaussian's tile rect to its
+                                      # level's reachable bbox before
+                                      # pair expansion (output-invariant
+                                      # capacity optimization; tests
+                                      # toggle it off to assert
+                                      # invariance)
     dummy_slack: int | None = None    # fused paths: slot budget for the
                                       # one-dummy-pair-per-invalid-row
                                       # scheme. None = N (always safe);
@@ -222,7 +229,8 @@ def rasterize(means3d, scales, rotations, opacities, camera,
             oprgb = jax.lax.bitcast_convert_type(
                 (q8(A[5], 255.0) << 24) | (q8(A[6], 127.5) << 16)
                 | (q8(A[7], 127.5) << 8) | q8(A[8], 127.5), jnp.float32)
-            ca_hi = A[2].astype(jnp.bfloat16).astype(jnp.float32)
+            from fovsplat.ops.foveated import _trunc_bf16
+            ca_hi = _trunc_bf16(A[2])
             from fovsplat.ops.pallas.blend_fov import pack2bf16_xla
             packed = jnp.concatenate(
                 [A[0:2],

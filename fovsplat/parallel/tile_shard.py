@@ -92,7 +92,8 @@ def _device_render(m, s, q, o, c, camera, gx, gy, ndev, tiles_per_dev,
             | (q8(col3[:, 1], 127.5) << 8) | q8(col3[:, 2], 127.5),
             jnp.float32)
         ca = conic[:, 0]
-        ca_hi = ca.astype(jnp.bfloat16).astype(jnp.float32)
+        from fovsplat.ops.foveated import _trunc_bf16
+        ca_hi = _trunc_bf16(ca)
         packed = jnp.stack(
             [mean2d[:, 0], mean2d[:, 1],
              pack2bf16_xla(ca_hi, ca - ca_hi),

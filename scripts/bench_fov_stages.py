@@ -22,7 +22,7 @@ _ap.add_argument("--prefix-mode", default="logmm",
 # Kept pairs measured 1.27M at the center gaze; 1.75M leaves headroom for
 # the corner gazes until they are measured (overflow is reported).
 _ap.add_argument("--compact-capacity", type=int, default=1_835_008)
-_ap.add_argument("--expand-chunk", type=int, default=256)
+_ap.add_argument("--expand-chunk", type=int, default=512)
 _ap.add_argument("--expand-batch", type=int, default=16)
 _ap.add_argument("--interpret", action="store_true",
                  help="pallas interpret mode + tiny shapes (CPU smoke)")

@@ -16,7 +16,8 @@ def main():
     args = ap.parse_args()
 
     if args.cpu:
-        import jax
+        import dataclasses
+import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
@@ -44,17 +45,16 @@ def main():
                          fovx=1.1, fovy=0.7, width=1920, height=1080)
     cfg = RasterizeConfig(pair_capacity=args.cap, chunk=4096, backend="xla")
 
-    def counts(m, s, q, o4, sd, re, h):
+    def counts(m, s, q, o4, sd, re, h, clip):
+        c2 = dataclasses.replace(cfg, clip_level_rects=clip)
         out = fov.rasterize_fov(m, s, q, o4, sd, re, h, cam,
                                 gaze=jnp.array([0.5, 0.5], jnp.float32),
-                                alpha=0.05, blending=True, config=cfg)
+                                alpha=0.05, blending=True, config=c2)
         bn = out["binned"]
         return bn.num_pairs, bn.overflow
 
     for clip in (True, False):
-        fov._CLIP_LEVEL_RECTS = clip
-        # fresh lambda each iteration -> fresh trace (counts reads a global)
-        fn = jax.jit(lambda *a: counts(*a))
+        fn = jax.jit(lambda *a: counts(*a, clip))
         np_, ov = fn(means, scales, quats, opac4, shs_dcs, rest, hl)
         print(f"clip={clip}: pairs={int(np_)} overflow={int(ov)} "
               f"(cap={args.cap})")

@@ -105,9 +105,9 @@ def test_fov_level_clip_invariant():
                     0.05, 0.95).astype(np.float32)
     rest = rng.normal(0, 0.03, (n, 15, 3)).astype(np.float32)
     cam = make_test_camera(width=160, height=128)
-    cfg = rasterize.RasterizeConfig(pair_capacity=1 << 14, chunk=256)
-
-    def run():
+    def run(clip):
+        cfg = rasterize.RasterizeConfig(pair_capacity=1 << 14, chunk=256,
+                                        clip_level_rects=clip)
         out = fov.rasterize_fov(
             jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
             jnp.asarray(opac4), jnp.asarray(shs_dcs), jnp.asarray(rest),
@@ -116,13 +116,7 @@ def test_fov_level_clip_invariant():
             alpha=0.3, blending=True, config=cfg)
         return out["render"], out["binned"].num_pairs
 
-    old = fov._CLIP_LEVEL_RECTS
-    try:
-        fov._CLIP_LEVEL_RECTS = True
-        img_c, np_c = jax.jit(lambda: run())()
-        fov._CLIP_LEVEL_RECTS = False
-        img_u, np_u = jax.jit(lambda: run())()
-    finally:
-        fov._CLIP_LEVEL_RECTS = old
+    img_c, np_c = jax.jit(lambda: run(True))()
+    img_u, np_u = jax.jit(lambda: run(False))()
     assert int(np_c) == int(np_u)
     np.testing.assert_array_equal(np.asarray(img_c), np.asarray(img_u))
