@@ -347,7 +347,6 @@ def _ps1_expand_sort(pex, dtable, cum_pad2, gstarts, total, total_f,
     # operands + 1 f32. Train: 10 exact f32 rows [mx..b, gid] as 5 i64 —
     # lax.sort cost scales with operand count AND element count.
     from fovsplat.ops.foveated import _pack_i64, _unpack_i64
-    db = pex.key_depth_bits(num_tiles)
     with jax.enable_x64(True):
         if train:
             res = jax.lax.sort(
@@ -369,9 +368,9 @@ def _ps1_expand_sort(pex, dtable, cum_pad2, gstarts, total, total_f,
                 [*(_unpack_i64(res[i]) for i in range(1, 3)),
                  res[3][None, :],
                  jnp.zeros((11, cap3), jnp.float32)], axis=0)  # (16, CAP3)
-    seg_start = jnp.searchsorted(
-        res[0], jnp.arange(num_tiles + 1, dtype=jnp.int32) << db,
-        side='left').astype(jnp.int32)
+        seg_start = jnp.searchsorted(
+            res[0], pex.seg_bounds64(num_tiles),
+            side='left').astype(jnp.int32)
     return packed, seg_start, seg_start[-1], overflow, cap3
 
 

@@ -273,8 +273,8 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
     overflow = overflow + jnp.maximum(
         kept - (cap3 - (chunk + 128)), 0)
 
-    # ONE single-key sort over the COMPACTED pairs: depth rides inside the
-    # fused key, and the 6 packed payload rows (expand_fov_pallas layout:
+    # ONE single-key sort over the COMPACTED pairs: the key is the
+    # reference's exact i64 (tile << 32 | f32 depth bits) layout, and the 6 packed payload rows (expand_fov_pallas layout:
     # ca as bf16 x2 split, opacities/colors as u8) ride as exactly 3
     # bit-packed i64 operands (sort cost scales with operand count AND
     # element count — the in-kernel compaction halves the latter). Two
@@ -289,11 +289,9 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
         packed = jnp.concatenate(
             [_unpack_i64(res[i]) for i in range(1, 4)]
             + [jnp.zeros((2, cap3_), jnp.float32)], axis=0)  # (8, CAP3)
-    db = pex.key_depth_bits(num_tiles)
-    seg_start = jnp.searchsorted(
-        sorted_key,
-        jnp.arange(num_tiles + 1, dtype=jnp.int32) << db,
-        side='left').astype(jnp.int32)
+        seg_start = jnp.searchsorted(
+            sorted_key, pex.seg_bounds64(num_tiles),
+            side='left').astype(jnp.int32)
     return packed, seg_start, seg_start[-1], overflow, cap3
 
 
@@ -566,7 +564,8 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
         c1, t1, c2, t2 = pkf.blend_fov_pallas(
             packed, seg_start[:-1], seg_start[1:], tile_act, gx, gy,
             config.pallas_chunk, config.power_cutoff,
-            config.pallas_interpret, batch=config.pallas_blend_batch)
+            config.pallas_interpret, batch=config.pallas_blend_batch,
+            prefix_mode=config.pallas_prefix_mode)
     else:
         # XLA fallback (CPU tests/oracle): per-level rows gathered post-sort
         # from one packed (N*L, 5) table — two row gathers per pair instead
@@ -796,7 +795,8 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
     c1, t1, c2, t2 = pkf.blend_fov_pallas(
         packed, seg_start[:-1], seg_start[1:], tile_act, gx, gy,
         config.pallas_chunk, config.power_cutoff, config.pallas_interpret,
-        batch=config.pallas_blend_batch)
+        batch=config.pallas_blend_batch,
+        prefix_mode=config.pallas_prefix_mode)
 
     bg = (jnp.zeros(3, jnp.float32) if bg_color is None
           else jnp.asarray(bg_color, jnp.float32))

@@ -72,14 +72,98 @@ def pack2bf16_xla(a, b):
 
 
 def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
-                buf, sem, *, grid_x: int, chunk: int, power_cutoff: float,
-                cap: int, batch: int, prefix_mode: str):
-    tb = pl.program_id(0)
+                win, fbuf, wsem, fsem, *, grid_x: int, chunk: int,
+                power_cutoff: float, cap: int, batch: int,
+                prefix_mode: str, window: int, sub: int):
+    """Window-streaming fov blend.
 
-    # CRITICAL: a prefetch may only be started if it is guaranteed to be
-    # waited on. The loop therefore decides continuation BEFORE issuing the
-    # next DMA — an exited loop with a dangling started DMA corrupts
-    # semaphore state across grid programs and halts the device.
+    Consecutive tiles own consecutive segments of the sorted pair list,
+    so one grid program (a batch of `batch` tiles) consumes ONE
+    contiguous HBM range. That range is streamed into a VMEM window of
+    `window` lanes with ceil(range/sub) sub-DMAs of `sub` lanes each
+    (static DMA shapes; only the COUNT is dynamic), double-buffered
+    ACROSS programs: program p issues program p+1's sub-DMAs right after
+    waiting its own, so the next window loads under this program's
+    compute. This replaces the old per-chunk DMA streaming whose wait
+    latency (~1.4 us x ~2 chunks x tile, plus a cold first chunk per
+    tile) dominated the kernel at bench scale.
+
+    Chunks that fall outside the window (batch range > window lanes —
+    extreme segment skew) fall back to a direct, latency-exposed
+    per-chunk DMA (fbuf); correctness never depends on the window size.
+
+    CRITICAL DMA discipline: every started DMA is waited exactly once —
+    program p starts exactly nsub(p+1) copies on slot (p+1)%2 (guarded
+    by p+1 < num_programs) and program p+1 waits exactly nsub(p+1) on
+    that slot; the sequential TPU grid makes the pairing total."""
+    tb = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    maxsub = window // sub
+
+    def seg_base(p):
+        # 128-aligned window base for program p (tiles [p*batch, ...)).
+        t0 = jnp.minimum(p * batch, seg_start_ref.shape[0] - 1)
+        return pl.multiple_of((seg_start_ref[t0] // 128) * 128, 128)
+
+    def seg_nsub(p):
+        # Sub-DMA count covering program p's full batch range — clamped
+        # to the window AND to the pair buffer end, so every issued copy
+        # reads exactly [base + j*sub, +sub) with NO source clamping
+        # (a clamped source would fill the window with data from the
+        # wrong address; chunks past ns*sub use the fallback path and
+        # keep their own consistent clamp semantics).
+        t0 = jnp.minimum(p * batch, seg_start_ref.shape[0] - 1)
+        t1 = jnp.minimum((p + 1) * batch - 1, seg_end_ref.shape[0] - 1)
+        base = (seg_start_ref[t0] // 128) * 128
+        rng = seg_end_ref[t1] - base
+        return jnp.clip(jnp.minimum(pl.cdiv(rng, sub),
+                                    (cap - base) // sub), 0, maxsub)
+
+    def start_window(p, slot):
+        base = seg_base(p)
+        ns = seg_nsub(p)
+
+        def issue(j, _):
+            @pl.when(j < ns)
+            def _():
+                src = pl.multiple_of(base + j * sub, 128)
+                pltpu.make_async_copy(
+                    pairs_hbm.at[:, pl.ds(src, sub)],
+                    win.at[slot, :, pl.ds(j * sub, sub)],
+                    wsem.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, maxsub, issue, 0)
+
+    def wait_window(p, slot):
+        ns = seg_nsub(p)
+
+        def drain(j, _):
+            @pl.when(j < ns)
+            def _():
+                pltpu.make_async_copy(
+                    pairs_hbm.at[:, pl.ds(0, sub)],
+                    win.at[slot, :, pl.ds(0, sub)],
+                    wsem.at[slot]).wait()
+            return 0
+
+        jax.lax.fori_loop(0, maxsub, drain, 0)
+
+    slot = jax.lax.rem(tb, 2)
+
+    @pl.when(tb == 0)
+    def _():
+        start_window(0, 0)
+
+    wait_window(tb, slot)
+
+    @pl.when(tb + 1 < nprog)
+    def _():
+        start_window(tb + 1, 1 - slot)
+
+    win_base = seg_base(tb)
+    win_loaded = seg_nsub(tb) * sub      # lanes actually present in win
+
     def _color_acc(weight, cr, cg, cb_, col_r, col_g, col_b):
         # Color accumulation on the MXU: one (PIX,chunk)x(chunk,8) matmul
         # replaces three multiply+lane-reduction passes on the VPU (the
@@ -162,20 +246,28 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
         # (log/exp/matmul per pair-pixel) is the bulk of the VPU work.
         is_blend = jnp.max(act[:, 1]) > 0
 
-        def get_dma(slot, k):
-            src = pl.multiple_of(jnp.minimum(base + k * chunk, cap - chunk),
-                                 128)
-            return pltpu.make_async_copy(pairs_hbm.at[:, pl.ds(src, chunk)],
-                                         buf.at[slot], sem.at[slot])
-
-        @pl.when(num_chunks > 0)
-        def _():
-            get_dma(0, 0).start()
-
         def chunk_geo(k):
-            data = buf[k % 2]
             src = pl.multiple_of(jnp.minimum(base + k * chunk, cap - chunk),
                                  128)
+            woff = src - win_base
+            in_win = (woff >= 0) & (woff + chunk <= win_loaded)
+
+            @pl.when(jnp.logical_not(in_win))
+            def _():
+                # Fallback: batch range exceeded the window (segment
+                # skew); direct latency-exposed chunk DMA.
+                dma = pltpu.make_async_copy(
+                    pairs_hbm.at[:, pl.ds(src, chunk)], fbuf, fsem)
+                dma.start()
+                dma.wait()
+
+            wdata = win[slot, :, pl.ds(
+                pl.multiple_of(jnp.clip(woff, 0, window - chunk), 128),
+                chunk)]
+            # Vector-shaped predicate: Mosaic cannot legalize a scalar-
+            # condition select over vector operands (see expand_fov).
+            sel = jnp.full((FROW, chunk), in_win)
+            data = jnp.where(sel, wdata, fbuf[...])
             gid = src + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
             in_seg = (gid >= start) & (gid < end)
             # Pair quadratic features in tile-local coords (1, chunk) each;
@@ -202,15 +294,6 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
         def body_dual(state):
             k, cont, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b = state
             del cont
-            get_dma(k % 2, k).wait()
-            # Speculative prefetch BEFORE compute (the kernel is otherwise
-            # DMA-latency bound: ~1.4 us exposed per chunk). The source
-            # address is clamped, so the read is always safe; if the loop
-            # exits after this chunk (saturation or end), the drain step
-            # below waits the in-flight copy — every started DMA is waited.
-            @pl.when(k + 1 < num_chunks)
-            def _():
-                get_dma((k + 1) % 2, k + 1).start()
             data, G, geo_ok = chunk_geo(k)
 
             a1 = jnp.minimum(ALPHA_MAX, _u8(data[4:5, :], 24, C_OP) * G)
@@ -236,11 +319,6 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
         def body_single(state):
             k, cont, T1, c1r, c1g, c1b = state
             del cont
-            get_dma(k % 2, k).wait()
-            # Speculative prefetch before compute — see body_dual.
-            @pl.when(k + 1 < num_chunks)
-            def _():
-                get_dma((k + 1) % 2, k + 1).start()
             data, G, geo_ok = chunk_geo(k)
 
             a1 = jnp.minimum(ALPHA_MAX, _u8(data[4:5, :], 24, C_OP) * G)
@@ -256,22 +334,13 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
         zc = jnp.zeros((PIX, 1), jnp.float32)
         one = jnp.ones((PIX, 1), jnp.float32)
 
-        def drain(kf):
-            # A loop that stopped early (saturation) or ended left chunk
-            # kf's speculative DMA in flight — wait it so semaphore state
-            # stays clean across grid programs.
-            @pl.when(kf < num_chunks)
-            def _():
-                get_dma(kf % 2, kf).wait()
-
         @pl.when(is_blend)
         def _():
             st = jax.lax.while_loop(
                 lambda s: s[1], body_dual,
                 (jnp.int32(0), num_chunks > 0, one, zc, zc, zc, one, zc, zc,
                  zc))
-            kf, _, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b = st
-            drain(kf)
+            _, _, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b = st
             out_ref[b] = jnp.concatenate(
                 [c1r, c1g, c1b, T1, c2r, c2g, c2b, T2], axis=1)
 
@@ -280,8 +349,7 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
             st = jax.lax.while_loop(
                 lambda s: s[1], body_single,
                 (jnp.int32(0), num_chunks > 0, one, zc, zc, zc))
-            kf, _, T1, c1r, c1g, c1b = st
-            drain(kf)
+            _, _, T1, c1r, c1g, c1b = st
             out_ref[b] = jnp.concatenate(
                 [c1r, c1g, c1b, T1, zc, zc, zc, one], axis=1)
 
@@ -292,15 +360,25 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnames=("grid_x", "grid_y", "chunk",
                                              "power_cutoff", "interpret",
-                                             "batch", "prefix_mode"))
+                                             "batch", "prefix_mode",
+                                             "window", "sub"))
 def blend_fov_pallas(pair_data, seg_start, seg_end, tile_act,
                      grid_x, grid_y, chunk=256, power_cutoff=-4.5,
-                     interpret=False, batch=8, prefix_mode="logmm"):
+                     interpret=False, batch=8, prefix_mode="logmm",
+                     window=32768, sub=2048):
     """pair_data (FROW, CAP); tile_act (T, PIX, 4).
+
+    window/sub: VMEM streaming window in lanes and its sub-DMA quantum
+    (see _fov_kernel docstring). window covers a whole tile-batch's pair
+    range in the common case; overflow chunks fall back to direct DMA.
 
     Returns (C1 [T,PIX,3], T1 [T,PIX], C2 [T,PIX,3], T2 [T,PIX])."""
     num_tiles = grid_x * grid_y
     cap = pair_data.shape[1]
+    assert window % sub == 0 and chunk % 128 == 0 and sub % 128 == 0
+    sub = min(sub, (cap // 128) * 128)          # tiny caps (CPU tests)
+    window = max(sub, min(window, (cap // sub) * sub))
+    assert window >= chunk, (window, chunk)
     t_pad = ((num_tiles + batch - 1) // batch) * batch
     if t_pad != num_tiles:
         pad = t_pad - num_tiles
@@ -316,12 +394,15 @@ def blend_fov_pallas(pair_data, seg_start, seg_end, tile_act,
                                memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((batch, PIX, 8), lambda t, *_: (t, 0, 0),
                                 memory_space=pltpu.VMEM)],
-        scratch_shapes=[pltpu.VMEM((2, FROW, chunk), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=[pltpu.VMEM((2, FROW, window), jnp.float32),
+                        pltpu.VMEM((FROW, chunk), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA(())],
     )
     kernel = functools.partial(_fov_kernel, grid_x=grid_x, chunk=chunk,
                                power_cutoff=power_cutoff, cap=cap,
-                               batch=batch, prefix_mode=prefix_mode)
+                               batch=batch, prefix_mode=prefix_mode,
+                               window=window, sub=sub)
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((t_pad, PIX, 8), jnp.float32)],

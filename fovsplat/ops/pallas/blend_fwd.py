@@ -274,8 +274,10 @@ def _fwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
         # Cross-chunk pixel freeze (the CUDA per-pixel 'done' flag,
         # forward.cu:380-426): a pixel that triggered T < T_EPS in an
         # EARLIER chunk must not resume accumulating here even though its
-        # carried T_pix still sits above the threshold.
-        a_eff = jnp.where(frozen, 0.0, a_eff)
+        # carried T_pix still sits above the threshold. Carried as f32
+        # 0/1: Mosaic cannot legalize i1 VECTOR while-loop carries
+        # (scf.yield layout error on the real TPU; interpret mode hid it).
+        a_eff = jnp.where(frozen > 0.0, 0.0, a_eff)
         one_minus = 1.0 - a_eff
         logs = jnp.log1p(-a_eff)
         # Prefix sums as one fused upper-triangular matmul on the MXU
@@ -287,8 +289,9 @@ def _fwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
         done_before = jnp.dot(trigger.astype(jnp.float32), triu,
                               preferred_element_type=jnp.float32) > 0
         contribute = (a_eff > 0) & ~trigger & ~done_before
-        frozen = frozen | (jnp.max(trigger.astype(jnp.float32), axis=1,
-                                   keepdims=True) > 0)
+        frozen = jnp.maximum(frozen,
+                             jnp.max(trigger.astype(jnp.float32), axis=1,
+                                     keepdims=True))
         weight = jnp.where(contribute, a_eff * T_row, 0.0)   # (PIX, chunk)
 
         cr = cr + jnp.sum(weight * col_r, axis=1, keepdims=True)
@@ -303,16 +306,16 @@ def _fwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
         nc = jnp.maximum(nc, jnp.max(jnp.where(contribute, rank, 0.0),
                                      axis=1, keepdims=True))
 
-        alive = jnp.logical_not(frozen) & (T_pix >= T_EPS)
-        cont = (k + 1 < num_chunks) & (jnp.max(
-            alive.astype(jnp.float32)) > 0)
+        alive = jnp.where(frozen > 0.0, 0.0,
+                          (T_pix >= T_EPS).astype(jnp.float32))
+        cont = (k + 1 < num_chunks) & (jnp.max(alive) > 0)
         return k + 1, cont, T_pix, frozen, cr, cg, cb_, nc
 
     def cond(state):
         return state[1]
 
     init = (jnp.int32(0), num_chunks > 0, jnp.ones((PIX, 1), jnp.float32),
-            jnp.zeros((PIX, 1), bool),
+            jnp.zeros((PIX, 1), jnp.float32),
             jnp.zeros((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32),
             jnp.zeros((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32))
     kf, _, T_pix, _, cr, cg, cb_, nc = jax.lax.while_loop(cond, body, init)

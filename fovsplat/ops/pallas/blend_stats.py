@@ -78,7 +78,10 @@ def _stats_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, arg_ref,
             alpha, geo_ok, _, _, _ = _alpha_from_chunk(data, px, py,
                                                        power_cutoff)
             ok = geo_ok & (alpha >= ALPHA_MIN) & in_seg
-            a_eff = jnp.where(ok & jnp.logical_not(frozen), alpha, 0.0)
+            # frozen carried as f32 0/1: Mosaic cannot legalize i1
+            # VECTOR while-loop carries (scf.yield layout error on
+            # the real TPU; interpret mode hid it).
+            a_eff = jnp.where(ok & (frozen < 0.5), alpha, 0.0)
             logs = jnp.log1p(-a_eff)
             excl = jnp.dot(logs, triu, preferred_element_type=jnp.float32)
             T_row = T_pix * jnp.exp(excl)
@@ -87,8 +90,8 @@ def _stats_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, arg_ref,
             done_before = jnp.dot(trigger.astype(jnp.float32), triu,
                                   preferred_element_type=jnp.float32) > 0
             contribute = (a_eff > 0) & ~trigger & ~done_before
-            frozen = frozen | (jnp.max(trigger.astype(jnp.float32), axis=1,
-                                       keepdims=True) > 0)
+            frozen = jnp.maximum(frozen, jnp.max(
+                trigger.astype(jnp.float32), axis=1, keepdims=True))
             weight = jnp.where(contribute, a_eff * T_row, 0.0)
 
             cr = cr + jnp.sum(weight * data[6:7, :], axis=1, keepdims=True)
@@ -150,7 +153,7 @@ def _stats_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, arg_ref,
 
         zc = jnp.zeros((PIX, 1), jnp.float32)
         init = (jnp.int32(0), num_chunks > 0, jnp.ones((PIX, 1), jnp.float32),
-                jnp.zeros((PIX, 1), bool),
+                jnp.zeros((PIX, 1), jnp.float32),
                 zc, zc, zc, zc, jnp.full((PIX, 1), jnp.float32(cap)))
         st = jax.lax.while_loop(lambda s: s[1], body, init)
         kf, _, T_pix, _, cr, cg, cb_, best_w, best_lane = st

@@ -108,13 +108,26 @@ _MASK_HI = -65536                     # 0xFFFF0000 (python int: literals
                                       # constants inside pallas kernels)
 
 
-def key_depth_bits(num_tiles: int) -> int:
-    """Bits of depth payload in the fused (tile | depth) sort key.
+def fused_key64(tile_row, depth_row, usable, num_tiles: int):
+    """Exact i64 fused sort key: (tile << 32) | f32-bits(depth) — the
+    reference's own key layout (rasterizer_impl.cu duplicateWithKeys).
+    View-space depth is positive, so its raw f32 bits are
+    order-preserving as the unsigned low word. Lanes >= usable get the
+    sentinel (num_tiles << 32). The earlier i32 key packed only the top
+    ~9-12 depth bits next to the tile id, which tied gaussians within
+    ~0.2%% relative depth and cost ~7 dB of on-chip parity PSNR at 200k
+    pairs. Call under jax.enable_x64(True)."""
+    tile64 = tile_row.astype(jnp.int64)
+    dbits = jax.lax.bitcast_convert_type(
+        depth_row, jnp.int32).astype(jnp.int64)
+    lane = jnp.arange(tile_row.shape[0], dtype=jnp.int32)
+    return jnp.where(lane < usable, (tile64 << 32) | dbits,
+                     jnp.int64(num_tiles) << 32)
 
-    tile needs ceil_log2(num_tiles + 1) bits (num_tiles is the culled
-    sentinel); depth gets the rest of the non-negative int32 range, so the
-    max key ((num_tiles + 1) << depth_bits) - 1 always fits in int31."""
-    return 31 - int(num_tiles).bit_length()
+
+def seg_bounds64(num_tiles: int):
+    """searchsorted boundaries for the i64 fused key (under x64)."""
+    return jnp.arange(num_tiles + 1, dtype=jnp.int64) << 32
 
 
 def _pack2_i32(a, b):
@@ -756,15 +769,10 @@ def expand_ps1_pallas(dtable, cum, gstarts, total,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ints, dtable, cum)
     kept = cnt[0, 0]
-    db = key_depth_bits(grid_x * grid_y)
     num_tiles = grid_x * grid_y
     usable = jnp.minimum(kept, cap_out - (chunk + 128))
-    lane = jnp.arange(cap_out, dtype=jnp.int32)
-    tile_i = out[0].astype(jnp.int32)
-    dpart = jax.lax.shift_right_logical(
-        jax.lax.bitcast_convert_type(out[1], jnp.int32), 32 - db)
-    key = jnp.where(lane < usable, (tile_i << db) | dpart,
-                    num_tiles << db)
+    with jax.enable_x64(True):
+        key = fused_key64(out[0], out[1], usable, num_tiles)
     if train:
         return key, out[2:12], kept      # [mx,my,ca,cb,cc,op,r,g,b,gid]
     return key, out[2:7], kept
@@ -845,13 +853,8 @@ def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
     kept = cnt[0, 0]
     # Lanes past the kept count (and past the clamped write region when
     # kept overflows cap_out) hold stale garbage — sentinel-mask the key.
-    db = key_depth_bits(grid_x * grid_y)
     num_tiles = grid_x * grid_y
     usable = jnp.minimum(kept, cap_out - (chunk + 128))
-    lane = jnp.arange(cap_out, dtype=jnp.int32)
-    tile_i = out[0].astype(jnp.int32)
-    dpart = jax.lax.shift_right_logical(
-        jax.lax.bitcast_convert_type(out[1], jnp.int32), 32 - db)
-    key = jnp.where(lane < usable, (tile_i << db) | dpart,
-                    num_tiles << db)
+    with jax.enable_x64(True):
+        key = fused_key64(out[0], out[1], usable, num_tiles)
     return key, out[2:8], kept

@@ -222,10 +222,9 @@ def tile_sort(key, attrs):
         packed = jnp.concatenate(
             [fov._unpack_i64(res[i]) for i in range(1, 4)]
             + [jnp.zeros((2, key.shape[0]), jnp.float32)], axis=0)
-    db = pex.key_depth_bits(num_tiles)
-    seg_start = jnp.searchsorted(
-        sorted_key, jnp.arange(num_tiles + 1, dtype=jnp.int32) << db,
-        side='left').astype(jnp.int32)
+        seg_start = jnp.searchsorted(
+            sorted_key, pex.seg_bounds64(num_tiles),
+            side='left').astype(jnp.int32)
     return packed, seg_start
 
 
