@@ -1,14 +1,23 @@
-"""Benchmark: rasterizer throughput on real TPU hardware.
+"""Benchmark: rasterizer throughput + train step + on-chip parity on real
+TPU hardware.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per measurement; the HEADLINE (foveated "ours" FPS,
+9 gazes, reference eval resolution 1237x822, bicycle-proxy scene) is the
+FINAL line. vs_baseline compares against the reference's ours-Q foveated
+FPS on Mip360 bicycle (702.12, fov3dgs/fps/ours-Q-9gazes/bicycle.txt),
+measured by the same harness shape (9 gazes, warmups, timed reps of the
+rasterizer call; fov3dgs/render_compose_gazes_fps.py:25-73).
 
-Harness semantics mirror the reference FPS benchmark
-(fov3dgs/render_compose_gazes_fps.py:25-73): warmups, then timed repetitions
-of the rasterizer call; every rep forces a host read (the remote TPU
-backend does not reliably serialize on block_until_ready). vs_baseline
-compares against the reference's ours-Q foveated FPS on Mip360 bicycle
-(702.12, fov3dgs/fps/ours-Q-9gazes/bicycle.txt); the cloud is synthetic
-bicycle-scale until real scene data is wired in.
+The scene is the calibrated bicycle proxy (fovsplat/data/proxy.py):
+clustered centers, long-tail scales, pnum-ladder level fractions,
+1.53M kept pairs at the center gaze — not the round-1 uniform saturated
+cloud. Every rep forces a host read (the remote TPU backend does not
+reliably serialize on block_until_ready).
+
+Aux lines (skipped once the wall-clock budget is spent, so the headline
+always lands): SM-FR (naive) FPS, MM-FR FPS, 1080p FPS, full train step
+(fwd+bwd+Adam at eval resolution) with a backward %-of-SOL estimate
+(model in docs/ARCHITECTURE.md), and the fused-vs-f32-oracle parity PSNR.
 """
 
 import argparse
@@ -16,253 +25,330 @@ import json
 import sys
 import time
 
-BASELINE_FPS = 702.12
+BASELINE_FPS = 702.12     # ours-Q avg
+BASELINE_NAIVE = 871.46   # SM-FR avg
+BASELINE_MMFR = 293.53    # MM-FR avg
+GAZES = [(x, y) for y in (0.2, 0.5, 0.8) for x in (0.2, 0.5, 0.8)]
+
+T_START = time.time()
 
 
-def build_render(args, cam, arrays, backend):
-    # NOTE: every large array must be an ARGUMENT of the jitted function —
-    # closure captures become inline HLO constants and blow the remote
-    # compile service's request-size limit (HTTP 413).
+def budget_left(args):
+    return (time.time() - T_START) < args.budget_s
+
+
+def emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def _force(x):
+    import numpy as np
+    import jax
+    return float(np.asarray(jax.device_get(x.ravel()[0])))
+
+
+def nine_gaze_fps(render, cam, warmups, reps, log=lambda *a: None):
+    """render(gaze) -> image; reference 9-gaze harness, chained dispatch
+    with one host read per rep batch to amortize the tunnel RTT."""
+    import numpy as np
+    import jax.numpy as jnp
+    per_gaze = []
+    for gz in GAZES:
+        gaze = jnp.asarray(gz, jnp.float32)
+        _force(render(gaze))
+        for _ in range(warmups):
+            out = render(gaze)
+        _force(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = render(gaze)
+        _force(out)
+        per_gaze.append(reps / (time.perf_counter() - t0))
+        log(f"# gaze={gz} fps={per_gaze[-1]:.2f}")
+    return float(np.mean(per_gaze)), per_gaze
+
+
+def build_fov_render(sc, cam, args, naive=False):
     import jax
     import jax.numpy as jnp
+    from fovsplat.ops import foveated as fov
+    from fovsplat.ops.rasterize import RasterizeConfig
 
-    from fovsplat.ops import rasterize as rast
-    means, scales, quats, opac, colors, fovdata = arrays
-    cfg = rast.RasterizeConfig(pair_capacity=args.pair_capacity,
-                               chunk=args.chunk, backend=backend,
-                               pallas_chunk=args.blend_chunk,
-                               pallas_blend_batch=args.blend_batch,
-                               pallas_fwd_only=backend == "pallas",
-                               pallas_interpret=getattr(args, "interpret",
-                                                        False),
-                               pallas_table_kernel=not getattr(
-                                   args, "no_table_kernel", False),
-                               dummy_slack=args.dummy_slack,
-                               compact_capacity=args.compact_capacity)
-    if args.mode == "fov":
-        from fovsplat.ops import foveated as fov
-        hl, shs_dcs, opac4, rest = fovdata
-        gaze = jnp.array([0.5, 0.5], jnp.float32)
+    cfg = RasterizeConfig(
+        pair_capacity=args.pair_capacity, backend=args.backend,
+        pallas_fwd_only=True, pallas_interpret=args.interpret,
+        pallas_chunk=args.blend_chunk,
+        pallas_blend_batch=args.blend_batch,
+        expand_chunk=args.expand_chunk, expand_batch=args.expand_batch,
+        dummy_slack=args.dummy_slack,
+        compact_capacity=args.compact_capacity)
+    opac4 = jnp.asarray(sc["opacities4"])
+    dcs = jnp.asarray(sc["shs_dcs"])
+    if naive:
+        # SM-FR (reference N7): one shared color/opacity per Gaussian,
+        # levels only gate participation — broadcast per-level arrays.
+        opac4 = jnp.broadcast_to(opac4[:, :1], opac4.shape)
+        dcs = jnp.broadcast_to(dcs[:, :1, :], dcs.shape)
 
-        if backend == "pallas":
-            # Pack once outside the frame loop (the reference also loads its
-            # composed model once per FPS run); per-frame math then runs on
-            # full-lane (..., N)-last layouts. NOTE: all big arrays must be
-            # jit ARGUMENTS — closure captures inline them as HLO constants
-            # and blow the remote compile service's size limit (HTTP 413).
-            packed = {}
-            build = jax.jit(fov.pack_fov_model)
-            fn = jax.jit(lambda mdl: fov.rasterize_fov_soa(
-                mdl, cam, gaze=gaze, alpha=0.05, blending=True,
-                config=cfg)["render"])
+    if args.backend != "pallas":
+        fn = jax.jit(lambda gz, o4, dc: fov.rasterize_fov(
+            jnp.asarray(sc["means"]), jnp.asarray(sc["scales"]),
+            jnp.asarray(sc["rotations"]), o4, dc,
+            jnp.asarray(sc["shs_rest"]), jnp.asarray(sc["highest_levels"]),
+            cam, gaze=gz, alpha=0.05, blending=True, config=cfg)["render"])
+        return lambda gz: fn(gz, opac4, dcs), None
 
-            def render(m, s, q, _diag=False):
-                if "mdl" not in packed:
-                    packed["mdl"] = build(m, s, q, opac4, shs_dcs, rest, hl)
-                if _diag:   # one-off capacity check, not the timed path
-                    out = jax.jit(lambda mdl: fov.rasterize_fov_soa(
-                        mdl, cam, gaze=gaze, alpha=0.05, blending=True,
-                        config=cfg))(packed["mdl"])
-                    print(f"# pairs kept={int(out['num_pairs'])} "
-                          f"overflow={int(out['overflow'])}",
-                          file=sys.stderr)
-                    assert int(out["overflow"]) == 0, \
-                        "pair/compact capacity overflow — raise " \
-                        "--pair-capacity/--compact-capacity"
-                    return out["render"]
-                return fn(packed["mdl"])
-            return render
+    # SoA fast path: pack once per model (the reference loads its composed
+    # model once per FPS run too). All big arrays are jit ARGUMENTS —
+    # closure captures become inline HLO constants and blow the remote
+    # compile service's request-size limit.
+    model = jax.jit(fov.pack_fov_model)(
+        jnp.asarray(sc["means"]), jnp.asarray(sc["scales"]),
+        jnp.asarray(sc["rotations"]), opac4, dcs,
+        jnp.asarray(sc["shs_rest"]), jnp.asarray(sc["highest_levels"]))
+    fn = jax.jit(lambda mdl, gz: fov.rasterize_fov_soa(
+        mdl, cam, gaze=gz, alpha=0.05, blending=True, config=cfg)["render"])
+    diag = jax.jit(lambda mdl, gz: fov.rasterize_fov_soa(
+        mdl, cam, gaze=gz, alpha=0.05, blending=True, config=cfg))
+    return (lambda gz: fn(model, gz)), (lambda gz: diag(model, gz))
 
-        fn = jax.jit(lambda m, s, q, o4, sd, re, h: fov.rasterize_fov(
-            m, s, q, o4, sd, re, h, cam, gaze=gaze, alpha=0.05,
-            blending=True, config=cfg)["render"])
-        return lambda m, s, q: fn(m, s, q, opac4, shs_dcs, rest, hl)
-    if backend == "pallas":
-        # ps1 SoA fast path: pack once (like the reference's per-run model
-        # load), per frame the fused table kernel + expand + quantized
-        # sort + fwd-only blend run with zero XLA column passes.
-        from fovsplat.ops import sh as shm
-        packed = {}
-        dc = ((colors - 0.5) / shm.SH_C0)[:, None, :]
-        restz = jnp.zeros((colors.shape[0], 15, 3), jnp.float32)
-        build = jax.jit(rast.pack_ps1_model)
-        fn = jax.jit(lambda mdl: rast.rasterize_ps1_soa(
-            mdl, cam, config=cfg)["render"])
 
-        def render(m, s, q, _diag=False):
-            if "mdl" not in packed:
-                packed["mdl"] = build(m, s, q, opac, dc, restz)
-            if _diag:
-                out = jax.jit(lambda mdl: rast.rasterize_ps1_soa(
-                    mdl, cam, config=cfg))(packed["mdl"])
-                print(f"# ps1 pairs kept={int(out['num_pairs'])} "
-                      f"overflow={int(out['overflow'])}", file=sys.stderr)
-                return out["render"]
-            return fn(packed["mdl"])
-        return render
-    fn = jax.jit(lambda m, s, q, o, c: rast.rasterize(
-        m, s, q, o, cam, colors=c, config=cfg)["render"])
-    return lambda m, s, q: fn(m, s, q, opac, colors)
+def leg_fov(sc, cam, args, tag, naive=False):
+    render, diag = build_fov_render(sc, cam, args, naive=naive)
+    if diag is not None:
+        import jax.numpy as jnp
+        out = diag(jnp.asarray([0.5, 0.5], jnp.float32))
+        kept = int(_force(out["num_pairs"] * 1.0))
+        ovf = int(_force(out["overflow"] * 1.0))
+        print(f"# {tag}: pairs kept={kept} overflow={ovf}", file=sys.stderr)
+        assert ovf == 0, ("pair/compact capacity overflow — raise "
+                          "--pair-capacity/--compact-capacity")
+    fps, per_gaze = nine_gaze_fps(render, cam, args.warmup, args.reps)
+    return fps, per_gaze
+
+
+def leg_mmfr(sc, cam, args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fovsplat.eval import mmfr as emm
+    from fovsplat.ops.rasterize import RasterizeConfig
+    n = sc["means"].shape[0]
+    # Per-level models: level li keeps Gaussians with hl >= li (the
+    # reference's MM models are independently pruned to the same pnum
+    # counts; the pass structure — 4 full binning+blend passes per frame —
+    # is the cost being measured).
+    models = []
+    hl = sc["highest_levels"]
+    for li in range(4):
+        keep = hl >= li
+        colors = np.maximum(0.282095 * sc["shs_dcs"][:, li, :] + 0.5, 0.0)
+        models.append(dict(
+            xyz=jnp.asarray(sc["means"]), scaling=jnp.asarray(sc["scales"]),
+            rotation=jnp.asarray(sc["rotations"]),
+            opacity=jnp.asarray(sc["opacities4"][:, li] * keep),
+            colors=jnp.asarray(np.minimum(colors, 1.0))))
+    cfg = RasterizeConfig(pair_capacity=args.pair_capacity, chunk=4096,
+                          backend=args.backend, pallas_chunk=args.blend_chunk,
+                          pallas_fwd_only=True,
+                          pallas_interpret=args.interpret)
+    fn = jax.jit(lambda gz: emm.render_mmfr(models, cam, gz, 0.05, cfg))
+    return nine_gaze_fps(fn, cam, max(1, args.warmup // 2),
+                         max(2, args.reps // 2))
+
+
+def leg_train_step(args):
+    """Full photometric train step (render fwd+bwd + Adam) at proxy scale,
+    eval-style resolution — the reference's eff_finetune loop shape."""
+    import jax.numpy as jnp
+    import numpy as np
+    from fovsplat.data import proxy
+    from fovsplat.models import state as S
+    from fovsplat.models.gaussians import GaussianParams
+    from fovsplat.ops.rasterize import RasterizeConfig
+    from fovsplat.train import loops
+
+    sc = proxy.bicycle_proxy(n=args.n)
+    n = args.n
+    rng = np.random.default_rng(1)
+    params = GaussianParams(
+        xyz=jnp.asarray(sc["means"]),
+        features_dc=jnp.asarray(sc["shs_dcs"][:, 0:1, :]),
+        features_rest=jnp.asarray(sc["shs_rest"]),
+        scaling=jnp.asarray(np.log(np.maximum(sc["scales"], 1e-9))),
+        rotation=jnp.asarray(sc["rotations"]),
+        opacity=jnp.asarray(np.log(sc["opacity"] / (1 - sc["opacity"]))
+                            [:, None]))
+    state = S.from_params(params)
+    cam = proxy.proxy_camera()
+    gt = jnp.asarray(rng.uniform(0, 1, (cam.height, cam.width, 3)),
+                     jnp.float32)
+    cfg = loops.LoopConfig(raster=RasterizeConfig(
+        pair_capacity=1 << 22, chunk=4096, backend=args.backend,
+        pallas_chunk=256, pallas_interpret=args.interpret))
+    step = loops.make_photometric_step(cfg)
+    st, aux = step(state, cam, gt, jnp.int32(0), jnp.float32(0.0))
+    loss0 = float(aux["loss"])
+    assert int(aux["overflow"]) == 0
+    reps = 10
+    cur = st
+    t0 = time.perf_counter()
+    for i in range(reps):
+        cur, aux = step(cur, cam, gt, jnp.int32(i), jnp.float32(0.0))
+        float(aux["loss"])
+    dt = (time.perf_counter() - t0) / reps
+    # Backward SOL model (docs/ARCHITECTURE.md "Speed-of-light budget"):
+    # useful blend fwd+bwd flops ~= kept_pairs * PIX * ~90 VPU flops at
+    # ~2 Tflop/s VPU, + gradient segment-sum + preprocess chain (small).
+    kept = 1.53e6
+    useful_s = kept * 256 * 90 / 2.0e12
+    return dt, loss0, useful_s / dt
+
+
+def leg_parity(args):
+    """Fused quantized path (TPU) vs the f32 XLA oracle (CPU), small proxy."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fovsplat.data import proxy
+    from fovsplat.ops import foveated as fov
+    from fovsplat.ops.rasterize import RasterizeConfig
+
+    n = 150_000
+    sc = proxy.bicycle_proxy(n=n)
+    cam = proxy.proxy_camera(width=656, height=528)
+    gaze = jnp.array([0.5, 0.5], jnp.float32)
+    fa = tuple(jnp.asarray(sc[k]) for k in
+               ("means", "scales", "rotations", "opacities4", "shs_dcs",
+                "shs_rest", "highest_levels"))
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        cfg_x = RasterizeConfig(pair_capacity=1 << 20, chunk=4096,
+                                backend="xla", use_obb=True)
+        oracle = np.asarray(jax.jit(lambda *a: fov.rasterize_fov(
+            *a, cam, gaze=gaze, alpha=0.05, blending=True,
+            config=cfg_x)["render"])(
+                *[jax.device_put(a, cpu) for a in fa]))
+    cfg_p = RasterizeConfig(pair_capacity=1 << 20, backend=args.backend,
+                            pallas_fwd_only=True, compact_capacity=1 << 20,
+                            pallas_interpret=args.interpret,
+                            dummy_slack=n + 8192)
+    img = np.asarray(jax.jit(lambda *a: fov.rasterize_fov(
+        *a, cam, gaze=gaze, alpha=0.05, blending=True,
+        config=cfg_p)["render"])(*fa))
+    mse = float(np.mean((img.astype(np.float64)
+                         - oracle.astype(np.float64)) ** 2))
+    return 99.0 if mse == 0 else -10.0 * np.log10(mse)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_161_358)  # bicycle PS1 count
-    ap.add_argument("--width", type=int, default=1920)
-    ap.add_argument("--height", type=int, default=1080)
-    # fov default: level-rect clipping (ops/foveated.py) cuts candidate
-    # pairs 4.5M -> 2.74M on this workload; 3M leaves ~15% headroom
-    # (scripts/count_fov_pairs.py measures this).
-    ap.add_argument("--pair-capacity", type=int, default=None)
-    ap.add_argument("--dummy-slack", type=int, default=None)
-    ap.add_argument("--compact-capacity", type=int, default=None)
-    ap.add_argument("--chunk", type=int, default=4096)
-    ap.add_argument("--blend-chunk", type=int, default=256,
-                    help="blend kernel: pairs per chunk (min per-tile work)")
-    ap.add_argument("--blend-batch", type=int, default=8,
-                    help="blend kernel: tiles per grid program")
-    ap.add_argument("--warmup", type=int, default=5)
-    ap.add_argument("--reps", type=int, default=20)
-    ap.add_argument("--mode", default="fov", choices=["ps1", "fov"])
+    # Proxy scene at 1237x822 (measured, scripts/calibrate_proxy.py):
+    # candidates after level clip 2.24M, invalid rows 489k, kept 1.53M at
+    # the center gaze. Headroom ~11/7/15%.
+    ap.add_argument("--pair-capacity", type=int, default=2_490_368)
+    ap.add_argument("--dummy-slack", type=int, default=524_288)
+    ap.add_argument("--compact-capacity", type=int, default=1_769_472)
+    ap.add_argument("--blend-chunk", type=int, default=256)
+    ap.add_argument("--blend-batch", type=int, default=8)
+    ap.add_argument("--expand-chunk", type=int, default=512)
+    ap.add_argument("--expand-batch", type=int, default=16)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
-    ap.add_argument("--interpret", action="store_true",
-                    help="pallas interpret mode (CPU smoke test)")
-    ap.add_argument("--no-table-kernel", action="store_true",
-                    help="A/B: XLA column stage instead of the fused "
-                         "table-build kernel")
+    ap.add_argument("--interpret", action="store_true")
+    ap.add_argument("--budget-s", type=float, default=1500.0,
+                    help="wall-clock budget for AUX legs; the headline "
+                         "always runs")
+    ap.add_argument("--skip-aux", action="store_true")
     ap.add_argument("--ply", default=None,
-                    help="real composed-model PLY (ours_composed schema); "
-                         "replaces the synthetic cloud when provided")
+                    help="real composed-model PLY replaces the proxy scene")
     args = ap.parse_args()
-    if args.pair_capacity is None:
-        # fov at 1080p across corner/center gazes: real pairs <= 2.02M,
-        # invalid rows (dummy pairs) <= 0.91M, total <= 2.78M slots
-        # (measured on the synthetic bicycle-scale cloud); 2.23M + 0.92M
-        # leaves ~13% headroom and the overflow counter reports any excess.
-        args.pair_capacity = 2_228_224 if args.mode == "fov" else 1 << 22
-    if args.dummy_slack is None and args.mode == "fov":
-        args.dummy_slack = 917_504
-    if args.compact_capacity is None and args.mode == "fov":
-        # Kept pairs (post OBB/level cull) measured 1.507M at 1080p center
-        # gaze; 1.66M usable leaves ~10% headroom and the tile sort cost
-        # is linear in this capacity. Overflow is asserted zero on a
-        # diagnostic frame before timing — never silently dropped.
-        args.compact_capacity = 1_703_936
 
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from fovsplat.data.cameras import look_at_camera
+    from fovsplat.data import proxy
 
     if args.ply is not None:
-        # Real scene: a ps1 checkpoint PLY or a composed-model PLY
-        # (models/gaussians.py schemas). hl/per-level arrays fall back to
-        # single-level broadcasts when the PLY is a plain checkpoint.
         from fovsplat.models import gaussians as G
+        import numpy as np
         params, extras = G.load_ply(args.ply)
         n = params.xyz.shape[0]
-        means = params.xyz
-        scales = params.get_scaling()
-        quats = params.get_rotation()
-        opac = params.get_opacity()
-        colors = jnp.clip(0.5 + 0.282095 * params.features_dc[:, 0, :], 0, 1)
-        fovdata = None
-        if args.mode == "fov":
-            nl = 4
-            hl = jnp.asarray(extras.get(
-                "ecc_thresh", np.full((n,), nl - 1.0, np.float32)))
-            sd = extras.get("shs_dcs")
-            if sd is None:
-                sd = np.broadcast_to(
-                    np.asarray(params.features_dc[:, 0:1, :]), (n, nl, 3))
-            fovdata = (hl, jnp.asarray(np.ascontiguousarray(sd), jnp.float32),
-                       jnp.broadcast_to(opac[:, None], (n, nl)),
-                       params.features_rest)
-        cam = look_at_camera([0.4, -0.3, -4.0], [0, 0, 0], [0, -1, 0],
-                             fovx=1.1, fovy=0.7, width=args.width,
-                             height=args.height)
-        arrays = (means, scales, quats, opac, colors, fovdata)
-        return run_bench(args, cam, arrays, n)
+        nl = 4
+        sc = {
+            "means": params.xyz, "scales": params.get_scaling(),
+            "rotations": params.get_rotation(),
+            "opacity": params.get_opacity(),
+            "opacities4": np.broadcast_to(
+                np.asarray(params.get_opacity())[:, None], (n, nl)),
+            "shs_dcs": np.broadcast_to(
+                np.asarray(params.features_dc[:, 0:1, :]), (n, nl, 3)),
+            "shs_rest": params.features_rest,
+            "highest_levels": np.asarray(extras.get(
+                "ecc_thresh", np.full((n,), nl - 1.0, np.float32))),
+        }
+        src = "real scene"
+    else:
+        sc = proxy.bicycle_proxy(n=args.n)
+        src = "bicycle proxy"
+    cam = proxy.proxy_camera()
 
-    rng = np.random.default_rng(0)
-    n = args.n
-    means = jnp.asarray(rng.normal(0, 1.2, (n, 3)), jnp.float32)
-    scales = jnp.asarray(rng.uniform(0.002, 0.012, (n, 3)), jnp.float32)
-    quats = rng.normal(0, 1, (n, 4))
-    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
-    quats = jnp.asarray(quats, jnp.float32)
-    opac = jnp.asarray(rng.uniform(0.2, 0.95, (n,)), jnp.float32)
-    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
-    fovdata = None
-    if args.mode == "fov":
-        # highest_level distribution matched to the reference's composed
-        # bicycle model (fov3dgs/pnum/ours-Q/bicycle.txt, SURVEY.md §6:
-        # survivors per level 1161358 / 465471 / 252678 / 202263) — a
-        # uniform draw would over-populate the coarse levels ~2x and make
-        # the synthetic frame artificially heavier than the real workload.
-        hl = rng.choice(4, size=(n,), p=[0.5992, 0.1832, 0.0434, 0.1742])
-        fovdata = (jnp.asarray(hl, jnp.float32),
-                   jnp.asarray(rng.normal(0, 0.8, (n, 4, 3)), jnp.float32),
-                   jnp.asarray(rng.uniform(0.2, 0.95, (n, 4)), jnp.float32),
-                   jnp.asarray(rng.normal(0, 0.05, (n, 15, 3)), jnp.float32))
-
-    cam = look_at_camera([0.4, -0.3, -4.0], [0, 0, 0], [0, -1, 0],
-                         fovx=1.1, fovy=0.7, width=args.width,
-                         height=args.height)
-    arrays = (means, scales, quats, opac, colors, fovdata)
-    return run_bench(args, cam, arrays, n)
-
-
-def run_bench(args, cam, arrays, n):
-    import sys
-    import time
-
-    means, scales, quats = arrays[0], arrays[1], arrays[2]
-    backend = args.backend
-    fn = build_render(args, cam, arrays, backend)
-    try:
-        img = fn(means, scales, quats)
-        float(img.ravel()[0])
-    except Exception as e:                          # pallas compile failure
-        if backend == "pallas":
-            print(f"# pallas backend failed ({type(e).__name__}): "
-                  f"{str(e)[:2000]}\n# falling back to xla", file=sys.stderr)
-            backend = "xla"
-            fn = build_render(args, cam, arrays, backend)
-            img = fn(means, scales, quats)
-            float(img.ravel()[0])
-        else:
-            raise
-    assert img.shape == (args.height, args.width, 3)
-    if backend == "pallas":
-        fn(means, scales, quats, _diag=True)        # overflow guard
-
-    for _ in range(args.warmup):
-        float(fn(means, scales, quats).ravel()[0])
-    # Chained dispatch, ONE host read: the device executes dispatches in
-    # order, so forcing the last output serializes all reps; the ~30 ms
-    # remote-tunnel RTT is amortized to RTT/reps instead of being folded
-    # into every frame (device-only timing, same spirit as the reference's
-    # CUDA-event bracketing of the rasterizer call).
-    t0 = time.perf_counter()
-    for _ in range(args.reps):
-        img = fn(means, scales, quats)
-    float(img.ravel()[0])
-    dt = (time.perf_counter() - t0) / args.reps
-    fps = 1.0 / dt
-    rays_per_s = args.width * args.height * fps
-
-    src = "real scene" if args.ply else "synthetic"
-    print(json.dumps({
-        "metric": f"render FPS ({args.mode}/{backend}, "
-                  f"{args.width}x{args.height}, {n} gaussians, {src}, "
-                  "1 chip)",
-        "value": round(fps, 2),
-        "unit": "frames/s",
+    # ---------------- headline (run first so a budget overrun can't
+    # starve it; its line is REPRINTED last for the driver parse) --------
+    fps, per_gaze = leg_fov(sc, cam, args, "ours")
+    headline = {
+        "metric": f"foveated FPS ours (9 gazes, {cam.width}x{cam.height}, "
+                  f"{args.n} gaussians, {src}, 1 chip)",
+        "value": round(fps, 2), "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
-        "rays_per_s": rays_per_s,
-    }))
+        "rays_per_s": round(cam.width * cam.height * fps),
+        "per_gaze": [round(f, 2) for f in per_gaze],
+    }
+    emit(headline)
+
+    if not args.skip_aux:
+        # ---- SM-FR (naive) ----
+        try:
+            if budget_left(args):
+                f_n, _ = leg_fov(sc, cam, args, "naive", naive=True)
+                emit({"metric": "foveated FPS SM-FR naive (9 gazes)",
+                      "value": round(f_n, 2), "unit": "frames/s",
+                      "vs_baseline": round(f_n / BASELINE_NAIVE, 4)})
+        except Exception as e:
+            emit({"metric": "naive FPS", "error": str(e)[:300]})
+        # ---- MM-FR ----
+        try:
+            if budget_left(args):
+                f_m, _ = leg_mmfr(sc, cam, args)
+                emit({"metric": "foveated FPS MM-FR (9 gazes, 4 passes)",
+                      "value": round(f_m, 2), "unit": "frames/s",
+                      "vs_baseline": round(f_m / BASELINE_MMFR, 4)})
+        except Exception as e:
+            emit({"metric": "mmfr FPS", "error": str(e)[:300]})
+        # ---- train step ----
+        try:
+            if budget_left(args):
+                dt, loss0, sol = leg_train_step(args)
+                emit({"metric": "train step fwd+bwd+Adam "
+                                f"({cam.width}x{cam.height}, {args.n} "
+                                "gaussians, ps1 f32 path)",
+                      "value": round(dt * 1e3, 1), "unit": "ms",
+                      "steps_per_s": round(1.0 / dt, 2),
+                      "backward_sol_pct": round(100 * sol, 1),
+                      "loss0": round(loss0, 4)})
+        except Exception as e:
+            emit({"metric": "train step", "error": str(e)[:300]})
+        # ---- on-chip parity ----
+        try:
+            if budget_left(args):
+                p = leg_parity(args)
+                emit({"metric": "on-chip parity PSNR (fused quantized vs "
+                                "f32 XLA oracle, 150k proxy)",
+                      "value": round(p, 2), "unit": "dB",
+                      "vs_baseline": round(p / 40.0, 3)})
+        except Exception as e:
+            emit({"metric": "parity", "error": str(e)[:300]})
+
+    emit(headline)     # final line = the driver-parsed headline
     return 0
 
 

@@ -12,13 +12,17 @@ Per-pair stat rows (SROWS = 8, CAP):
   0 w_sum   = sum over pixels of alpha*T (contributing pixels only)
   1 touched = number of contributing pixels
   2 w_max   = max over pixels of alpha*T
-  3-7 pad
-Per-tile outputs: color+T (PIX, 4) like the forward, and for the
-loss-weighted argmax mode a (PIX, 2) block [best_lane, best_w] — the
-per-pixel argmax pair's GLOBAL lane (ties: earlier chunk, then lowest
-lane within the chunk, matching stats.blend_stats' earlier-chunk rule
-deterministically) — the caller maps lanes to Gaussians and adds the
-pixel's loss-map value.
+  3 geo_win = pixels passing the power window while not yet done
+              (the _pcheck_obb_max gs_count semantics, N4 forward.cu:381)
+  4-7 pad
+Per-tile outputs: color+T (PIX, 4) like the forward, and a (PIX, 4)
+block [best_lane, best_w, first_trig, pad]: best_lane/best_w are the
+per-pixel argmax pair's GLOBAL lane + weight (ties: earlier chunk, then
+lowest lane, matching stats.blend_stats' earlier-chunk rule
+deterministically); first_trig is each pixel's saturation-trigger local
+pair index (BIG if never) — stats.tile_fetch_counts turns it into the
+reference's exact per-tile FETCHED count (256-round early exit,
+forward.cu:348-361).
 """
 
 from __future__ import annotations
@@ -62,7 +66,8 @@ def _stats_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, arg_ref,
             get_dma(0, 0).start()
 
         def body(state):
-            (k, cont, T_pix, frozen, cr, cg, cb_, best_w, best_lane) = state
+            (k, cont, T_pix, frozen, cr, cg, cb_, best_w, best_lane,
+             ftrig) = state
             del cont
             get_dma(k % 2, k).wait()
 
@@ -104,6 +109,10 @@ def _stats_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, arg_ref,
             # Per-pixel argmax carry: chunk max + lowest achieving lane;
             # strict > keeps the EARLIER chunk on ties (stats.blend_stats'
             # merge rule).
+            rank = (gid - start).astype(jnp.float32)             # (1, chunk)
+            ftrig = jnp.minimum(ftrig, jnp.min(
+                jnp.where(trigger, rank, jnp.float32(1 << 30)),
+                axis=1, keepdims=True))
             cmax = jnp.max(weight, axis=1, keepdims=True)        # (PIX, 1)
             ach = (weight >= cmax) & (weight > 0)
             clane = jnp.min(jnp.where(ach, gid.astype(jnp.float32),
@@ -114,12 +123,15 @@ def _stats_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, arg_ref,
             best_w = jnp.maximum(best_w, cmax)
 
             # Per-pair stat rows for this chunk.
+            geo_win = (geo_ok & in_seg & (frozen < 0.5)
+                       & jnp.logical_not(done_before))
             srow = jnp.concatenate([
                 jnp.sum(weight, axis=0, keepdims=True),
                 jnp.sum(contribute.astype(jnp.float32), axis=0,
                         keepdims=True),
                 jnp.max(weight, axis=0, keepdims=True),
-                jnp.zeros((SROWS - 3, chunk), jnp.float32)], axis=0)
+                jnp.sum(geo_win.astype(jnp.float32), axis=0, keepdims=True),
+                jnp.zeros((SROWS - 4, chunk), jnp.float32)], axis=0)
             slot = k % 2
             lane_g = src + jax.lax.broadcasted_iota(jnp.int32,
                                                     (SROWS, chunk), 1)
@@ -149,21 +161,22 @@ def _stats_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, arg_ref,
             # XLA oracle's frozen mask).
             cont = k + 1 < num_chunks
             return (k + 1, cont, T_pix, frozen, cr, cg, cb_, best_w,
-                    best_lane)
+                    best_lane, ftrig)
 
         zc = jnp.zeros((PIX, 1), jnp.float32)
         init = (jnp.int32(0), num_chunks > 0, jnp.ones((PIX, 1), jnp.float32),
                 jnp.zeros((PIX, 1), jnp.float32),
-                zc, zc, zc, zc, jnp.full((PIX, 1), jnp.float32(cap)))
+                zc, zc, zc, zc, jnp.full((PIX, 1), jnp.float32(cap)),
+                jnp.full((PIX, 1), jnp.float32(1 << 30)))
         st = jax.lax.while_loop(lambda s: s[1], body, init)
-        kf, _, T_pix, _, cr, cg, cb_, best_w, best_lane = st
+        kf, _, T_pix, _, cr, cg, cb_, best_w, best_lane, ftrig = st
 
         @pl.when(kf < num_chunks)
         def _():
             get_dma(kf % 2, kf).wait()
 
         out_ref[b] = jnp.concatenate([cr, cg, cb_, T_pix], axis=1)
-        arg_ref[b] = jnp.concatenate([best_lane, best_w], axis=1)
+        arg_ref[b] = jnp.concatenate([best_lane, best_w, ftrig, zc], axis=1)
         return carry
 
     jax.lax.fori_loop(0, batch, one_tile, 0)
@@ -180,9 +193,10 @@ def blend_stats_pallas(pair_data, seg_start, seg_end, grid_x, grid_y,
     segments.
 
     Returns (tile_color (T, PIX, 3), final_T (T, PIX),
-    pair_stats (SROWS, CAP) [w_sum, touched, w_max] — rows outside any
-    processed chunk are UNINITIALIZED, mask like blend_fwd._backward,
-    arg (T, PIX, 2) [best_lane (f32, cap = none), best_w])."""
+    pair_stats (SROWS, CAP) [w_sum, touched, w_max, geo_win] — rows
+    outside any processed chunk are UNINITIALIZED, mask like
+    blend_fwd._backward, arg (T, PIX, 4) [best_lane (f32, cap = none),
+    best_w, first_trig, pad])."""
     num_tiles = grid_x * grid_y
     cap = pair_data.shape[1]
     t_pad = ((num_tiles + batch - 1) // batch) * batch
@@ -197,7 +211,7 @@ def blend_stats_pallas(pair_data, seg_start, seg_end, grid_x, grid_y,
         out_specs=[
             pl.BlockSpec((batch, PIX, 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch, PIX, 2), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((batch, PIX, 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -212,7 +226,7 @@ def blend_stats_pallas(pair_data, seg_start, seg_end, grid_x, grid_y,
     out, arg, stats = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((t_pad, PIX, 4), jnp.float32),
-                   jax.ShapeDtypeStruct((t_pad, PIX, 2), jnp.float32),
+                   jax.ShapeDtypeStruct((t_pad, PIX, 4), jnp.float32),
                    jax.ShapeDtypeStruct((SROWS, cap), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

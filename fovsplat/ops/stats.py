@@ -36,20 +36,52 @@ from fovsplat.ops.rasterize import RasterizeConfig, _grid
 MODES = ("sum", "max", "loss_weighted_max_count", "count_opacity")
 
 
+REF_FETCH_ROUND = 256   # the reference's BLOCK_SIZE fetch-batch width
+
+
+def tile_fetch_counts(first_trig, seg_start, inside, num_tiles: int):
+    """Per-tile fetched-pair count, matching the reference's collective
+    fetch loop EXACTLY (..._pcheck_obb_sum/cuda_rasterizer/forward.cu:
+    348-361): pairs are fetched in rounds of 256; the loop breaks at the
+    first round START where every pixel is done (done = saturated, or
+    outside the image from the start); gs_count counts +1 per FETCHED
+    pair. first_trig: (T, PIX) local pair index of each pixel's
+    saturation trigger (BIG if never); inside: (T, PIX) bool."""
+    seg_len = seg_start[1:] - seg_start[:-1]                    # (T,)
+    ft = jnp.where(inside, first_trig, -1.0)
+    never = jnp.any(inside & (first_trig >= jnp.float32(1 << 30)), axis=1)
+    max_j = jnp.max(ft, axis=1)                                 # (T,)
+    rounds = jnp.floor(max_j / REF_FETCH_ROUND) + 1.0
+    f = jnp.where(never | (max_j < 0.0), seg_len.astype(jnp.float32),
+                  jnp.minimum(seg_len.astype(jnp.float32),
+                              rounds * REF_FETCH_ROUND))
+    # max_j < 0 means no inside pixel triggered... but if NO pixel is
+    # inside at all (fully-padded tile), the reference fetches nothing.
+    any_inside = jnp.any(inside, axis=1)
+    f = jnp.where(any_inside, f, 0.0)
+    return f.astype(jnp.int32)                                  # (T,)
+
+
 def blend_stats(pair_tile, pair_gauss, pair_mean2d, pair_conic, pair_opacity,
                 pair_color, seg_start, num_pairs, n_gaussians: int,
                 grid_x: int, grid_y: int, chunk: int, power_cutoff: float,
-                mode: str, loss_map_tiles=None):
+                mode: str, loss_map_tiles=None, inside=None):
     """Forward blend + per-Gaussian stats over the sorted pair list.
 
     Returns (tile_color [T,PIX,3], final_T [T,PIX], gs_count (N,) i32,
-    contribs (N,) f32)."""
+    contribs (N,) f32). mode="sum" counts +1 per FETCHED pair (bounded by
+    each tile's 256-round early-exit point, tile_fetch_counts) — exact
+    reference semantics, forward.cu:357-361."""
     assert mode in MODES, mode
     num_tiles = grid_x * grid_y
     argmax_mode = mode == "loss_weighted_max_count"
+    BIG = jnp.float32(1 << 30)
+
+    fetch_mode = mode in ("sum", "loss_weighted_max_count")
 
     def body(state):
-        k, color, logT, frozen, gs_count, contribs, best_w, best_g = state
+        (k, color, logT, frozen, gs_count, contribs, best_w, best_g,
+         first_trig) = state
         base = k * chunk
         kt = jax.lax.dynamic_slice_in_dim(pair_tile, base, chunk)
         gid = jax.lax.dynamic_slice_in_dim(pair_gauss, base, chunk)
@@ -58,7 +90,7 @@ def blend_stats(pair_tile, pair_gauss, pair_mean2d, pair_conic, pair_opacity,
         op = jax.lax.dynamic_slice_in_dim(pair_opacity, base, chunk)
         col = jax.lax.dynamic_slice_in_dim(pair_color, base, chunk)
 
-        alpha, static_ok, _, _, _ = _pair_pixel_geometry(
+        alpha, static_ok, _, dx, dy = _pair_pixel_geometry(
             kt, m2d, con, op, grid_x, power_cutoff)
         kt_safe = jnp.minimum(kt, num_tiles - 1)
         pair_valid = kt < num_tiles
@@ -83,14 +115,27 @@ def blend_stats(pair_tile, pair_gauss, pair_mean2d, pair_conic, pair_opacity,
 
         gid_safe = jnp.where(pair_valid, gid, n_gaussians)
         touched = jnp.sum(contribute.astype(jnp.int32), axis=1)
+        if fetch_mode:
+            # gs_count counted at FETCH time (forward.cu:357-361): track
+            # each pixel's saturation-trigger local pair index; the count
+            # itself happens after the loop via tile_fetch_counts.
+            rank = ((base + jnp.arange(chunk, dtype=jnp.int32))
+                    - seg_start[kt_safe]).astype(jnp.float32)
+            ft = jnp.where(trigger, rank[:, None], BIG)
+            first_trig = first_trig.at[kt].min(ft, mode='drop')
         if mode == "sum":
-            gs_count = gs_count.at[gid_safe].add(
-                pair_valid.astype(jnp.int32), mode='drop')
             contribs = contribs.at[gid_safe].add(jnp.sum(weight, axis=1),
                                                  mode='drop')
         elif mode == "max":
+            # _pcheck_obb_max counts per (pair, pixel) passing the power
+            # window while the pixel is not yet done — pre alpha-min,
+            # trigger pair included (N4 forward.cu:381).
+            power = (-0.5 * (con[:, 0:1] * dx * dx + con[:, 2:3] * dy * dy)
+                     - con[:, 1:2] * dx * dy)
+            geo_win = ((power <= 0.0) & (power >= power_cutoff)
+                       & pair_valid[:, None] & ~row_frozen & ~done_before)
             gs_count = gs_count.at[gid_safe].add(
-                pair_valid.astype(jnp.int32), mode='drop')
+                jnp.sum(geo_win.astype(jnp.int32), axis=1), mode='drop')
             contribs = contribs.at[gid_safe].max(jnp.max(weight, axis=1),
                                                  mode='drop')
         elif mode == "count_opacity":
@@ -98,7 +143,6 @@ def blend_stats(pair_tile, pair_gauss, pair_mean2d, pair_conic, pair_opacity,
             contribs = contribs.at[gid_safe].add(
                 op * touched.astype(jnp.float32), mode='drop')
         else:  # loss_weighted_max_count
-            gs_count = gs_count.at[gid_safe].add(touched, mode='drop')
             # Per-(tile,pixel) argmax of weight across the whole pair list.
             # Within the chunk: scatter-max per tile row, then deterministic
             # min-id among achievers; merge with the running carry.
@@ -110,7 +154,8 @@ def blend_stats(pair_tile, pair_gauss, pair_mean2d, pair_conic, pair_opacity,
             better = cm > best_w
             best_g = jnp.where(better, cg, best_g)
             best_w = jnp.maximum(best_w, cm)
-        return k + 1, color, logT, frozen, gs_count, contribs, best_w, best_g
+        return (k + 1, color, logT, frozen, gs_count, contribs, best_w,
+                best_g, first_trig)
 
     def cond(state):
         return state[0] * chunk < num_pairs
@@ -125,9 +170,24 @@ def blend_stats(pair_tile, pair_gauss, pair_mean2d, pair_conic, pair_opacity,
             jnp.zeros(shape_pix, jnp.float32) if argmax_mode
             else jnp.zeros((1, 1), jnp.float32),
             jnp.full(shape_pix, n_gaussians, jnp.int32) if argmax_mode
-            else jnp.zeros((1, 1), jnp.int32))
-    _, color, logT, _, gs_count, contribs, best_w, best_g = \
-        jax.lax.while_loop(cond, body, init)
+            else jnp.zeros((1, 1), jnp.int32),
+            jnp.full(shape_pix, BIG) if fetch_mode
+            else jnp.zeros((1, 1), jnp.float32))
+    (_, color, logT, _, gs_count, contribs, best_w, best_g,
+     first_trig) = jax.lax.while_loop(cond, body, init)
+
+    if fetch_mode:
+        ins = (jnp.ones(shape_pix, bool) if inside is None else inside)
+        f = tile_fetch_counts(first_trig, seg_start, ins, num_tiles)  # (T,)
+        cap_ = pair_tile.shape[0]
+        lanes = jnp.arange(cap_, dtype=jnp.int32)
+        kt_all = jnp.minimum(pair_tile, num_tiles - 1)
+        fetched = ((pair_tile < num_tiles) & (lanes < num_pairs)
+                   & ((lanes - seg_start[kt_all]) < f[kt_all]))
+        gid_all = jnp.where(fetched, pair_gauss, n_gaussians)
+        gs_count = jax.ops.segment_sum(
+            fetched.astype(jnp.int32), jnp.minimum(gid_all, n_gaussians),
+            num_segments=n_gaussians + 1)[:n_gaussians]
 
     if argmax_mode:
         lm = (jnp.ones(shape_pix, jnp.float32) if loss_map_tiles is None
@@ -135,6 +195,17 @@ def blend_stats(pair_tile, pair_gauss, pair_mean2d, pair_conic, pair_opacity,
         contribs = contribs.at[best_g.reshape(-1)].add(lm.reshape(-1),
                                                        mode='drop')
     return color, jnp.exp(logT), gs_count, contribs
+
+
+def tile_inside_mask(grid_x: int, grid_y: int, width: int, height: int):
+    """(T, PIX) bool: pixel inside the image (edge tiles carry padding
+    pixels, which the reference initializes as done = !inside)."""
+    t = jnp.arange(grid_x * grid_y, dtype=jnp.int32)
+    lx = jnp.arange(PIX, dtype=jnp.int32) % projection.TILE
+    ly = jnp.arange(PIX, dtype=jnp.int32) // projection.TILE
+    px = (t % grid_x)[:, None] * projection.TILE + lx[None, :]
+    py = (t // grid_x)[:, None] * projection.TILE + ly[None, :]
+    return (px < width) & (py < height)
 
 
 def image_to_tiles(img: jnp.ndarray, grid_x: int, grid_y: int) -> jnp.ndarray:
@@ -206,15 +277,33 @@ def rasterize_stats(means3d, scales, rotations, opacities, camera,
         gid_pair = jnp.where(in_use, packed[9].astype(jnp.int32), n)
         segsum = lambda v: jax.ops.segment_sum(
             jnp.where(in_use, v, 0.0), gid_pair, num_segments=n + 1)[:n]
+
+        def fetched_counts():
+            # Exact FETCH-time gs_count (forward.cu:357-361): per-pair
+            # tile via boundary-scatter + cumsum (searchsorted at millions
+            # of queries is pathological on TPU), then count pairs below
+            # each tile's 256-round early-exit point.
+            num_tiles = gx * gy
+            nf = tile_fetch_counts(
+                arg[:, :, 2], seg_start,
+                tile_inside_mask(gx, gy, camera.width, camera.height),
+                num_tiles)
+            marks = jnp.zeros(cap3, jnp.int32).at[
+                seg_start[1:num_tiles]].add(1, mode='drop')
+            t_all = jnp.minimum(jnp.cumsum(marks),
+                                num_tiles - 1).astype(jnp.int32)
+            fetched = in_use & ((lane - seg_start[t_all]) < nf[t_all])
+            return jax.ops.segment_sum(
+                fetched.astype(jnp.int32),
+                jnp.where(fetched, gid_pair, n), num_segments=n + 1)[:n]
+
         if mode == "sum":
-            gs_count = jax.ops.segment_sum(
-                in_use.astype(jnp.int32), gid_pair,
-                num_segments=n + 1)[:n]
+            gs_count = fetched_counts()
             contribs = segsum(pair_stats[0])
         elif mode == "max":
-            gs_count = jax.ops.segment_sum(
-                in_use.astype(jnp.int32), gid_pair,
-                num_segments=n + 1)[:n]
+            # Per (pair, pixel) power-window count while not done
+            # (N4 forward.cu:381).
+            gs_count = segsum(pair_stats[3]).astype(jnp.int32)
             contribs = jnp.maximum(jax.ops.segment_max(
                 jnp.where(in_use, pair_stats[2], 0.0), gid_pair,
                 num_segments=n + 1)[:n], 0.0)   # segment_max identity=-inf
@@ -222,7 +311,7 @@ def rasterize_stats(means3d, scales, rotations, opacities, camera,
             gs_count = segsum(pair_stats[1]).astype(jnp.int32)
             contribs = segsum(packed[5] * pair_stats[1])
         else:  # loss_weighted_max_count
-            gs_count = segsum(pair_stats[1]).astype(jnp.int32)
+            gs_count = fetched_counts()
             lm = (jnp.ones((gx * gy, PIX), jnp.float32) if lm_tiles is None
                   else lm_tiles)
             best_lane = jnp.clip(arg[:, :, 0].astype(jnp.int32),
@@ -243,7 +332,8 @@ def rasterize_stats(means3d, scales, rotations, opacities, camera,
         tile_color, final_T, gs_count, contribs = blend_stats(
             bn.pair_tile, bn.pair_gauss, prep.mean2d[gid], prep.conic[gid],
             opacities[gid], colors[gid], bn.seg_start, bn.num_pairs, n,
-            gx, gy, config.chunk, config.power_cutoff, mode, lm_tiles)
+            gx, gy, config.chunk, config.power_cutoff, mode, lm_tiles,
+            inside=tile_inside_mask(gx, gy, camera.width, camera.height))
 
     image = tiles_to_image(tile_color, gx, gy, camera.width, camera.height)
     T_img = tiles_to_image(final_T, gx, gy, camera.width, camera.height)

@@ -21,7 +21,7 @@ _ap.add_argument("--prefix-mode", default="logmm",
                  choices=["logmm", "scan"])
 # Kept pairs measured 1.27M at the center gaze; 1.75M leaves headroom for
 # the corner gazes until they are measured (overflow is reported).
-_ap.add_argument("--compact-capacity", type=int, default=1_835_008)
+_ap.add_argument("--compact-capacity", type=int, default=1_769_472)
 _ap.add_argument("--expand-chunk", type=int, default=512)
 _ap.add_argument("--expand-batch", type=int, default=16)
 _ap.add_argument("--interpret", action="store_true",
@@ -38,31 +38,28 @@ from fovsplat.ops.pallas import blend_fov as pkf
 from fovsplat.ops.pallas import expand_fov as pex
 from fovsplat.ops.rasterize import RasterizeConfig, _grid
 
-rng = np.random.default_rng(0)
+from fovsplat.data import proxy
+
 n = 3000 if _args.interpret else 1_161_358
 L = 4
-means = jnp.asarray(rng.normal(0, 1.2, (n, 3)), jnp.float32)
-scales = jnp.asarray(rng.uniform(0.002, 0.012, (n, 3)), jnp.float32)
-quats = rng.normal(0, 1, (n, 4)); quats /= np.linalg.norm(quats, axis=1, keepdims=True)
-quats = jnp.asarray(quats, jnp.float32)
-hl = jnp.asarray(rng.choice(4, size=(n,), p=[0.5992, 0.1832, 0.0434, 0.1742]),
-                 jnp.float32)
-shs_dcs = jnp.asarray(rng.normal(0, 0.8, (n, 4, 3)), jnp.float32)
-opac4 = jnp.asarray(rng.uniform(0.2, 0.95, (n, 4)), jnp.float32)
-rest = jnp.asarray(rng.normal(0, 0.05, (n, 15, 3)), jnp.float32)
+sc = proxy.bicycle_proxy(n=n)
+means = jnp.asarray(sc["means"])
+scales = jnp.asarray(sc["scales"])
+quats = jnp.asarray(sc["rotations"])
+hl = jnp.asarray(sc["highest_levels"])
+shs_dcs = jnp.asarray(sc["shs_dcs"])
+opac4 = jnp.asarray(sc["opacities4"])
+rest = jnp.asarray(sc["shs_rest"])
 gaze = jnp.array([0.5, 0.5], jnp.float32)
 alpha = 0.05
-cam = look_at_camera([0.4, -0.3, -4.0], [0, 0, 0], [0, -1, 0],
-                     fovx=1.1, fovy=0.76,
-                     width=160 if _args.interpret else 1237,
-                     height=128 if _args.interpret else 822)
+cam = proxy.proxy_camera(width=160 if _args.interpret else 1237,
+                         height=128 if _args.interpret else 822)
 gx, gy = _grid(cam)
 num_tiles = gx * gy
-# Measured across the 9 bench gazes: real pairs <= 1.65M, invalid rows
-# (dummy pairs) <= 0.86M, total <= 2.32M slots. 1.8M + 0.85M = 2.65M gives
-# ~14% headroom; the overflow counter reports any excess.
-cap = 65_536 if _args.interpret else 1_835_008
-dummy_slack = 8_192 if _args.interpret else 851_968
+# Proxy scene at the center gaze: candidates after level clip 2.24M,
+# invalid rows (dummy pairs) 489k, kept pairs 1.53M (calibrate_proxy.py).
+cap = 65_536 if _args.interpret else 2_490_368
+dummy_slack = 8_192 if _args.interpret else 524_288
 if _args.interpret:
     _args.compact_capacity = 32_768
 chunk = _args.blend_chunk
