@@ -164,70 +164,84 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
     win_base = seg_base(tb)
     win_loaded = seg_nsub(tb) * sub      # lanes actually present in win
 
+    # ---------------- TRANSPOSED compute orientation -----------------
+    # Everything per-pixel rides with PIX on LANES: per-tile state vectors
+    # are (1, PIX) (2 vregs) instead of (PIX, 1) (32 vregs at 1/128 lane
+    # use), the output block is (8, PIX), and the pair-pixel middle runs
+    # (chunk, PIX). Measured: the old orientation spent ~3.9 us/tile of
+    # pure state/write overhead (15.9 ms/frame at 4056 tiles with EMPTY
+    # segments); the transposed probe does the same bookkeeping in
+    # ~0.4 us/tile (scripts/probe_tile_overhead.py).
     def _color_acc(weight, cr, cg, cb_, col_r, col_g, col_b):
-        # Color accumulation on the MXU: one (PIX,chunk)x(chunk,8) matmul
-        # replaces three multiply+lane-reduction passes on the VPU (the
-        # kernel is VPU-bound; colors/weights are bf16-precision already).
+        # Color accumulation on the MXU: (8, chunk) x (chunk, PIX).
         cols = jnp.concatenate(
             [col_r, col_g, col_b,
              jnp.zeros((5, col_r.shape[1]), jnp.float32)],
             axis=0).astype(jnp.bfloat16)                       # (8, chunk)
         acc = jax.lax.dot_general(
-            weight.astype(jnp.bfloat16), cols,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                # (PIX, 8)
-        return cr + acc[:, 0:1], cg + acc[:, 1:2], cb_ + acc[:, 2:3]
+            cols, weight.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (8, PIX)
+        return cr + acc[0:1, :], cg + acc[1:2, :], cb_ + acc[2:3, :]
 
-    def chain_logmm(a_eff, T_pix, cr, cg, cb_, col_r, col_g, col_b, triu):
+    def chain_logmm(a_eff, T_pix, cr, cg, cb_, col_r, col_g, col_b, ltri):
         # Relaxed termination (inference): the reference's T<1e-4 freeze is
         # a GPU performance trick; skipping the freeze changes pixels by at
-        # most T_EPS (< half an 8-bit LSB). This halves the MXU prefix work.
-        logs = jnp.log1p(-a_eff)
-        # bf16 MXU prefix (f32 accumulate): each log term carries <=2^-9
-        # relative error, so the exclusive sum deviates by <=0.002*sum(a)
-        # in log space — under half a percent of transmittance at any pixel
-        # still visibly accumulating. Inference-only; the training kernel
-        # (blend_fwd) stays f32.
-        excl = jnp.dot(logs.astype(jnp.bfloat16), triu,
+        # most T_EPS (< half an 8-bit LSB). bf16 MXU log-space prefix —
+        # <=2^-9 relative per term (inference-only; training stays f32).
+        logs = jnp.log1p(-a_eff)                               # (chunk, PIX)
+        excl = jnp.dot(ltri, logs.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
         weight = a_eff * (T_pix * jnp.exp(excl))
         cr, cg, cb_ = _color_acc(weight, cr, cg, cb_, col_r, col_g, col_b)
-        delta = jnp.sum(logs, axis=1, keepdims=True)
+        delta = jnp.sum(logs, axis=0, keepdims=True)           # (1, PIX)
         return T_pix * jnp.exp(delta), cr, cg, cb_
 
-    def chain_scan(a_eff, T_pix, cr, cg, cb_, col_r, col_g, col_b, triu):
-        # Hillis-Steele prefix PRODUCT of (1 - a) along the chunk lanes:
-        # log2(chunk)+1 roll+select+multiply rounds replace the per-lane
-        # log1p + exp transcendental pair of chain_logmm (and run exact
-        # f32 instead of bf16 log-space). pltpu.roll(x, s, 1) rotates
-        # right: lane j reads lane j-s; the wrapped lanes are masked to 1.
-        del triu
-        om = 1.0 - a_eff                                       # (PIX, chunk)
-        lane = jax.lax.broadcasted_iota(jnp.int32, om.shape, 1)
+    def chain_scan(a_eff, T_pix, cr, cg, cb_, col_r, col_g, col_b, ltri):
+        # Hillis-Steele prefix PRODUCT of (1 - a) along the chunk sublanes
+        # — exact f32, no transcendentals.
+        del ltri
+        om = 1.0 - a_eff                                       # (chunk, PIX)
+        row = jax.lax.broadcasted_iota(jnp.int32, om.shape, 0)
         pinc = om
-        s = 1
-        while s < chunk:
-            pinc = pinc * jnp.where(lane >= s, pltpu.roll(pinc, s, 1), 1.0)
-            s *= 2
-        excl = jnp.where(lane >= 1, pltpu.roll(pinc, 1, 1), 1.0)
+        st = 1
+        while st < chunk:
+            pinc = pinc * jnp.where(row >= st, pltpu.roll(pinc, st, 0), 1.0)
+            st *= 2
+        excl = jnp.where(row >= 1, pltpu.roll(pinc, 1, 0), 1.0)
         weight = a_eff * (T_pix * excl)
         cr, cg, cb_ = _color_acc(weight, cr, cg, cb_, col_r, col_g, col_b)
-        return T_pix * pinc[:, chunk - 1:chunk], cr, cg, cb_
+        return T_pix * pinc[chunk - 1:chunk, :], cr, cg, cb_
 
     chain = chain_logmm if prefix_mode == "logmm" else chain_scan
 
-    # Loop-invariant blocks, built once per program: the strict-upper
-    # prefix matrix and the pixel quadratic-feature block. Pixel features
-    # use LOCAL (in-tile) coordinates, so they are tile-independent:
-    # power(p, j) = -0.5 ca dx^2 - 0.5 cc dy^2 - cb dx dy is a bilinear
-    # form pixel_feat x pair_feat evaluated in ONE bf16 MXU pass with an
-    # exact hi/lo pair-feature split (blend_fwd._power_mxu), replacing ~10
-    # VPU ops per pair-pixel.
-    triu_bf = _triu_strict(chunk).astype(jnp.bfloat16)
+    # Loop-invariant blocks, built once per program: strictly-LOWER
+    # triangular prefix matrix (excl[i] = sum_{j<i} logs[j]), the pixel
+    # quadratic-feature block (power as ONE transposed bf16 MXU pass with
+    # an exact hi/lo pair-feature split), and the bf16 identity used to
+    # transpose (1, chunk) integer rows into (chunk, 1) columns on the MXU
+    # (a one-hot matmul of 8-bit integers is exact; Mosaic vector
+    # transposes of 1-row blocks are not reliably cheap).
+    ltri_bf = (jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+               < jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+               ).astype(jnp.bfloat16)
     pfeat = _pixel_quad_feat()                                  # (PIX, 16)
+    eye_bf = (jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+              == jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+              ).astype(jnp.bfloat16)
 
-    # batch consecutive tiles per grid program: per-program launch overhead
-    # (~9 us) dwarfs one tile's compute (~2 us), so amortize it.
+    def _to_cols(rows_f32):
+        # (R, chunk) f32 with bf16-exact values -> (chunk, R_pad) f32.
+        # R pads to 8: Mosaic rejects matmuls with a size-1 output dim.
+        r = rows_f32.shape[0]
+        rows = jnp.concatenate(
+            [rows_f32, jnp.zeros((8 - r, rows_f32.shape[1]), jnp.float32)],
+            axis=0)
+        return jax.lax.dot_general(
+            eye_bf, rows.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
     def per_tile(b, _):
         t = tb * batch + b
         start = seg_start_ref[t]
@@ -237,14 +251,13 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
         base = pl.multiple_of((start // 128) * 128, 128)
         num_chunks = pl.cdiv(end - base, chunk)
 
-        act = act_ref[b]                       # (PIX, 4)
-        l1_active = act[:, 0:1] > 0            # (PIX, 1)
-        l2_active = act[:, 1:2] > 0
+        l1_active = act_ref[b, 0:1, :] > 0     # (1, PIX)
+        l2_active = act_ref[b, 1:2, :] > 0
         # Per-tile specialization (the reference's renderCUDA vs
         # renderCUDA_blending split, rasterizer_impl.cu:897,922): plain
         # tiles run a single-chain loop — the second transmittance chain
-        # (log/exp/matmul per pair-pixel) is the bulk of the VPU work.
-        is_blend = jnp.max(act[:, 1]) > 0
+        # is the bulk of the work.
+        is_blend = jnp.max(act_ref[b, 1, :]) > 0
 
         def chunk_geo(k):
             src = pl.multiple_of(jnp.minimum(base + k * chunk, cap - chunk),
@@ -268,10 +281,10 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
             # condition select over vector operands (see expand_fov).
             sel = jnp.full((FROW, chunk), in_win)
             data = jnp.where(sel, wdata, fbuf[...])
-            gid = src + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-            in_seg = (gid >= start) & (gid < end)
-            # Pair quadratic features in tile-local coords (1, chunk) each;
-            # power = pfeat @ feat on the MXU (see per-program comment).
+            gid_col = src + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+            in_seg = (gid_col >= start) & (gid_col < end)       # (chunk, 1)
+            # Pair quadratic features in tile-local coords; power_T =
+            # featT^T @ pfeatT on the MXU with an exact hi/lo split.
             mxl = data[0:1, :] - tx0
             myl = data[1:2, :] - ty0
             ca = _hi(data[2:3, :]) + _lo(data[2:3, :])
@@ -283,7 +296,14 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
                  cc * myl + cb * mxl,
                  -0.5 * ca, -0.5 * cc, -cb,
                  jnp.zeros((2, chunk), jnp.float32)], axis=0)   # (8, chunk)
-            power = _power_mxu(pfeat, feat)                     # (PIX, chunk)
+            fhi_f = pltpu.bitcast(pltpu.bitcast(feat, jnp.int32) & _MASK_HI,
+                                  jnp.float32)
+            feat2 = jnp.concatenate([fhi_f.astype(jnp.bfloat16),
+                                     (feat - fhi_f).astype(jnp.bfloat16)],
+                                    axis=0)                     # (16, chunk)
+            power = jax.lax.dot_general(
+                feat2, pfeat, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (chunk, PIX)
             G = jnp.exp(jnp.minimum(power, 0.0))
             # <= 3e-3, not <= 0: MXU roundoff near a Gaussian's center
             # (power ~ 0) must not drop a full-opacity contribution
@@ -291,25 +311,38 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
             geo_ok = (power <= 3e-3) & (power >= power_cutoff) & in_seg
             return data, G, geo_ok
 
+        def unpack_cols(data):
+            # u8 opacity fields -> (chunk, 1) columns via the exact
+            # eye-matmul transpose (integers <= 255 are bf16-exact; the
+            # C_OP scale applies after).
+            bits = pltpu.bitcast(data[4:5, :], jnp.int32)
+            q1 = (jax.lax.shift_right_logical(bits, 24) & 255).astype(
+                jnp.float32)
+            q2 = (jax.lax.shift_right_logical(bits, 16) & 255).astype(
+                jnp.float32)
+            cols = _to_cols(jnp.concatenate([q1, q2], axis=0))
+            return cols[:, 0:1] * C_OP, cols[:, 1:2] * C_OP
+
         def body_dual(state):
             k, cont, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b = state
             del cont
             data, G, geo_ok = chunk_geo(k)
+            op1_col, op2_col = unpack_cols(data)
 
-            a1 = jnp.minimum(ALPHA_MAX, _u8(data[4:5, :], 24, C_OP) * G)
+            a1 = jnp.minimum(ALPHA_MAX, op1_col * G)
             ok1 = geo_ok & (a1 >= ALPHA_MIN) & l1_active
             T1, c1r, c1g, c1b = chain(jnp.where(ok1, a1, 0.0), T1, c1r, c1g,
                                       c1b, _u8(data[4:5, :], 8, C_COL),
                                       _u8(data[4:5, :], 0, C_COL),
-                                      _u8(data[5:6, :], 24, C_COL), triu_bf)
+                                      _u8(data[5:6, :], 24, C_COL), ltri_bf)
 
             # op2 == 0 on L2-culled pairs -> a2 = 0 fails the ALPHA_MIN test.
-            a2 = jnp.minimum(ALPHA_MAX, _u8(data[4:5, :], 16, C_OP) * G)
+            a2 = jnp.minimum(ALPHA_MAX, op2_col * G)
             ok2 = geo_ok & (a2 >= ALPHA_MIN) & l2_active
             T2, c2r, c2g, c2b = chain(jnp.where(ok2, a2, 0.0), T2, c2r, c2g,
                                       c2b, _u8(data[5:6, :], 16, C_COL),
                                       _u8(data[5:6, :], 8, C_COL),
-                                      _u8(data[5:6, :], 0, C_COL), triu_bf)
+                                      _u8(data[5:6, :], 0, C_COL), ltri_bf)
 
             alive1 = jnp.max(jnp.where(l1_active, T1, 0.0)) >= T_EPS
             alive2 = jnp.max(jnp.where(l2_active, T2, 0.0)) >= T_EPS
@@ -320,19 +353,20 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
             k, cont, T1, c1r, c1g, c1b = state
             del cont
             data, G, geo_ok = chunk_geo(k)
+            op1_col, _ = unpack_cols(data)
 
-            a1 = jnp.minimum(ALPHA_MAX, _u8(data[4:5, :], 24, C_OP) * G)
+            a1 = jnp.minimum(ALPHA_MAX, op1_col * G)
             ok1 = geo_ok & (a1 >= ALPHA_MIN)
             T1, c1r, c1g, c1b = chain(jnp.where(ok1, a1, 0.0), T1, c1r, c1g,
                                       c1b, _u8(data[4:5, :], 8, C_COL),
                                       _u8(data[4:5, :], 0, C_COL),
-                                      _u8(data[5:6, :], 24, C_COL), triu_bf)
+                                      _u8(data[5:6, :], 24, C_COL), ltri_bf)
 
             cont = (k + 1 < num_chunks) & (jnp.max(T1) >= T_EPS)
             return k + 1, cont, T1, c1r, c1g, c1b
 
-        zc = jnp.zeros((PIX, 1), jnp.float32)
-        one = jnp.ones((PIX, 1), jnp.float32)
+        zc = jnp.zeros((1, PIX), jnp.float32)
+        one = jnp.ones((1, PIX), jnp.float32)
 
         @pl.when(is_blend)
         def _():
@@ -342,7 +376,7 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
                  zc))
             _, _, T1, c1r, c1g, c1b, T2, c2r, c2g, c2b = st
             out_ref[b] = jnp.concatenate(
-                [c1r, c1g, c1b, T1, c2r, c2g, c2b, T2], axis=1)
+                [c1r, c1g, c1b, T1, c2r, c2g, c2b, T2], axis=0)
 
         @pl.when(jnp.logical_not(is_blend))
         def _():
@@ -351,11 +385,16 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
                 (jnp.int32(0), num_chunks > 0, one, zc, zc, zc))
             _, _, T1, c1r, c1g, c1b = st
             out_ref[b] = jnp.concatenate(
-                [c1r, c1g, c1b, T1, zc, zc, zc, one], axis=1)
+                [c1r, c1g, c1b, T1, zc, zc, zc, one], axis=0)
 
         return 0
 
-    jax.lax.fori_loop(0, batch, per_tile, 0)
+    # Unrolled per-tile loop (b STATIC): measured 10.67 ms vs 10.90 ms for
+    # the fori form at batch 8 on the proxy workload (fori pays dynamic
+    # first-dim block indexing; unroll pays code size — a wash, slight
+    # edge to unroll at batch 8).
+    for b in range(batch):
+        per_tile(b, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_x", "grid_y", "chunk",
@@ -380,19 +419,20 @@ def blend_fov_pallas(pair_data, seg_start, seg_end, tile_act,
     window = max(sub, min(window, (cap // sub) * sub))
     assert window >= chunk, (window, chunk)
     t_pad = ((num_tiles + batch - 1) // batch) * batch
+    tile_act = tile_act.transpose(0, 2, 1)      # (T, 4, PIX) lane-major
     if t_pad != num_tiles:
         pad = t_pad - num_tiles
         seg_start = jnp.concatenate([seg_start, jnp.zeros(pad, jnp.int32)])
         seg_end = jnp.concatenate([seg_end, jnp.zeros(pad, jnp.int32)])
         tile_act = jnp.concatenate(
-            [tile_act, jnp.zeros((pad, PIX, 4), jnp.float32)], axis=0)
+            [tile_act, jnp.zeros((pad, 4, PIX), jnp.float32)], axis=0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t_pad // batch,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec((batch, PIX, 4), lambda t, *_: (t, 0, 0),
+                  pl.BlockSpec((batch, 4, PIX), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((batch, PIX, 8), lambda t, *_: (t, 0, 0),
+        out_specs=[pl.BlockSpec((batch, 8, PIX), lambda t, *_: (t, 0, 0),
                                 memory_space=pltpu.VMEM)],
         scratch_shapes=[pltpu.VMEM((2, FROW, window), jnp.float32),
                         pltpu.VMEM((FROW, chunk), jnp.float32),
@@ -405,8 +445,10 @@ def blend_fov_pallas(pair_data, seg_start, seg_end, tile_act,
                                window=window, sub=sub)
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((t_pad, PIX, 8), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((t_pad, 8, PIX), jnp.float32)],
         interpret=interpret,
     )(seg_start, seg_end, pair_data, tile_act)[0]
     out = out[:num_tiles]
-    return out[:, :, 0:3], out[:, :, 3], out[:, :, 4:7], out[:, :, 7]
+    # Back to pixel-major for the consumers (one cheap XLA transpose).
+    return (out[:, 0:3, :].transpose(0, 2, 1), out[:, 3, :],
+            out[:, 4:7, :].transpose(0, 2, 1), out[:, 7, :])
