@@ -42,10 +42,20 @@ def from_params(params: G.GaussianParams, capacity: int | None = None) -> Traine
     n = params.num_points
     cap = capacity or n
     if cap > n:
-        def pad(x):
-            extra = jnp.zeros((cap - n,) + x.shape[1:], x.dtype)
+        def pad(x, fill=0.0):
+            extra = jnp.full((cap - n,) + x.shape[1:], fill, x.dtype)
             return jnp.concatenate([x, extra], axis=0)
-        params = jax.tree.map(pad, params)
+        # Padding rows must be NUMERICALLY SAFE, not just dead: an
+        # all-zero quaternion hits rsqrt(0) in preprocess, and the
+        # resulting NaN leaks into dead-row GRADIENTS through
+        # where-masked values (0 * NaN = NaN), poisoning Adam moments.
+        params = G.GaussianParams(
+            xyz=pad(params.xyz),
+            features_dc=pad(params.features_dc),
+            features_rest=pad(params.features_rest),
+            scaling=pad(params.scaling, -10.0),     # exp -> ~5e-5
+            rotation=pad(params.rotation).at[n:, 0].set(1.0),
+            opacity=pad(params.opacity, -10.0))     # sigmoid -> ~5e-5
     live = jnp.arange(cap) < n
     return TrainerState(params=params, opt=optim.init_state(params), live=live)
 

@@ -13,6 +13,37 @@ Depth correctness across shards: pairs from different source devices
 interleave arbitrarily, so the receiver re-sorts its merged pair list by
 (tile, view depth) — the same two-key order the single-chip path encodes
 with its depth-presort + stable tile sort.
+
+DESIGN DECISION (round 2): multi-chip TRAINING stays pure data-parallel
+(parallel/data_parallel.py — replicated params, one view per device,
+psum/pmean gradient all-reduce over ICI); the tile-sharded path here is
+FORWARD-ONLY (inference / FPS scaling). Rationale:
+
+  * the training workload is view-parallel by construction: prune/mask
+    loops iterate over hundreds of cameras per epoch and their prune
+    events sweep the whole train set (~190 renders x 5) — embarrassingly
+    parallel over views with zero communication beyond the gradient
+    all-reduce, which XLA overlaps with the backward;
+  * a differentiable all-to-all would need a custom VJP that routes
+    per-pair gradients BACK through the pair exchange (transposing
+    all_to_all is mechanical — it is its own transpose — but the
+    fixed per-destination capacities double as gradient buffers, so
+    peak memory grows by the same D x pair-capacity again), for a
+    single-frame speedup training does not need: one 1237x822 frame at
+    1.16M Gaussians fits one chip with >10x memory headroom;
+  * the reference's own training is single-GPU (SURVEY.md §2.5) — DP
+    over views is already strictly more capability, and the fwd-only
+    tile shard covers the one case DP cannot (one frame too big or too
+    slow for one chip, e.g. 8K foveated output).
+
+If a future model breaks the one-frame-per-chip assumption, the upgrade
+path is: keep binning Gaussian-sharded, give the all-to-all a custom VJP
+(gradient all_to_all with the transposed split/concat axes), and
+segment-sum per-Gaussian gradients on the HOME shard of each Gaussian —
+no new collectives beyond a second all_to_all in the backward.
+tests/test_parallel.py pins both halves of the decision: the DP step
+reduces identically to single-device, and the fwd tile-sharded render
+matches the single-device image.
 """
 
 from __future__ import annotations

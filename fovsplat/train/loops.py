@@ -60,6 +60,18 @@ def _gs_counts(binned, capacity: int):
         1, mode='drop')
 
 
+def _mask_dead_grads(grads, live):
+    """Zero gradients of dead rows. Dead/padding rows can produce NaN
+    cotangents through where-masked preprocess math (0 * NaN = NaN);
+    letting them reach Adam poisons the moments and, after a densify
+    re-uses the row, live parameters. The reference's Adam likewise only
+    carries survivor state (_prune_optimizer)."""
+    def m(g):
+        lv = live.reshape(live.shape + (1,) * (g.ndim - 1))
+        return jnp.where(lv, g, 0.0)
+    return jax.tree.map(m, grads)
+
+
 def make_photometric_step(cfg: LoopConfig, use_scale_decay: bool = False):
     def step(state: S.TrainerState, camera, gt, it, scale_weight):
         def objective(params):
@@ -79,6 +91,7 @@ def make_photometric_step(cfg: LoopConfig, use_scale_decay: bool = False):
 
         (loss, overflow), grads = jax.value_and_grad(
             objective, has_aux=True)(state.params)
+        grads = _mask_dead_grads(grads, state.live)
         lrs = optim.learning_rates(state.params, it, cfg.optim,
                                    cfg.spatial_lr_scale)
         params, opt = optim.apply_updates(state.params, grads, state.opt,
@@ -114,6 +127,7 @@ def make_hvs_step(cfg: LoopConfig, pooling_size, loss_type: str = "L1",
                 cfg.hvs_orientations, loss_type, target_stats=gt_stats)
 
         loss, grads = jax.value_and_grad(objective)(state.params)
+        grads = _mask_dead_grads(grads, state.live)
         lrs = optim.learning_rates(state.params, it, cfg.optim,
                                    cfg.spatial_lr_scale)
         params, opt = optim.apply_updates(state.params, grads, state.opt,

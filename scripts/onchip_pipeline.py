@@ -1,0 +1,172 @@
+"""Reduced-but-honest on-chip pipeline run (VERDICT round-1 item #7).
+
+Drives the REAL jitted training loops on the TPU at reduced scale:
+efficiency-aware prune loop (quality gates, scale-decay, rollback,
+metric prunes) -> one PS-mask layer -> compose -> SM-FR assignment,
+recording wall-clock + model trajectory into
+artifacts/onchip_pipeline_r2.json.
+
+Scene: the bicycle proxy at 200k Gaussians. Ground truth comes from
+rendering the UNPERTURBED proxy on 10 ring cameras at 512x384 (divisible
+by 32 for the HVS pyramid); the trained model starts from a perturbed
+copy (jittered params), so the loops do real optimization work and the
+prune gates/rollback see real quality movement.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fovsplat.data import proxy
+from fovsplat.data.cameras import look_at_camera
+from fovsplat.models import state as S
+from fovsplat.models.gaussians import GaussianParams
+from fovsplat.ops import rasterize as rast
+from fovsplat.ops.rasterize import RasterizeConfig
+from fovsplat.train import compose, loops
+
+N = int(os.environ.get("PIPE_N", 200_000))
+PRUNE_ITERS = int(os.environ.get("PIPE_PRUNE_ITERS", 2000))
+MASK_ITERS = int(os.environ.get("PIPE_MASK_ITERS", 600))
+W, H = 512, 384
+INTERP = os.environ.get("PIPE_INTERPRET", "") == "1"   # CPU smoke
+
+
+class View:
+    def __init__(self, camera, image):
+        self.camera = camera
+        self.image = image
+
+
+def main():
+    t_all = time.time()
+    art = {"n": N, "prune_iters": PRUNE_ITERS, "mask_iters": MASK_ITERS,
+           "resolution": [W, H], "stages": {}}
+    rng = np.random.default_rng(0)
+    sc = proxy.bicycle_proxy(n=N)
+
+    def logit(x):
+        return np.log(x / (1 - x))
+
+    teacher = GaussianParams(
+        xyz=jnp.asarray(sc["means"]),
+        features_dc=jnp.asarray(sc["shs_dcs"][:, 0:1, :]),
+        features_rest=jnp.asarray(sc["shs_rest"]),
+        scaling=jnp.asarray(np.log(np.maximum(sc["scales"], 1e-9))),
+        rotation=jnp.asarray(sc["rotations"]),
+        opacity=jnp.asarray(logit(sc["opacity"]))[:, None])
+
+    cfg = loops.LoopConfig(raster=RasterizeConfig(
+        pair_capacity=1 << 16 if INTERP else 1 << 21, chunk=4096,
+        backend="pallas", pallas_chunk=256, pallas_interpret=INTERP))
+
+    # ---- ground truth from the teacher -----------------------------------
+    t0 = time.time()
+    cams = [look_at_camera(
+        [3.4 * np.cos(a), -1.0 - 0.2 * np.sin(2 * a), 3.4 * np.sin(a)],
+        [0, 0, 0], [0, -1, 0], fovx=1.2, fovy=1.2 * H / W * 1.2,
+        width=W, height=H) for a in np.linspace(0, 2 * np.pi, 10,
+                                                endpoint=False)]
+    r_cfg = RasterizeConfig(pair_capacity=1 << 16 if INTERP else 1 << 21,
+                            chunk=4096, backend="pallas",
+                            pallas_fwd_only=True, pallas_chunk=256,
+                            pallas_interpret=INTERP)
+    views = []
+    for c in cams:
+        img = rast.rasterize(teacher.xyz, teacher.get_scaling(),
+                             teacher.get_rotation(), teacher.get_opacity(),
+                             c, shs=teacher.get_features(),
+                             config=r_cfg)["render"]
+        views.append(View(c, np.asarray(jnp.clip(img, 0, 1))))
+    train_views, test_views = views[:8], views[8:]
+    art["stages"]["gt_render"] = {"s": round(time.time() - t0, 1)}
+    print(f"GT renders: {time.time()-t0:.1f}s", flush=True)
+
+    # ---- perturbed student init ------------------------------------------
+    student = GaussianParams(
+        xyz=teacher.xyz + jnp.asarray(
+            rng.normal(0, 0.004, (N, 3)), jnp.float32),
+        features_dc=teacher.features_dc + jnp.asarray(
+            rng.normal(0, 0.08, (N, 1, 3)), jnp.float32),
+        features_rest=teacher.features_rest,
+        scaling=teacher.scaling + jnp.asarray(
+            rng.normal(0, 0.05, (N, 3)), jnp.float32),
+        rotation=teacher.rotation,
+        opacity=teacher.opacity + jnp.asarray(
+            rng.normal(0, 0.2, (N, 1)), jnp.float32))
+    state = S.from_params(student, capacity=int(N * 1.02))
+
+    logbuf = []
+
+    def log(msg):
+        logbuf.append(str(msg))
+        print(msg, flush=True)
+
+    # ---- stage: efficiency-aware prune loop -------------------------------
+    t0 = time.time()
+    eval_view, _ = loops.make_eval_fns(cfg)
+    ssim0, psnr0 = loops.evaluate(state, test_views, eval_view)
+    log(f"pretrain eval: ssim={ssim0:.4f} psnr={psnr0:.2f}")
+    t_ssim, t_psnr = ssim0 * 0.99, psnr0 * 0.99
+    state = loops.prune_training(
+        state, train_views, test_views, t_ssim, t_psnr, cfg,
+        iters=PRUNE_ITERS, pruning_iters=int(PRUNE_ITERS * 0.9),
+        prune_interval=200, log=log, eval_views_cap=2,
+        final_prune_rounds=2)
+    live_after_prune = int(state.live_count())
+    s1, p1 = loops.evaluate(state, test_views, eval_view)
+    art["stages"]["prune"] = {
+        "s": round(time.time() - t0, 1), "iters": PRUNE_ITERS,
+        "live_before": N, "live_after": live_after_prune,
+        "ssim0": round(float(ssim0), 4), "psnr0": round(float(psnr0), 2),
+        "ssim_after": round(float(s1), 4), "psnr_after": round(float(p1), 2),
+        "targets": [round(float(t_ssim), 4), round(float(t_psnr), 2)]}
+    log(f"prune stage: {time.time()-t0:.1f}s, live {N} -> "
+        f"{live_after_prune}, ssim {s1:.4f} psnr {p1:.2f}")
+
+    # ---- stage: one PS-mask layer (ps=3) ----------------------------------
+    t0 = time.time()
+    _, hvs_view = loops.make_eval_fns(cfg)
+    hvs0 = float(np.mean([float(hvs_view(state, v.camera,
+                                         jnp.asarray(v.image), 3.0))
+                          for v in train_views[:2]]))
+    masked = loops.mask_training(
+        state, train_views, pooling_size=3.0, target_hvs=hvs0 * 1.15,
+        cfg=cfg, iters=MASK_ITERS, masking_iters=int(MASK_ITERS * 0.8),
+        prune_interval=120, log=log, eval_views_cap=2)
+    art["stages"]["mask_ps3"] = {
+        "s": round(time.time() - t0, 1), "iters": MASK_ITERS,
+        "live_after": int(masked.live_count()),
+        "hvs0": hvs0}
+    log(f"mask stage: {time.time()-t0:.1f}s, live -> "
+        f"{int(masked.live_count())}")
+
+    # ---- stage: compose + SM-FR ------------------------------------------
+    t0 = time.time()
+    layers = [state, masked]
+    model = compose.compose_layers(layers)
+    counts = [int(st.live_count()) for st in layers]
+    naive_hl = compose.gen_naive_fr(state, counts)
+    art["stages"]["compose"] = {
+        "s": round(time.time() - t0, 1), "layer_counts": counts,
+        "naive_hl_hist": np.bincount(
+            np.asarray(naive_hl).astype(int) + 1).tolist()}
+    log(f"compose: {time.time()-t0:.1f}s, counts={counts}")
+
+    art["total_s"] = round(time.time() - t_all, 1)
+    os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/onchip_pipeline_r2.json", "w") as f:
+        json.dump(art, f, indent=1)
+    with open("artifacts/onchip_pipeline_r2.log", "w") as f:
+        f.write("\n".join(logbuf))
+    print(json.dumps(art))
+
+
+if __name__ == "__main__":
+    main()
