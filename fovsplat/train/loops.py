@@ -61,14 +61,18 @@ def _gs_counts(binned, capacity: int):
 
 
 def _mask_dead_grads(grads, live):
-    """Zero gradients of dead rows. Dead/padding rows can produce NaN
-    cotangents through where-masked preprocess math (0 * NaN = NaN);
+    """Zero dead-row and non-finite gradients. Dead/padding rows produce
+    NaN cotangents through where-masked preprocess math (0 * NaN = NaN);
     letting them reach Adam poisons the moments and, after a densify
     re-uses the row, live parameters. The reference's Adam likewise only
-    carries survivor state (_prune_optimizer)."""
+    carries survivor state (_prune_optimizer). The finite guard also
+    keeps long prune runs alive if a live row's backward overflows
+    (observed once on-chip after an aggressive prune event; under
+    investigation — the guard drops that step's contribution for the
+    affected row instead of destroying the model)."""
     def m(g):
         lv = live.reshape(live.shape + (1,) * (g.ndim - 1))
-        return jnp.where(lv, g, 0.0)
+        return jnp.where(lv & jnp.isfinite(g), g, 0.0)
     return jax.tree.map(m, grads)
 
 
