@@ -100,13 +100,20 @@ def reset_opacity_max(state: TrainerState, max_val: float = 0.1) -> TrainerState
 
 def metric_prune(state: TrainerState, scores: jnp.ndarray,
                  ratio: float) -> TrainerState:
-    """Kill the lowest-scoring `ratio` fraction of live rows
-    (metric_pruning, prune.py:101-110). Ties at the threshold may prune a
-    few extra rows (the reference breaks ties by sort order)."""
+    """Kill the lowest-scoring `ratio` fraction of live rows — EXACTLY
+    k rows (metric_pruning, prune.py:101-110; the reference sorts and
+    prunes the first k indices). Rank-based, not threshold-based: a
+    threshold cut (`score <= quantile`) over-prunes catastrophically
+    when scores tie — e.g. every Gaussian invisible in the scored views
+    carries score 0, and one 2% prune event then wiped 88% of a proxy
+    model on-chip. Ties break by row index (stable argsort), which is
+    deterministic, unlike the reference's sort-order races."""
+    cap = state.live.shape[0]
     n_live = jnp.sum(state.live)
     k = (n_live.astype(jnp.float32) * ratio).astype(jnp.int32)
     s = jnp.where(state.live, scores, jnp.inf)
-    order = jnp.sort(s)
-    cutoff = order[jnp.maximum(k - 1, 0)]
-    kill = state.live & (s <= cutoff) & (k > 0)
+    order = jnp.argsort(s, stable=True)
+    rank = jnp.zeros(cap, jnp.int32).at[order].set(
+        jnp.arange(cap, dtype=jnp.int32))
+    kill = state.live & (rank < k)
     return prune_mask(state, kill)

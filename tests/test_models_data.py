@@ -202,3 +202,29 @@ def test_network_gui_protocol():
         _time.sleep(0.01)
     th.join(timeout=5)
     assert result == {"img_len": 96, "verify": "scene"}
+
+
+def test_metric_prune_exact_count_with_ties():
+    """metric_prune must kill EXACTLY ratio*live rows even when scores tie
+    (a threshold cut would wipe every zero-score row at once — observed
+    on-chip: one 2% event killed 88% of a proxy model)."""
+    import jax.numpy as jnp
+    from fovsplat.models import state as S
+    from fovsplat.models.gaussians import GaussianParams
+    import numpy as np
+    n = 1000
+    rng = np.random.default_rng(0)
+    p = GaussianParams(
+        xyz=jnp.asarray(rng.normal(0, 1, (n, 3)), jnp.float32),
+        features_dc=jnp.zeros((n, 1, 3), jnp.float32),
+        features_rest=jnp.zeros((n, 15, 3), jnp.float32),
+        scaling=jnp.full((n, 3), -3.0),
+        rotation=jnp.concatenate([jnp.ones((n, 1)), jnp.zeros((n, 3))], 1),
+        opacity=jnp.zeros((n, 1)))
+    st = S.from_params(p, capacity=n + 24)
+    scores = jnp.zeros(n + 24)            # ALL tied at zero
+    st2 = S.metric_prune(st, scores, 0.02)
+    assert int(st2.live_count()) == n - int(n * 0.02)
+    # Deterministic: lowest indices die first on ties.
+    live = np.asarray(st2.live)
+    assert not live[:int(n * 0.02)].any() and live[int(n * 0.02):n].all()
