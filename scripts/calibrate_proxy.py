@@ -22,7 +22,7 @@ from fovsplat.ops.rasterize import _grid
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--n", type=int, default=proxy.BICYCLE_PNUM[0])
-ap.add_argument("--scale-mult", type=float, default=1.0)
+ap.add_argument("--scale-mult", type=float, default=0.45)
 ap.add_argument("--gaze", type=float, nargs=2, default=[0.5, 0.5])
 ap.add_argument("--cap", type=int, default=1 << 23)
 args = ap.parse_args()

@@ -191,3 +191,10 @@ timeit(fn0, packed, seg_start[:-1], seg_start[:-1], tile_act,
 tile_act0 = tile_act.at[:, :, 1].set(0.0)
 timeit(fn0, packed, seg_start[:-1], seg_start[1:], tile_act0,
        label="blend FORCE-SINGLE chain")
+
+# prefix-mode A/B in the transposed orientation
+fn_scan = jax.jit(lambda p, s, e, a: pkf.blend_fov_pallas(
+    p, s, e, a, gx, gy, 256, -4.5, False, batch=8, window=32768,
+    prefix_mode="scan"))
+timeit(fn_scan, packed, seg_start[:-1], seg_start[1:], tile_act,
+       label="blend prefix=scan (exact f32)")
