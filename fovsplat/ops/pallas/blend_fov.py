@@ -415,15 +415,21 @@ def blend_fov_pallas(pair_data, seg_start, seg_end, tile_act,
     num_tiles = grid_x * grid_y
     cap = pair_data.shape[1]
     assert window % sub == 0 and chunk % 128 == 0 and sub % 128 == 0
+    assert cap >= 128, cap                      # binning pads to chunk mult
     sub = min(sub, (cap // 128) * 128)          # tiny caps (CPU tests)
     window = max(sub, min(window, (cap // sub) * sub))
     assert window >= chunk, (window, chunk)
     t_pad = ((num_tiles + batch - 1) // batch) * batch
     tile_act = tile_act.transpose(0, 2, 1)      # (T, 4, PIX) lane-major
     if t_pad != num_tiles:
+        # Pad with the last real seg_end (empty segments AT the real range's
+        # end) — zero-padded segs would drag the final batch's streaming
+        # window to lane 0, forcing every real tile in it onto the
+        # latency-exposed per-chunk fallback DMA (ADVICE r2).
         pad = t_pad - num_tiles
-        seg_start = jnp.concatenate([seg_start, jnp.zeros(pad, jnp.int32)])
-        seg_end = jnp.concatenate([seg_end, jnp.zeros(pad, jnp.int32)])
+        tail = jnp.broadcast_to(seg_end[-1], (pad,)).astype(jnp.int32)
+        seg_start = jnp.concatenate([seg_start, tail])
+        seg_end = jnp.concatenate([seg_end, tail])
         tile_act = jnp.concatenate(
             [tile_act, jnp.zeros((pad, 4, PIX), jnp.float32)], axis=0)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -43,7 +43,8 @@ SROWS = 8
 
 def _stats_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, arg_ref,
                   stats_hbm, buf, sbuf, sem, ssem, *, grid_x: int,
-                  chunk: int, power_cutoff: float, cap: int, batch: int):
+                  chunk: int, power_cutoff: float, cap: int, batch: int,
+                  width: int, height: int):
     tb = pl.program_id(0)
     triu = _triu_strict(chunk)
 
@@ -52,6 +53,10 @@ def _stats_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, arg_ref,
         start = seg_start_ref[t]
         end = seg_end_ref[t]
         px, py = _pixel_coords(t, grid_x)
+        # done = !inside at init (forward.cu:326): padding pixels on edge
+        # tiles start frozen and never blend or count.
+        outside = jnp.where((px < jnp.float32(width))
+                            & (py < jnp.float32(height)), 0.0, 1.0)
         base = pl.multiple_of((start // chunk) * chunk, chunk)
         num_chunks = pl.cdiv(end - base, chunk)
 
@@ -95,7 +100,8 @@ def _stats_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, arg_ref,
             done_before = jnp.dot(trigger.astype(jnp.float32), triu,
                                   preferred_element_type=jnp.float32) > 0
             contribute = (a_eff > 0) & ~trigger & ~done_before
-            frozen = jnp.maximum(frozen, jnp.max(
+            frozen_in = frozen          # pre-chunk carry: the trigger
+            frozen = jnp.maximum(frozen, jnp.max(  # pair itself still counts
                 trigger.astype(jnp.float32), axis=1, keepdims=True))
             weight = jnp.where(contribute, a_eff * T_row, 0.0)
 
@@ -122,8 +128,10 @@ def _stats_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, arg_ref,
             best_lane = jnp.where(better, clane, best_lane)
             best_w = jnp.maximum(best_w, cmax)
 
-            # Per-pair stat rows for this chunk.
-            geo_win = (geo_ok & in_seg & (frozen < 0.5)
+            # Per-pair stat rows for this chunk (geo_win uses the PRE-chunk
+            # frozen carry: the reference counts pairs up to AND including
+            # each pixel's saturation trigger, N4 forward.cu:381).
+            geo_win = (geo_ok & in_seg & (frozen_in < 0.5)
                        & jnp.logical_not(done_before))
             srow = jnp.concatenate([
                 jnp.sum(weight, axis=0, keepdims=True),
@@ -165,7 +173,7 @@ def _stats_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, arg_ref,
 
         zc = jnp.zeros((PIX, 1), jnp.float32)
         init = (jnp.int32(0), num_chunks > 0, jnp.ones((PIX, 1), jnp.float32),
-                jnp.zeros((PIX, 1), jnp.float32),
+                outside,
                 zc, zc, zc, zc, jnp.full((PIX, 1), jnp.float32(cap)),
                 jnp.full((PIX, 1), jnp.float32(1 << 30)))
         st = jax.lax.while_loop(lambda s: s[1], body, init)
@@ -184,10 +192,10 @@ def _stats_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, arg_ref,
 
 @functools.partial(jax.jit, static_argnames=("grid_x", "grid_y", "chunk",
                                              "power_cutoff", "interpret",
-                                             "batch"))
+                                             "batch", "width", "height"))
 def blend_stats_pallas(pair_data, seg_start, seg_end, grid_x, grid_y,
                        chunk=256, power_cutoff=-4.5, interpret=False,
-                       batch=8):
+                       batch=8, width=1 << 30, height=1 << 30):
     """pair_data (ROW, CAP) f32 EXACT rows (train-mode fused binning
     layout: [mx, my, ca, cb, cc, op, r, g, b, gid, ...]); unaligned
     segments.
@@ -222,7 +230,7 @@ def blend_stats_pallas(pair_data, seg_start, seg_end, grid_x, grid_y,
     )
     kernel = functools.partial(_stats_kernel, grid_x=grid_x, chunk=chunk,
                                power_cutoff=power_cutoff, cap=cap,
-                               batch=batch)
+                               batch=batch, width=width, height=height)
     out, arg, stats = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((t_pad, PIX, 4), jnp.float32),

@@ -78,6 +78,9 @@ def blend_stats(pair_tile, pair_gauss, pair_mean2d, pair_conic, pair_opacity,
     BIG = jnp.float32(1 << 30)
 
     fetch_mode = mode in ("sum", "loss_weighted_max_count")
+    # Reference initializes done = !inside (forward.cu:326): padding
+    # pixels on edge tiles never blend or count in ANY statistic.
+    ins = (jnp.ones((num_tiles, PIX), bool) if inside is None else inside)
 
     def body(state):
         (k, color, logT, frozen, gs_count, contribs, best_w, best_g,
@@ -164,7 +167,7 @@ def blend_stats(pair_tile, pair_gauss, pair_mean2d, pair_conic, pair_opacity,
     init = (jnp.int32(0),
             jnp.zeros(shape_pix + (3,), jnp.float32),
             jnp.zeros(shape_pix, jnp.float32),
-            jnp.zeros(shape_pix, bool),
+            ~ins,
             jnp.zeros(n_gaussians, jnp.int32),
             jnp.zeros(n_gaussians, jnp.float32),
             jnp.zeros(shape_pix, jnp.float32) if argmax_mode
@@ -177,7 +180,6 @@ def blend_stats(pair_tile, pair_gauss, pair_mean2d, pair_conic, pair_opacity,
      first_trig) = jax.lax.while_loop(cond, body, init)
 
     if fetch_mode:
-        ins = (jnp.ones(shape_pix, bool) if inside is None else inside)
         f = tile_fetch_counts(first_trig, seg_start, ins, num_tiles)  # (T,)
         cap_ = pair_tile.shape[0]
         lanes = jnp.arange(cap_, dtype=jnp.int32)
@@ -271,7 +273,8 @@ def rasterize_stats(means3d, scales, rotations, opacities, camera,
         tile_color, final_T, pair_stats, arg = pbs.blend_stats_pallas(
             packed, seg_start[:-1], seg_start[1:], gx, gy,
             config.pallas_chunk, config.power_cutoff,
-            config.pallas_interpret, batch=config.pallas_blend_batch)
+            config.pallas_interpret, batch=config.pallas_blend_batch,
+            width=camera.width, height=camera.height)
         lane = jnp.arange(cap3, dtype=jnp.int32)
         in_use = lane < num_pairs
         gid_pair = jnp.where(in_use, packed[9].astype(jnp.int32), n)

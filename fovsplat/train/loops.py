@@ -61,19 +61,61 @@ def _gs_counts(binned, capacity: int):
 
 
 def _mask_dead_grads(grads, live):
-    """Zero dead-row and non-finite gradients. Dead/padding rows produce
-    NaN cotangents through where-masked preprocess math (0 * NaN = NaN);
-    letting them reach Adam poisons the moments and, after a densify
-    re-uses the row, live parameters. The reference's Adam likewise only
-    carries survivor state (_prune_optimizer). The finite guard also
-    keeps long prune runs alive if a live row's backward overflows
-    (observed once on-chip after an aggressive prune event; under
-    investigation — the guard drops that step's contribution for the
-    affected row instead of destroying the model)."""
+    """Zero dead-row and non-finite gradients; returns (grads, n_bad) where
+    n_bad counts LIVE rows whose gradient had a non-finite component.
+
+    Dead/padding rows produce NaN cotangents through where-masked
+    preprocess math (0 * NaN = NaN); letting them reach Adam poisons the
+    moments and, after a densify re-uses the row, live parameters. The
+    reference's Adam likewise only carries survivor state
+    (_prune_optimizer). The finite guard also keeps long prune runs alive
+    if a live row's backward overflows — but silently absorbing a
+    recurring NaN source would mask a real kernel bug, so such rows are
+    COUNTED and surfaced in the step metrics (ADVICE r2; the loops log a
+    warning whenever the counter is nonzero)."""
+    bad = jnp.zeros(live.shape, bool)
+
     def m(g):
+        nonlocal bad
         lv = live.reshape(live.shape + (1,) * (g.ndim - 1))
-        return jnp.where(lv & jnp.isfinite(g), g, 0.0)
-    return jax.tree.map(m, grads)
+        fin = jnp.isfinite(g)
+        bad = bad | (live & ~fin.reshape(live.shape[0], -1).all(axis=1))
+        return jnp.where(lv & fin, g, 0.0)
+
+    out = jax.tree.map(m, grads)
+    return out, jnp.sum(bad.astype(jnp.int32))
+
+
+class NanWatch:
+    """Surfaces _mask_dead_grads' live-row non-finite counter (ADVICE r2).
+
+    Reads each step's counter one iteration LATE (after the next step has
+    been dispatched) so the host read never stalls the device pipeline."""
+
+    def __init__(self, log: Callable):
+        self.total = 0
+        self.events = 0
+        self._log = log
+        self._prev = None
+
+    def push(self, aux):
+        prev, self._prev = self._prev, aux
+        if prev is not None:
+            self._read(prev)
+
+    def _read(self, aux):
+        nb = int(aux.get("nonfinite", 0))
+        if nb:
+            self.total += nb
+            self.events += 1
+            self._log(f"[warn] non-finite grads zeroed on {nb} LIVE rows "
+                      f"(event {self.events}, cum rows {self.total}) — "
+                      f"possible blend-backward overflow")
+
+    def flush(self):
+        if self._prev is not None:
+            self._read(self._prev)
+            self._prev = None
 
 
 def make_photometric_step(cfg: LoopConfig, use_scale_decay: bool = False):
@@ -95,13 +137,13 @@ def make_photometric_step(cfg: LoopConfig, use_scale_decay: bool = False):
 
         (loss, overflow), grads = jax.value_and_grad(
             objective, has_aux=True)(state.params)
-        grads = _mask_dead_grads(grads, state.live)
+        grads, n_bad = _mask_dead_grads(grads, state.live)
         lrs = optim.learning_rates(state.params, it, cfg.optim,
                                    cfg.spatial_lr_scale)
         params, opt = optim.apply_updates(state.params, grads, state.opt,
                                           lrs, cfg.optim)
         return (dataclasses.replace(state, params=params, opt=opt),
-                {"loss": loss, "overflow": overflow})
+                {"loss": loss, "overflow": overflow, "nonfinite": n_bad})
 
     return jax.jit(step)
 
@@ -131,13 +173,13 @@ def make_hvs_step(cfg: LoopConfig, pooling_size, loss_type: str = "L1",
                 cfg.hvs_orientations, loss_type, target_stats=gt_stats)
 
         loss, grads = jax.value_and_grad(objective)(state.params)
-        grads = _mask_dead_grads(grads, state.live)
+        grads, n_bad = _mask_dead_grads(grads, state.live)
         lrs = optim.learning_rates(state.params, it, cfg.optim,
                                    cfg.spatial_lr_scale)
         params, opt = optim.apply_updates(state.params, grads, state.opt,
                                           lrs, cfg.optim, freeze_mask=freeze)
         return (dataclasses.replace(state, params=params, opt=opt),
-                {"loss": loss})
+                {"loss": loss, "nonfinite": n_bad})
 
     return jax.jit(step)
 
@@ -204,8 +246,13 @@ def evaluate(state, views, eval_view, max_views=None):
 def finetune(state: S.TrainerState, views: Sequence, iters: int,
              cfg: LoopConfig, start_iter: int = 0, hvs_pooling=None,
              hvs_loss_type: str = "L1", log: Callable = print,
-             log_every: int = 200, seed: int = 0):
-    """eff_finetune.py: photometric, or uniform-HVS with --hvs_ft."""
+             log_every: int = 200, seed: int = 0, gui=None,
+             source_path: str = ""):
+    """eff_finetune.py: photometric, or uniform-HVS with --hvs_ft.
+
+    gui: optional eval.network_gui.NetworkGUI polled once per iteration
+    with a live render of the current state, exactly where the reference
+    integrates its viewer into the fine-tune loop (eff_finetune.py:77-90)."""
     if hvs_pooling is None:
         step_fn = make_photometric_step(cfg)
 
@@ -221,17 +268,25 @@ def finetune(state: S.TrainerState, views: Sequence, iters: int,
     rng = random.Random(seed)
     stack = []
     ema = None
+    watch = NanWatch(log)
     for it in range(start_iter + 1, start_iter + iters + 1):
+        if gui is not None:
+            gui.serve_step(
+                lambda cam: np.asarray(jnp.clip(
+                    render_state(state, cam, cfg)["render"], 0.0, 1.0)),
+                source_path)
         if not stack:
             stack = list(views)
             rng.shuffle(stack)
         v = stack.pop()
         state, aux = call(state, v, it)
+        watch.push(aux)
         loss = float(aux["loss"])
         ema = loss if ema is None else 0.6 * ema + 0.4 * loss
         if it % log_every == 0:
             log(f"[finetune] it={it} ema_loss={ema:.5f} "
                 f"live={int(state.live_count())}")
+    watch.flush()
     return state
 
 
@@ -262,6 +317,7 @@ def prune_training(state: S.TrainerState, train_views, test_views,
     stack = []
     scale_weight = 2e-6 if use_scale_decay else 0.0
     best = None   # host-side snapshot for rollback (current-best.pth)
+    watch = NanWatch(log)
 
     def snapshot(st):
         return jax.tree.map(np.asarray, st)
@@ -276,6 +332,7 @@ def prune_training(state: S.TrainerState, train_views, test_views,
         v = stack.pop()
         state, aux = step_fn(state, v.camera, jnp.asarray(v.image),
                              jnp.int32(it), jnp.float32(scale_weight))
+        watch.push(aux)
 
         rel = it - start_iter
         if rel % prune_interval == 1 and rel < pruning_iters:
@@ -316,6 +373,7 @@ def prune_training(state: S.TrainerState, train_views, test_views,
                     log("[prune] final prune rejected")
                     break
 
+    watch.flush()
     state = S.opacity_prune(state, 0.005)
     return state
 
@@ -342,6 +400,7 @@ def mask_training(state: S.TrainerState, train_views, pooling_size: float,
     rng = random.Random(seed)
     stack = []
     best = None
+    watch = NanWatch(log)
 
     for it in range(start_iter + 1, start_iter + iters + 1):
         if not stack:
@@ -350,6 +409,7 @@ def mask_training(state: S.TrainerState, train_views, pooling_size: float,
         v = stack.pop()
         state, aux = step_fn(state, v.camera, jnp.asarray(v.image),
                              jnp.int32(it))
+        watch.push(aux)
 
         rel = it - start_iter
         if rel % prune_interval == 1 and rel < masking_iters:
@@ -367,6 +427,7 @@ def mask_training(state: S.TrainerState, train_views, pooling_size: float,
                 state = S.reset_opacity_max(state, 0.1)
                 log(f"[mask] pruned to {int(state.live_count())}")
 
+    watch.flush()
     hvs = run_hvs(state)
     if hvs > target_hvs and best is not None:
         log(f"[mask] final hvs {hvs:.3e} above target, rollback")

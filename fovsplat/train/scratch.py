@@ -58,7 +58,7 @@ def make_scratch_step(cfg: loops.LoopConfig, sh_degree: int):
 
         (loss, radii), (grads, g_off) = jax.value_and_grad(
             objective, argnums=(0, 1), has_aux=True)(state.params, offset0)
-        grads = loops._mask_dead_grads(grads, state.live)
+        grads, n_bad = loops._mask_dead_grads(grads, state.live)
         lrs = optim.learning_rates(state.params, it, cfg.optim,
                                    cfg.spatial_lr_scale)
         params, opt = optim.apply_updates(state.params, grads, state.opt,
@@ -66,7 +66,7 @@ def make_scratch_step(cfg: loops.LoopConfig, sh_degree: int):
         dstats = D.accumulate(dstats, g_off, radii, camera.width,
                               camera.height)
         return (dataclasses.replace(state, params=params, opt=opt), dstats,
-                {"loss": loss})
+                {"loss": loss, "nonfinite": n_bad})
 
     return jax.jit(step)
 

@@ -182,12 +182,15 @@ def _fetch_oracle(bn, prep, ops_, cam, n, num_tiles, grid_x):
     return gs, geo
 
 
-def test_gs_count_exact_fetch_semantics():
+@pytest.mark.parametrize("wh", [(64, 48), (61, 45)])
+def test_gs_count_exact_fetch_semantics(wh):
     """gs_count ("sum" mode) must equal the reference's FETCHED-pair count
     — +1 per pair fetched in 256-wide rounds, stopping at the whole-tile
     early exit — on a scene saturated enough that the exit actually
     triggers mid-segment. Also checks the _pcheck_obb_max per-pixel
-    power-window count. VERDICT round-1 item #6."""
+    power-window count. VERDICT round-1 item #6. The (61, 45) camera is
+    deliberately NOT tile-aligned: edge-tile padding pixels start done
+    (= !inside, forward.cu:326) and must not count (ADVICE r2)."""
     from fovsplat.ops import binning
     rng = np.random.default_rng(5)
     n = 3000
@@ -201,7 +204,7 @@ def test_gs_count_exact_fetch_semantics():
              ).astype(np.float32)
     ops_ = rng.uniform(0.7, 0.99, (n,)).astype(np.float32)
     colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
-    cam = make_test_camera(width=64, height=48)
+    cam = make_test_camera(width=wh[0], height=wh[1])
     gx = (cam.width + 15) // 16
     gy = (cam.height + 15) // 16
     num_tiles = gx * gy
@@ -231,3 +234,17 @@ def test_gs_count_exact_fetch_semantics():
     out_p = jax.jit(lambda m, s, q, o, c: stats.rasterize_stats(
         m, s, q, o, cam, colors=c, mode="sum", config=cfg_p))(*args)
     np.testing.assert_array_equal(np.asarray(out_p["gs_count"]), gs_ref)
+
+    # Pallas mode="max" on a saturating scene: geo_win must use the
+    # PRE-chunk frozen carry and exclude padding pixels (ADVICE r2).
+    # Borderline saturation triggers (incl within f32 noise of T_EPS) can
+    # flip between the matmul-prefix and cumsum reduction orders, moving a
+    # count by 1 — the bugs this guards against are chunk-sized (128+).
+    out_pm = jax.jit(lambda m, s, q, o, c: stats.rasterize_stats(
+        m, s, q, o, cam, colors=c, mode="max", config=cfg_p))(*args)
+    gd = np.abs(np.asarray(out_pm["gs_count"]) - geo_ref)
+    assert gd.max() <= 1 and (gd > 0).sum() <= 3, (
+        gd.max(), (gd > 0).sum())
+    np.testing.assert_allclose(np.asarray(out_pm["contribs"]),
+                               np.asarray(out_m["contribs"]),
+                               rtol=1e-4, atol=1e-5)
