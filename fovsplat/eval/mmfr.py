@@ -86,7 +86,7 @@ def _render_level_fused(m, camera, level_i, li, config):
     packed, seg_start, num_pairs, overflow, _cap3 = binning.bin_fused_ps1(
         t1cols, pc.valid, pc.depth, gx, gy, cap, config.pallas_interpret,
         config.dummy_slack, config.compact_capacity, config.expand_chunk,
-        config.expand_batch)
+        config.expand_batch, sort_exact=config.sort_exact_depth)
     owned = level_i == li
     ss = seg_start[:-1]
     se = jnp.where(owned, seg_start[1:], ss)   # empty non-owned segments

@@ -221,7 +221,8 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
 def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
                   pair_capacity: int, interpret: bool = False,
                   dummy_slack=None, compact_capacity=None, chunk=512,
-                  kbatch=16, prebuilt=None, n_rows=None, train=False):
+                  kbatch=16, prebuilt=None, n_rows=None, train=False,
+                  sort_exact=False):
     """Single-level fused-Pallas binning (ops/pallas/expand_fov._ps1_kernel):
     pair expansion + OBB cull in-kernel, one 2-key (tile, depth) sort
     carrying the finished blend-kernel SoA.
@@ -274,7 +275,7 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
         return _ps1_expand_sort(pex, dtable, cum_pad2, gstarts, total,
                                 total_f, overflow, grid_x, grid_y, cap2,
                                 compact_capacity, chunk, kbatch, interpret,
-                                train)
+                                train, sort_exact)
 
     t1 = list(t1cols)
     tnum = jnp.where(valid, t1[3], 1.0)
@@ -327,50 +328,37 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
     return _ps1_expand_sort(pex, dtable, cum_pad[None, :], gstarts, total,
                             total_f, overflow, grid_x, grid_y, cap2,
                             compact_capacity, chunk, kbatch, interpret,
-                            train)
+                            train, sort_exact)
 
 
 def _ps1_expand_sort(pex, dtable, cum_pad2, gstarts, total, total_f,
                      overflow, grid_x, grid_y, cap2, compact_capacity,
-                     chunk, kbatch, interpret, train=False):
+                     chunk, kbatch, interpret, train=False,
+                     sort_exact=False):
     num_tiles = grid_x * grid_y
     cap_out = cap2 if compact_capacity is None else compact_capacity
-    key, attrs, kept = pex.expand_ps1_pallas(
+    key, dbits, attrs, kept = pex.expand_ps1_pallas(
         dtable, cum_pad2, gstarts, total, cap=cap2, cap_out=cap_out,
         chunk=chunk, batch=kbatch,
         grid_x=grid_x, grid_y=grid_y, interpret=interpret, train=train)
     cap3 = key.shape[0]
     overflow = overflow + jnp.maximum(kept - (cap3 - (chunk + 128)), 0)
 
-    # ONE single-key sort over the COMPACTED pairs (depth rides inside the
-    # fused key). Inference: 5 packed quantized rows as 2 bit-packed i64
-    # operands + 1 f32. Train: 10 exact f32 rows [mx..b, gid] as 5 i64 —
-    # lax.sort cost scales with operand count AND element count.
-    from fovsplat.ops.foveated import _pack_i64, _unpack_i64
-    with jax.enable_x64(True):
-        if train:
-            res = jax.lax.sort(
-                (key, _pack_i64(attrs[0], attrs[1]),
-                 _pack_i64(attrs[2], attrs[3]),
-                 _pack_i64(attrs[4], attrs[5]),
-                 _pack_i64(attrs[6], attrs[7]),
-                 _pack_i64(attrs[8], attrs[9])),
-                num_keys=1)
-            packed = jnp.concatenate(
-                [*(_unpack_i64(res[i]) for i in range(1, 6)),
-                 jnp.zeros((6, cap3), jnp.float32)], axis=0)  # (16, CAP3)
-        else:
-            res = jax.lax.sort(
-                (key, _pack_i64(attrs[0], attrs[1]),
-                 _pack_i64(attrs[2], attrs[3]), attrs[4]),
-                num_keys=1)
-            packed = jnp.concatenate(
-                [*(_unpack_i64(res[i]) for i in range(1, 3)),
-                 res[3][None, :],
-                 jnp.zeros((11, cap3), jnp.float32)], axis=0)  # (16, CAP3)
-        seg_start = jnp.searchsorted(
-            res[0], pex.seg_bounds64(num_tiles),
-            side='left').astype(jnp.int32)
+    # ONE sort over the COMPACTED pairs: i32 fused (tile | depth-hi) key;
+    # the train path adds the exact-depth secondary key (its backward must
+    # re-walk the forward's exact order), inference defaults to the lossy
+    # single key (see expand_fov.fused_key32). Payloads ride as plain f32
+    # rows — measured cheaper than the round-2 bit-packed i64 operands.
+    keys = (key, dbits) if (train or sort_exact) else (key,)
+    res = jax.lax.sort((*keys, *attrs), num_keys=len(keys))
+    nk = len(keys)
+    pad_rows = 16 - len(attrs)
+    packed = jnp.concatenate(
+        [jnp.stack(res[nk:], axis=0),
+         jnp.zeros((pad_rows, cap3), jnp.float32)], axis=0)   # (16, CAP3)
+    seg_start = jnp.searchsorted(
+        res[0], pex.seg_bounds32(num_tiles),
+        side='left').astype(jnp.int32)
     return packed, seg_start, seg_start[-1], overflow, cap3
 
 

@@ -199,7 +199,7 @@ def build_fov_dtable(t1cols, t2cols, valid, depth, cap2, chunk):
 def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
                    cap, camera, fov_cfg, interpret, dummy_slack=None,
                    compact_capacity=None, chunk=256, kbatch=16,
-                   prebuilt=None, n_rows=None):
+                   prebuilt=None, n_rows=None, sort_exact=False):
     """Fused-Pallas foveated binning: expansion + OBB + level cull + per-pair
     level selection in one kernel (ops/pallas/expand_fov), then ONE stable
     tile sort whose payloads are the finished kernel SoA rows.
@@ -258,7 +258,7 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
         camera.height / camera.width * fov_cfg.real_image_width,
         fov_cfg.real_viewing_distance))
 
-    key, attrs, kept = pex.expand_fov_pallas(
+    key, dbits, attrs, kept = pex.expand_fov_pallas(
         dtable, cum_pad, gstarts, total, gaze_dir,
         jnp.float32(alpha), cap=cap2, cap_out=cap_out,
         chunk=chunk, batch=kbatch, grid_x=gx, grid_y=gy,
@@ -273,25 +273,21 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
     overflow = overflow + jnp.maximum(
         kept - (cap3 - (chunk + 128)), 0)
 
-    # ONE single-key sort over the COMPACTED pairs: the key is the
-    # reference's exact i64 (tile << 32 | f32 depth bits) layout, and the 6 packed payload rows (expand_fov_pallas layout:
-    # ca as bf16 x2 split, opacities/colors as u8) ride as exactly 3
-    # bit-packed i64 operands (sort cost scales with operand count AND
-    # element count — the in-kernel compaction halves the latter). Two
-    # zero rows pad the blend SoA back to 8 for DMA sublane alignment.
-    with jax.enable_x64(True):            # i64 scoped to the sort only
-        res = jax.lax.sort(
-            (key, _pack_i64(attrs[0], attrs[1]),
-             _pack_i64(attrs[2], attrs[3]), _pack_i64(attrs[4], attrs[5])),
-            num_keys=1)
-        sorted_key = res[0]
-        cap3_ = key.shape[0]
-        packed = jnp.concatenate(
-            [_unpack_i64(res[i]) for i in range(1, 4)]
-            + [jnp.zeros((2, cap3_), jnp.float32)], axis=0)  # (8, CAP3)
-        seg_start = jnp.searchsorted(
-            sorted_key, pex.seg_bounds64(num_tiles),
-            side='left').astype(jnp.int32)
+    # ONE sort over the COMPACTED pairs: i32 fused (tile | depth-hi) key
+    # (+ the exact-depth secondary key when configured — see
+    # expand_fov.fused_key32 for the precision/cost trade) with the 6
+    # packed payload rows riding as plain f32 operands (measured ~7%
+    # cheaper than the same bytes bit-packed into i64, and no x64 scope
+    # or pack/unpack passes). Two zero rows pad the blend SoA to 8 for
+    # DMA sublane alignment.
+    keys = (key, dbits) if sort_exact else (key,)
+    res = jax.lax.sort((*keys, *attrs), num_keys=len(keys))
+    packed = jnp.concatenate(
+        [jnp.stack(res[len(keys):], axis=0),
+         jnp.zeros((2, cap3), jnp.float32)], axis=0)         # (8, CAP3)
+    seg_start = jnp.searchsorted(
+        res[0], pex.seg_bounds32(num_tiles),
+        side='left').astype(jnp.int32)
     return packed, seg_start, seg_start[-1], overflow, cap3
 
 
@@ -465,7 +461,8 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
                                alpha, gx, gy, cap, camera, fov_cfg,
                                config.pallas_interpret, config.dummy_slack,
                                config.compact_capacity, config.expand_chunk,
-                               config.expand_batch)
+                               config.expand_batch,
+                               sort_exact=config.sort_exact_depth)
         bn = None
     elif config.backend == "pallas":
         # Pre-sort per-pair attribute derivation (see bin_gaussians): the
@@ -720,7 +717,8 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
             None, None, None, None, gaze, alpha, gx, gy, cap, camera,
             fov_cfg, config.pallas_interpret, config.dummy_slack,
             config.compact_capacity, config.expand_chunk,
-            config.expand_batch, prebuilt=(dtable, cum, total_f), n_rows=n)
+            config.expand_batch, prebuilt=(dtable, cum, total_f), n_rows=n,
+            sort_exact=config.sort_exact_depth)
     else:
         pc = projection.preprocess_cols(
             model.xyz, model.scales, model.rotations, camera,
@@ -773,7 +771,7 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
             t1cols, t2cols, valid, pc.depth, gaze, alpha, gx, gy, cap,
             camera, fov_cfg, config.pallas_interpret, config.dummy_slack,
             config.compact_capacity, config.expand_chunk,
-            config.expand_batch)
+            config.expand_batch, sort_exact=config.sort_exact_depth)
 
     # Per-tile activity + blend + smoothstep merge (same as rasterize_fov).
     l1_i = levels.astype(jnp.int32)

@@ -108,26 +108,44 @@ _MASK_HI = -65536                     # 0xFFFF0000 (python int: literals
                                       # constants inside pallas kernels)
 
 
-def fused_key64(tile_row, depth_row, usable, num_tiles: int):
-    """Exact i64 fused sort key: (tile << 32) | f32-bits(depth) — the
-    reference's own key layout (rasterizer_impl.cu duplicateWithKeys).
-    View-space depth is positive, so its raw f32 bits are
-    order-preserving as the unsigned low word. Lanes >= usable get the
-    sentinel (num_tiles << 32). The earlier i32 key packed only the top
-    ~9-12 depth bits next to the tile id, which tied gaussians within
-    ~0.2%% relative depth and cost ~7 dB of on-chip parity PSNR at 200k
-    pairs. Call under jax.enable_x64(True)."""
-    tile64 = tile_row.astype(jnp.int64)
-    dbits = jax.lax.bitcast_convert_type(
-        depth_row, jnp.int32).astype(jnp.int64)
+def tile_bits(num_tiles: int) -> int:
+    """Bits needed for tile ids 0..num_tiles (incl. the sentinel)."""
+    return max(int(num_tiles + 1).bit_length(), 1)
+
+
+def fused_key32(tile_row, depth_row, usable, num_tiles: int):
+    """i32 fused sort key pair, replacing the round-2 i64 key.
+
+    Returns (key, dbits):
+      key   = (tile << db) | (f32-bits(depth) >> (32 - db)) with
+              db = 31 - tile_bits(num_tiles) depth bits — view-space depth
+              is positive, so its high float bits are order-preserving.
+      dbits = full f32 depth bits as i32 (exact secondary key).
+
+    A single-key sort on `key` ties depths within ~2^(db-24) relative
+    (~5e-4 at the 1237x822 grid) — measured >50 dB against the exact
+    order on the bench proxy, i.e. far below the u8 quantization ladder;
+    adding dbits as a second sort key (num_keys=2) restores exactness for
+    ~+0.9 ms at 1.77M lanes (scripts/bench_sort_variants.py; the round-2
+    i64 single-key layout — the reference's duplicateWithKeys key — costs
+    ~+1.7 ms over the lossy i32 key AND forces x64 + bit-packed payloads,
+    which sort ~7% slower than the same bytes as plain f32 rows).
+    Lanes >= usable get the sentinel (num_tiles << db) which sorts last."""
+    db = 31 - tile_bits(num_tiles)
+    tile_i = tile_row.astype(jnp.int32)          # exact f32 integers
+    dbits = jax.lax.bitcast_convert_type(depth_row, jnp.int32)
+    key = (tile_i << jnp.int32(db)) | jax.lax.shift_right_logical(
+        dbits, jnp.int32(32 - db))
     lane = jnp.arange(tile_row.shape[0], dtype=jnp.int32)
-    return jnp.where(lane < usable, (tile64 << 32) | dbits,
-                     jnp.int64(num_tiles) << 32)
+    sent = jnp.int32(num_tiles << db)
+    ok = lane < usable
+    return jnp.where(ok, key, sent), jnp.where(ok, dbits, jnp.int32(0))
 
 
-def seg_bounds64(num_tiles: int):
-    """searchsorted boundaries for the i64 fused key (under x64)."""
-    return jnp.arange(num_tiles + 1, dtype=jnp.int64) << 32
+def seg_bounds32(num_tiles: int):
+    """searchsorted boundaries for the i32 fused key."""
+    db = 31 - tile_bits(num_tiles)
+    return jnp.arange(num_tiles + 1, dtype=jnp.int32) << jnp.int32(db)
 
 
 def _pack2_i32(a, b):
@@ -722,12 +740,14 @@ def expand_ps1_pallas(dtable, cum, gstarts, total,
     for invalid rows; padding past the total; +128 for aligned window
     reads); gstarts (CAP//chunk,) i32; total () i32. cap_out bounds the
     COMPACTED output (kept pairs only; defaults to cap).
-    Returns (key (CAP_OUT,) i32 fused (tile << depth_bits | depth bits)
-    sort key — sentinel-masked past the kept count, attrs (5, CAP_OUT) f32
+    Returns (key (CAP_OUT,) i32 fused sort key + dbits (CAP_OUT,) i32
+    exact-depth secondary key (see fused_key32) — sentinel-masked past
+    the kept count, attrs f32 rows: inference (5, CAP_OUT)
     [mx, my, P_caca, P_cbcc, OPRGB] (ca as a bf16 x2 split pair; cb | cc
     bf16; OPRGB = op_u8 << 24 | r_u8 << 16 | g_u8 << 8 | b_u8, opacity
     u8/255, colors u8 on [0, 2] — same inference quantization ladder as
-    the fov kernel), kept () i32)."""
+    the fov kernel) or train (10, CAP_OUT) exact
+    [mx, my, ca, cb, cc, op, r, g, b, gid], kept () i32)."""
     n_pad = dtable.shape[1]
     assert cap % (chunk * batch) == 0, (cap, chunk, batch)
     if cap_out is None:
@@ -771,11 +791,10 @@ def expand_ps1_pallas(dtable, cum, gstarts, total,
     kept = cnt[0, 0]
     num_tiles = grid_x * grid_y
     usable = jnp.minimum(kept, cap_out - (chunk + 128))
-    with jax.enable_x64(True):
-        key = fused_key64(out[0], out[1], usable, num_tiles)
+    key, dbits = fused_key32(out[0], out[1], usable, num_tiles)
     if train:
-        return key, out[2:12], kept      # [mx,my,ca,cb,cc,op,r,g,b,gid]
-    return key, out[2:7], kept
+        return key, dbits, out[2:12], kept  # [mx,my,ca,cb,cc,op,r,g,b,gid]
+    return key, dbits, out[2:7], kept
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -795,8 +814,9 @@ def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
     gaze_dir (3,) f32 unit gaze direction; alpha () f32. cap_out bounds the
     COMPACTED output (kept pairs only; defaults to cap).
 
-    Returns (key (CAP_OUT,) i32 fused (tile << depth_bits | depth bits)
-    sort key — sentinel-masked past the kept count, attrs (6, CAP_OUT) f32
+    Returns (key (CAP_OUT,) i32 fused sort key + dbits (CAP_OUT,) i32
+    exact-depth secondary key (see fused_key32) — sentinel-masked past
+    the kept count, attrs (6, CAP_OUT) f32
     [mx, my, P_caca, P_cbcc, OPRG, BRGB] (P_caca = bf16 x2 split of ca;
     OPRG = op1_u8 | op2_u8 | r1_u8 | g1_u8, BRGB = b1 | r2 | g2 | b2,
     opacities u8/255, colors u8 on [0, 2] — see the kernel's packing
@@ -855,6 +875,5 @@ def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
     # kept overflows cap_out) hold stale garbage — sentinel-mask the key.
     num_tiles = grid_x * grid_y
     usable = jnp.minimum(kept, cap_out - (chunk + 128))
-    with jax.enable_x64(True):
-        key = fused_key64(out[0], out[1], usable, num_tiles)
-    return key, out[2:8], kept
+    key, dbits = fused_key32(out[0], out[1], usable, num_tiles)
+    return key, dbits, out[2:8], kept

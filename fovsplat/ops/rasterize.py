@@ -44,6 +44,14 @@ class RasterizeConfig:
     pallas_fused_expand: bool = True  # foveated path: fused Pallas
                                       # expansion/cull/derive kernel
                                       # (ops/pallas/expand_fov)
+    sort_exact_depth: bool = False    # fused paths: add the full f32
+                                      # depth bits as a second i32 sort
+                                      # key (exact blend order, ~+8% sort
+                                      # cost). Default: single fused key
+                                      # with ~2^-11-relative depth ties —
+                                      # inside the u8 quantization ladder
+                                      # (expand_fov.fused_key32). Training
+                                      # paths are ALWAYS exact.
     compact_capacity: int | None = None  # fused paths: capacity of the
                                       # in-kernel-COMPACTED pair buffer the
                                       # tile sort runs over (kept pairs
@@ -198,7 +206,8 @@ def rasterize(means3d, scales, rotations, opacities, camera,
         packed, seg_start, num_pairs, overflow, _cap2 = binning.bin_fused_ps1(
             t1cols, prep.valid, prep.depth, gx, gy, cap,
             cfg.pallas_interpret, cfg.dummy_slack, cfg.compact_capacity,
-            cfg.expand_chunk, cfg.expand_batch)
+            cfg.expand_chunk, cfg.expand_batch,
+            sort_exact=cfg.sort_exact_depth)
         bn = binning.Binned(pair_gauss=None, pair_tile=None,
                             seg_start=seg_start, num_pairs=num_pairs,
                             overflow=overflow, depth_order=None)
@@ -387,7 +396,7 @@ def rasterize_ps1_soa(model: Ps1ModelSoA, camera, bg_color=None,
         None, None, None, gx, gy, cap, config.pallas_interpret,
         config.dummy_slack, config.compact_capacity, config.expand_chunk,
         config.expand_batch, prebuilt=(dtable, cum, total_f),
-        n_rows=model.n)
+        n_rows=model.n, sort_exact=config.sort_exact_depth)
     tile_color, final_T, n_contrib = pk.blend_pallas_fwd_only(
         packed, seg_start[:-1], seg_start[1:], gx, gy, config.pallas_chunk,
         config.power_cutoff, config.pallas_interpret,

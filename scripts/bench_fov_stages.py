@@ -200,33 +200,27 @@ expand = jax.jit(lambda d, c, g, t: pex.expand_fov_pallas(
     real_h=cam.height / cam.width * fov_cfg.real_image_width,
     dist=fov_cfg.real_viewing_distance, fov_num=L,
     sqrt_max_ps=fov_cfg.sqrt_max_ps, interpret=_args.interpret))
-key, attrs, kept = timeit(expand, dtable, cum_pad, gstarts, total, reps=10,
-                          label="expand kernel (compacting)")
+key, dbits, attrs, kept = timeit(expand, dtable, cum_pad, gstarts, total,
+                                 reps=10, label="expand kernel (compacting)")
 print("kept pairs (post OBB/level cull):", int(jax.device_get(kept)),
       "cap_out:", key.shape[0], flush=True)
 
 
 def tile_sort(key, attrs):
-    # 6 packed rows -> 3 i64 payload operands + 2 zero pad rows (matches
-    # foveated._bin_fov_fused).
-    with jax.enable_x64(True):
-        res = jax.lax.sort(
-            (key, fov._pack_i64(attrs[0], attrs[1]),
-             fov._pack_i64(attrs[2], attrs[3]),
-             fov._pack_i64(attrs[4], attrs[5])),
-            num_keys=1)
-        sorted_key = res[0]
-        packed = jnp.concatenate(
-            [fov._unpack_i64(res[i]) for i in range(1, 4)]
-            + [jnp.zeros((2, key.shape[0]), jnp.float32)], axis=0)
-        seg_start = jnp.searchsorted(
-            sorted_key, pex.seg_bounds64(num_tiles),
-            side='left').astype(jnp.int32)
+    # i32 fused key + 6 plain f32 payload rows + 2 zero pad rows (matches
+    # foveated._bin_fov_fused, lossy default).
+    res = jax.lax.sort((key, *attrs), num_keys=1)
+    packed = jnp.concatenate(
+        [jnp.stack(res[1:], axis=0),
+         jnp.zeros((2, key.shape[0]), jnp.float32)], axis=0)
+    seg_start = jnp.searchsorted(
+        res[0], pex.seg_bounds32(num_tiles),
+        side='left').astype(jnp.int32)
     return packed, seg_start
 
 
 packed, seg_start = timeit(jax.jit(tile_sort), key, attrs, reps=10,
-                           label="tile sort (i64-packed)+seg")
+                           label="tile sort (i32 key, f32 rows)+seg")
 
 grad_x, grad_y, _, tile_blend = foveation.compute_tile_level_infos(
     levels, cam.width, cam.height, fov_cfg)

@@ -131,7 +131,7 @@ for spec in [x for x in args.expand.split(",") if x]:
 # --------------------------- blend sweep ----------------------------------
 chunk0, batch0 = 512, 16
 cap2, cum_pad, total, gstarts = expand_inputs(chunk0, batch0)
-key, attrs, kept = jax.jit(lambda d, c, g, t: pex.expand_fov_pallas(
+key, dbits, attrs, kept = jax.jit(lambda d, c, g, t: pex.expand_fov_pallas(
     d, c, g, t, gaze_dir, jnp.float32(alpha), cap=cap2, cap_out=cap_out,
     chunk=chunk0, batch=batch0, grid_x=gx, grid_y=gy, width=cam.width,
     height=cam.height, real_w=fov_cfg.real_image_width,
@@ -150,7 +150,7 @@ def tile_sort(key, attrs):
             [fov._unpack_i64(res[i]) for i in range(1, 4)]
             + [jnp.zeros((2, key.shape[0]), jnp.float32)], axis=0)
         seg_start = jnp.searchsorted(
-            res[0], pex.seg_bounds64(num_tiles), side='left'
+            res[0], pex.seg_bounds32(num_tiles), side='left'
         ).astype(jnp.int32)
     return packed, seg_start
 
