@@ -2,23 +2,29 @@
 
 TPU counterpart of the reference renderCUDA forward
 (..._pcheck_obb_sum/cuda_rasterizer/forward.cu:298-426) and backward
-(backward.cu:400-557). One grid program per 16x16 tile:
+(backward.cu:400-557). One grid program per BATCH of consecutive 16x16
+tiles:
 
   * pair attributes are stored attribute-major (ROW=16, CAP) so each chunk
-    is one lane-aligned HBM slice; chunks stream HBM->VMEM with
-    double-buffered async DMA; segments may be UNALIGNED — the forward
-    floors windows to 128 and masks, and the backward floors to the chunk
-    and read-merge-writes the boundary chunk shared with earlier tiles
-    (race-free: the grid is sequential and every gradient write completes
-    synchronously),
-  * compute runs in (PIX, chunk) orientation: pixels on sublanes, pairs on
-    lanes; the sequential early-exit semantics are applied in closed form
-    with upper-triangular matmul prefix sums on the MXU (cumsum/cumprod are
-    not lowered by Mosaic; measured faster than log-step VPU rolls),
-  * the forward loop exits once every pixel saturates (T < 1e-4) — the CUDA
-    block-vote break; the backward walks chunks back-to-front starting at
-    the deepest contributing chunk (from the saved per-pixel n_contrib),
-    recovering T by division from the saved final_T (backward.cu:503).
+    is one lane-aligned HBM slice; a program's whole batch range streams
+    into a VMEM window with sub-DMAs double-buffered ACROSS programs (the
+    blend_fov discipline); out-of-window chunks fall back to a direct DMA.
+    Segments may be UNALIGNED — the forward floors windows to 128 and
+    masks, the backward floors to the chunk and read-merge-writes the
+    boundary chunk shared with earlier tiles (race-free: the grid is
+    sequential and every gradient write completes synchronously),
+  * the FORWARD runs the transposed orientation (PIX on lanes: per-tile
+    state (1, PIX), pair-pixel matrices (chunk, PIX), output (8, PIX)
+    blocks) with an exact f32 Hillis-Steele transmittance product scan —
+    see _fwd_kernel for the closed-form early-termination semantics. The
+    train path transposes pair rows to columns losslessly
+    (_rows_to_cols_exact) and keeps alpha math bit-identical to the
+    backward's recompute,
+  * the BACKWARD keeps pixels on sublanes (its outputs are per-PAIR rows
+    = sublane reductions) and recovers T by DIVISION from the running
+    suffix product of (1 - alpha) — overflow-safe where the round-2
+    exp(-log-suffix) form was not — walking chunks back-to-front from the
+    deepest contributing pair (saved per-pixel n_contrib, backward.cu:503).
 
 Row layout: [mx, my, ca, cb, cc, op, r, g, b, pad...]. Gradients come back
 in the same SoA layout and are unpacked/segment-summed by the caller's
@@ -139,6 +145,40 @@ def _alpha_from_chunk(data, px, py, power_cutoff):
 
 # --------------------------------------------------------------- forward
 
+def _rows_to_cols_exact(rows, chunk: int, eye_bf):
+    """(R, chunk) f32 -> (chunk, R) EXACTLY, via a bf16 x3 split one-hot
+    matmul (each split part is bf16-exact, the identity passes values
+    through losslessly, and the f32 accumulator adds three exact terms).
+    Mosaic has no cheap vector transpose for row blocks; an MXU identity
+    pass is ~free next to the blend math. R must be <= 16."""
+    r = rows.shape[0]
+    hi = pltpu.bitcast(pltpu.bitcast(rows, jnp.int32) & _MASK_HI,
+                       jnp.float32)
+    rem = rows - hi
+    mid = pltpu.bitcast(pltpu.bitcast(rem, jnp.int32) & _MASK_HI,
+                        jnp.float32)
+    lo = rem - mid
+    parts = jnp.concatenate([hi, mid, lo], axis=0).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        eye_bf, parts, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)      # (chunk, 3R)
+    return out[:, 0:r] + out[:, r:2 * r] + out[:, 2 * r:3 * r]
+
+
+def _prefix_prod_excl(om, chunk: int):
+    """(chunk, PIX) exclusive cumprod along sublanes via log-step rolls —
+    exact f32 (the train path must not round transmittances).
+    Returns (excl, incl)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, om.shape, 0)
+    pinc = om
+    s = 1
+    while s < chunk:
+        pinc = pinc * jnp.where(row >= s, pltpu.roll(pinc, s, 0), 1.0)
+        s *= 2
+    excl = jnp.where(row >= 1, pltpu.roll(pinc, 1, 0), 1.0)
+    return excl, pinc
+
+
 def _pixel_quad_feat():
     """(PIX, 16) tile-independent pixel quadratic features in LOCAL coords,
     duplicated along K for the bf16x2 pair-feature split: power(p, j) =
@@ -172,380 +212,578 @@ def _power_mxu(pfeat2, feat):
         preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref, nc_ref,
-                buf, sem, *, grid_x: int, chunk: int, power_cutoff: float,
-                cap: int, batch: int, mxu_power: bool):
+def _fwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, out_ref,
+                win, fbuf, wsem, fsem, *, grid_x: int, chunk: int,
+                power_cutoff: float, cap: int, batch: int, mxu_power: bool,
+                window: int, sub: int):
+    """Transposed, window-streamed blend forward (the round-3 port of the
+    blend_fov orientation to the train path).
+
+    Orientation: PIX on LANES — per-tile state vectors are (1, PIX)
+    (2 vregs vs 32 for the old (PIX, 1) layout), pair-pixel matrices run
+    (chunk, PIX), the output block is (8, PIX). One grid program consumes
+    a batch of consecutive tiles from ONE contiguous HBM range streamed
+    into a VMEM window with sub-DMAs double-buffered ACROSS programs (see
+    blend_fov._fov_kernel for the DMA discipline; out-of-window chunks
+    fall back to a direct DMA).
+
+    The exact train path (mxu_power=False) transposes each chunk's 9 f32
+    attribute rows to (chunk, 16) columns with a bf16 x3 split identity
+    matmul (lossless — see _rows_to_cols_exact) and keeps the elementwise
+    power/alpha math bit-identical to the backward's recompute.
+    Transmittance runs as an EXACT f32 Hillis-Steele product scan — no
+    transcendentals, and the early-termination comparisons reduce to
+    threshold tests because the inclusive product is non-increasing:
+      T_row[j]  = T_pix * prod_{i<j}(1-a_i)        (exclusive)
+      incl_T[j] = T_row[j] * (1-a_j)
+      done_before[j] = T_row[j]  < T_EPS           (a trigger precedes j)
+      trigger[j]     = a_j > 0 and incl_T[j] < T_EPS and not done_before
+      contribute[j]  = a_j > 0 and T_row >= T_EPS and incl_T >= T_EPS
+    which reproduces the reference's per-pixel done-flag semantics
+    (forward.cu:380-426) without prefix-OR scans."""
     tb = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    maxsub = window // sub
+
+    def seg_base(p):
+        t0 = jnp.minimum(p * batch, seg_start_ref.shape[0] - 1)
+        return pl.multiple_of((seg_start_ref[t0] // 128) * 128, 128)
+
+    def seg_nsub(p):
+        t0 = jnp.minimum(p * batch, seg_start_ref.shape[0] - 1)
+        t1 = jnp.minimum((p + 1) * batch - 1, seg_end_ref.shape[0] - 1)
+        base = (seg_start_ref[t0] // 128) * 128
+        rng = seg_end_ref[t1] - base
+        return jnp.clip(jnp.minimum(pl.cdiv(rng, sub),
+                                    (cap - base) // sub), 0, maxsub)
+
+    def start_window(p, slot):
+        base = seg_base(p)
+        ns = seg_nsub(p)
+
+        def issue(j, _):
+            @pl.when(j < ns)
+            def _():
+                src = pl.multiple_of(base + j * sub, 128)
+                pltpu.make_async_copy(
+                    pairs_hbm.at[:, pl.ds(src, sub)],
+                    win.at[slot, :, pl.ds(j * sub, sub)],
+                    wsem.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, maxsub, issue, 0)
+
+    def wait_window(p, slot):
+        ns = seg_nsub(p)
+
+        def drain(j, _):
+            @pl.when(j < ns)
+            def _():
+                pltpu.make_async_copy(
+                    pairs_hbm.at[:, pl.ds(0, sub)],
+                    win.at[slot, :, pl.ds(0, sub)],
+                    wsem.at[slot]).wait()
+            return 0
+
+        jax.lax.fori_loop(0, maxsub, drain, 0)
+
+    slot = jax.lax.rem(tb, 2)
+
+    @pl.when(tb == 0)
+    def _():
+        start_window(0, 0)
+
+    wait_window(tb, slot)
+
+    @pl.when(tb + 1 < nprog)
+    def _():
+        start_window(tb + 1, 1 - slot)
+
+    win_base = seg_base(tb)
+    win_loaded = seg_nsub(tb) * sub
+
     # Loop-invariant blocks, built once per program.
-    triu = _triu_strict(chunk)
     pfeat = _pixel_quad_feat() if mxu_power else None
-    # batch consecutive tiles per grid program: per-program launch overhead
-    # (~9 us) dwarfs one tile's compute (~2 us), so amortize it.
-    jax.lax.fori_loop(
-        0, batch,
-        functools.partial(_fwd_one_tile, tb=tb, seg_start_ref=seg_start_ref,
-                          seg_end_ref=seg_end_ref, pairs_hbm=pairs_hbm,
-                          out_ref=out_ref, nc_ref=nc_ref, buf=buf, sem=sem,
-                          grid_x=grid_x, chunk=chunk, triu=triu,
-                          pfeat=pfeat,
-                          power_cutoff=power_cutoff, cap=cap, batch=batch),
-        0)
+    eye_bf = (jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+              == jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+              ).astype(jnp.bfloat16)
+    pix_i = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    lx = (pix_i % TILE).astype(jnp.float32)
+    ly = (pix_i // TILE).astype(jnp.float32)
+
+    def per_tile(b):
+        t = tb * batch + b
+        start = seg_start_ref[t]
+        end = seg_end_ref[t]
+        tx0 = (t % grid_x).astype(jnp.float32) * TILE
+        ty0 = (t // grid_x).astype(jnp.float32) * TILE
+        px_l = tx0 + lx                                      # (1, PIX)
+        py_l = ty0 + ly
+        base = pl.multiple_of((start // 128) * 128, 128)
+        num_chunks = pl.cdiv(end - base, chunk)
+
+        def read_chunk(k):
+            src = pl.multiple_of(jnp.minimum(base + k * chunk, cap - chunk),
+                                 128)
+            woff = src - win_base
+            in_win = (woff >= 0) & (woff + chunk <= win_loaded)
+
+            @pl.when(jnp.logical_not(in_win))
+            def _():
+                dma = pltpu.make_async_copy(
+                    pairs_hbm.at[:, pl.ds(src, chunk)], fbuf, fsem)
+                dma.start()
+                dma.wait()
+
+            wdata = win[slot, :, pl.ds(
+                pl.multiple_of(jnp.clip(woff, 0, window - chunk), 128),
+                chunk)]
+            sel = jnp.full((ROW, chunk), in_win)
+            data = jnp.where(sel, wdata, fbuf[...])
+            return data, src
+
+        def chunk_alpha(data, src):
+            gid_col = src + jax.lax.broadcasted_iota(
+                jnp.int32, (chunk, 1), 0)
+            in_seg = (gid_col >= start) & (gid_col < end)     # (chunk, 1)
+            if mxu_power:
+                # Inference: quantized rows [mx, my, P_caca, P_cbcc,
+                # OPRGB], power as the bf16x2 bilinear MXU form in
+                # tile-local coords (see blend_fov; ~2e-4 absolute).
+                mxl = data[0:1, :] - tx0
+                myl = data[1:2, :] - ty0
+                ca = _hi(data[2:3, :]) + _lo(data[2:3, :])
+                cb = _hi(data[3:4, :])
+                cc = _lo(data[3:4, :])
+                feat = jnp.concatenate(
+                    [-0.5 * (ca * mxl * mxl + cc * myl * myl)
+                     - cb * mxl * myl,
+                     ca * mxl + cb * myl,
+                     cc * myl + cb * mxl,
+                     -0.5 * ca, -0.5 * cc, -cb,
+                     jnp.zeros((2, chunk), jnp.float32)], axis=0)
+                power = jax.lax.dot_general(
+                    _power_split(feat), pfeat, (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)       # (chunk, PIX)
+                G = jnp.exp(jnp.minimum(power, 0.0))
+                bits = pltpu.bitcast(data[4:5, :], jnp.int32)
+                q = lambda sh: (jax.lax.shift_right_logical(bits, sh)
+                                & 255).astype(jnp.float32)
+                ucols = _to_cols_u8(
+                    jnp.concatenate([q(24), q(16), q(8), q(0)], axis=0),
+                    eye_bf)                                   # (chunk, 8)
+                alpha = jnp.minimum(ALPHA_MAX, ucols[:, 0:1] * C_OP * G)
+                cols_rgb = ucols[:, 1:4] * C_COL              # (chunk, 3)
+                geo_ok = (power <= 3e-3) & (power >= power_cutoff) & in_seg
+            else:
+                cols = _rows_to_cols_exact(data[0:9], chunk, eye_bf)
+                dx = cols[:, 0:1] - px_l                      # (chunk, PIX)
+                dy = cols[:, 1:2] - py_l
+                ca_c, cb_c, cc_c = cols[:, 2:3], cols[:, 3:4], cols[:, 4:5]
+                power = (-0.5 * (ca_c * dx * dx + cc_c * dy * dy)
+                         - cb_c * dx * dy)
+                G = jnp.exp(jnp.minimum(power, 0.0))
+                alpha = jnp.minimum(ALPHA_MAX, cols[:, 5:6] * G)
+                cols_rgb = cols[:, 6:9]                       # (chunk, 3)
+                geo_ok = (power <= 0.0) & (power >= power_cutoff) & in_seg
+            rank = (gid_col - start + 1).astype(jnp.float32)  # (chunk, 1)
+            return alpha, geo_ok, cols_rgb, rank
+
+        def body(state):
+            k, cont, T_pix, frozen, cr, cg, cb_, nc = state
+            del cont
+            data, src = read_chunk(k)
+            alpha, geo_ok, cols_rgb, rank = chunk_alpha(data, src)
+
+            ok = geo_ok & (alpha >= ALPHA_MIN) & (frozen < 0.5)
+            a_eff = jnp.where(ok, alpha, 0.0)
+            om = 1.0 - a_eff
+            excl, pinc = _prefix_prod_excl(om, chunk)
+            T_row = T_pix * excl                              # (chunk, PIX)
+            incl_T = T_pix * pinc
+            alive_row = T_row >= T_EPS
+            contribute = (a_eff > 0) & alive_row & (incl_T >= T_EPS)
+            trigger = (a_eff > 0) & alive_row & (incl_T < T_EPS)
+            weight = jnp.where(contribute, a_eff * T_row, 0.0)
+
+            # Color accumulation: (8, chunk) x (chunk, PIX) on the MXU
+            # would round weights to bf16; colors are per-PAIR constants,
+            # so sublane reductions stay exact f32 and cheap.
+            wr = weight * cols_rgb[:, 0:1]
+            wg = weight * cols_rgb[:, 1:2]
+            wb = weight * cols_rgb[:, 2:3]
+            cr = cr + jnp.sum(wr, axis=0, keepdims=True)
+            cg = cg + jnp.sum(wg, axis=0, keepdims=True)
+            cb_ = cb_ + jnp.sum(wb, axis=0, keepdims=True)
+
+            # T after the chunk = incl_T at the LAST contributing pair
+            # (incl_T is non-increasing, so a min-reduce reads the scan's
+            # own exact product — no second scan, no reduce-multiply).
+            T_pix = jnp.min(
+                jnp.where(contribute, incl_T,
+                          jnp.broadcast_to(T_pix, incl_T.shape)),
+                axis=0, keepdims=True)
+            frozen = jnp.maximum(
+                frozen, jnp.max(trigger.astype(jnp.float32), axis=0,
+                                keepdims=True))
+            nc = jnp.maximum(nc, jnp.max(jnp.where(contribute, rank, 0.0),
+                                         axis=0, keepdims=True))
+
+            alive = jnp.where(frozen > 0.0, 0.0,
+                              (T_pix >= T_EPS).astype(jnp.float32))
+            cont = (k + 1 < num_chunks) & (jnp.max(alive) > 0)
+            return k + 1, cont, T_pix, frozen, cr, cg, cb_, nc
+
+        zc = jnp.zeros((1, PIX), jnp.float32)
+        one = jnp.ones((1, PIX), jnp.float32)
+        st = jax.lax.while_loop(
+            lambda s: s[1], body,
+            (jnp.int32(0), num_chunks > 0, one, zc, zc, zc, zc, zc))
+        _, _, T_pix, _, cr, cg, cb_, nc = st
+        out_ref[b] = jnp.concatenate(
+            [cr, cg, cb_, T_pix, nc, zc, zc, zc], axis=0)     # (8, PIX)
+
+    for b in range(batch):
+        per_tile(b)
 
 
-def _fwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
-                  out_ref, nc_ref, buf, sem, grid_x: int, chunk: int,
-                  triu, pfeat, power_cutoff: float, cap: int, batch: int):
-    t = tb * batch + b
-    start = seg_start_ref[t]
-    end = seg_end_ref[t]
-    px, py = _pixel_coords(t, grid_x)
-    tx0 = (t % grid_x).astype(jnp.float32) * TILE
-    ty0 = (t // grid_x).astype(jnp.float32) * TILE
-    # DMA windows start at the 128-aligned floor of the segment start, so
-    # the kernel accepts UNALIGNED segments too (inference path skips
-    # binning.align_segments); masking by [start, end) handles the head.
-    base = pl.multiple_of((start // 128) * 128, 128)
-    num_chunks = pl.cdiv(end - base, chunk)
+def _power_split(feat):
+    """hi/lo bf16 operand split of the pair-feature block (see
+    _pixel_quad_feat)."""
+    fhi_f = pltpu.bitcast(pltpu.bitcast(feat, jnp.int32) & _MASK_HI,
+                          jnp.float32)
+    return jnp.concatenate([fhi_f.astype(jnp.bfloat16),
+                            (feat - fhi_f).astype(jnp.bfloat16)], axis=0)
 
-    def get_dma(slot, k):
-        src = pl.multiple_of(jnp.minimum(base + k * chunk, cap - chunk), 128)
-        return pltpu.make_async_copy(pairs_hbm.at[:, pl.ds(src, chunk)],
-                                     buf.at[slot], sem.at[slot])
 
-    @pl.when(num_chunks > 0)
-    def _():
-        get_dma(0, 0).start()
-
-    def body(state):
-        k, cont, T_pix, frozen, cr, cg, cb_, nc = state
-        del cont
-        get_dma(k % 2, k).wait()
-        # Speculative prefetch BEFORE compute (the kernel is otherwise
-        # DMA-latency bound, ~1.4 us exposed per chunk). The address is
-        # clamped so the read is always safe; the drain step after the loop
-        # waits any in-flight copy — every started DMA is waited.
-        @pl.when(k + 1 < num_chunks)
-        def _():
-            get_dma((k + 1) % 2, k + 1).start()
-        data = buf[k % 2]
-        src = pl.multiple_of(jnp.minimum(base + k * chunk, cap - chunk), 128)
-        gid = src + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        in_seg = (gid >= start) & (gid < end)
-
-        if pfeat is not None:
-            # Inference path: quantized pair rows (expand_ps1_pallas
-            # layout: [mx, my, P_caca, P_cbcc, OPRGB]) and power as a
-            # bilinear form on the MXU in tile-local coords (see
-            # blend_fov); |terms| <= O(10) under the OBB cull, so HIGH
-            # precision is ~2e-4 absolute in power. The training path
-            # keeps f32 rows and the elementwise form — its backward
-            # recomputes alpha elementwise and must match bitwise.
-            mxl = data[0:1, :] - tx0
-            myl = data[1:2, :] - ty0
-            ca = _hi(data[2:3, :]) + _lo(data[2:3, :])
-            cb = _hi(data[3:4, :])
-            cc = _lo(data[3:4, :])
-            feat = jnp.concatenate(
-                [-0.5 * (ca * mxl * mxl + cc * myl * myl) - cb * mxl * myl,
-                 ca * mxl + cb * myl,
-                 cc * myl + cb * mxl,
-                 -0.5 * ca, -0.5 * cc, -cb,
-                 jnp.zeros((2, chunk), jnp.float32)], axis=0)
-            power = _power_mxu(pfeat, feat)
-            G = jnp.exp(jnp.minimum(power, 0.0))
-            alpha = jnp.minimum(ALPHA_MAX, _u8(data[4:5, :], 24, C_OP) * G)
-            col_r = _u8(data[4:5, :], 16, C_COL)
-            col_g = _u8(data[4:5, :], 8, C_COL)
-            col_b = _u8(data[4:5, :], 0, C_COL)
-            # power is analytically <= 0; the exact-path <=0 test only
-            # guards numerical noise. MXU roundoff (~2e-4) near a
-            # Gaussian's CENTER (power ~ 0) must not drop a full-opacity
-            # contribution -> small positive tolerance (G clamps at 1).
-            geo_ok = (power <= 3e-3) & (power >= power_cutoff)
-        else:
-            alpha, geo_ok, _, _, _ = _alpha_from_chunk(data, px, py,
-                                                       power_cutoff)
-            col_r = data[6:7, :]
-            col_g = data[7:8, :]
-            col_b = data[8:9, :]
-        ok = geo_ok & (alpha >= ALPHA_MIN) & in_seg
-        a_eff = jnp.where(ok, alpha, 0.0)
-
-        # Cross-chunk pixel freeze (the CUDA per-pixel 'done' flag,
-        # forward.cu:380-426): a pixel that triggered T < T_EPS in an
-        # EARLIER chunk must not resume accumulating here even though its
-        # carried T_pix still sits above the threshold. Carried as f32
-        # 0/1: Mosaic cannot legalize i1 VECTOR while-loop carries
-        # (scf.yield layout error on the real TPU; interpret mode hid it).
-        a_eff = jnp.where(frozen > 0.0, 0.0, a_eff)
-        one_minus = 1.0 - a_eff
-        logs = jnp.log1p(-a_eff)
-        # Prefix sums as one fused upper-triangular matmul on the MXU
-        # (measured faster than log-step rolls on the VPU).
-        excl = jnp.dot(logs, triu, preferred_element_type=jnp.float32)
-        T_row = T_pix * jnp.exp(excl)                        # T before j
-        incl = T_row * one_minus
-        trigger = (a_eff > 0) & (incl < T_EPS)
-        done_before = jnp.dot(trigger.astype(jnp.float32), triu,
-                              preferred_element_type=jnp.float32) > 0
-        contribute = (a_eff > 0) & ~trigger & ~done_before
-        frozen = jnp.maximum(frozen,
-                             jnp.max(trigger.astype(jnp.float32), axis=1,
-                                     keepdims=True))
-        weight = jnp.where(contribute, a_eff * T_row, 0.0)   # (PIX, chunk)
-
-        cr = cr + jnp.sum(weight * col_r, axis=1, keepdims=True)
-        cg = cg + jnp.sum(weight * col_g, axis=1, keepdims=True)
-        cb_ = cb_ + jnp.sum(weight * col_b, axis=1, keepdims=True)
-
-        log_delta = jnp.sum(jnp.where(contribute, logs, 0.0), axis=1,
-                            keepdims=True)                   # (PIX, 1)
-        T_pix = T_pix * jnp.exp(log_delta)
-
-        rank = (gid - start + 1).astype(jnp.float32)         # (1, chunk)
-        nc = jnp.maximum(nc, jnp.max(jnp.where(contribute, rank, 0.0),
-                                     axis=1, keepdims=True))
-
-        alive = jnp.where(frozen > 0.0, 0.0,
-                          (T_pix >= T_EPS).astype(jnp.float32))
-        cont = (k + 1 < num_chunks) & (jnp.max(alive) > 0)
-        return k + 1, cont, T_pix, frozen, cr, cg, cb_, nc
-
-    def cond(state):
-        return state[1]
-
-    init = (jnp.int32(0), num_chunks > 0, jnp.ones((PIX, 1), jnp.float32),
-            jnp.zeros((PIX, 1), jnp.float32),
-            jnp.zeros((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32),
-            jnp.zeros((PIX, 1), jnp.float32), jnp.zeros((PIX, 1), jnp.float32))
-    kf, _, T_pix, _, cr, cg, cb_, nc = jax.lax.while_loop(cond, body, init)
-
-    # Drain: an early (saturation) exit left chunk kf's speculative DMA in
-    # flight — wait it so semaphore state stays clean for the next tile.
-    @pl.when(kf < num_chunks)
-    def _():
-        get_dma(kf % 2, kf).wait()
-
-    out_ref[b] = jnp.concatenate([cr, cg, cb_, T_pix], axis=1)  # (PIX, 4)
-    nc_ref[b] = nc.astype(jnp.int32)
-    return carry
+def _to_cols_u8(rows_f32, eye_bf):
+    """(R, chunk) f32 rows holding bf16-exact values -> (chunk, R_pad)
+    columns (R pads to 8: Mosaic rejects size-1 matmul output dims)."""
+    r = rows_f32.shape[0]
+    rows = jnp.concatenate(
+        [rows_f32, jnp.zeros((8 - r, rows_f32.shape[1]), jnp.float32)],
+        axis=0)
+    return jax.lax.dot_general(
+        eye_bf, rows.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def _forward(pair_data, seg_start, seg_end, grid_x: int, grid_y: int,
              chunk: int, power_cutoff: float, interpret: bool,
-             batch: int = 8, mxu_power: bool = False):
+             batch: int = 8, mxu_power: bool = False,
+             window: int = 16384, sub: int = 2048):
     num_tiles = grid_x * grid_y
     cap = pair_data.shape[1]
+    assert window % sub == 0 and chunk % 128 == 0 and sub % 128 == 0
+    assert cap >= 128, cap
+    sub = min(sub, (cap // 128) * 128)
+    window = max(sub, min(window, (cap // sub) * sub))
+    assert window >= chunk, (window, chunk)
     t_pad = ((num_tiles + batch - 1) // batch) * batch
     if t_pad != num_tiles:
+        # Pad with the last real seg_end (see blend_fov: zero-padded segs
+        # would drag the final batch's streaming window to lane 0).
         pad = t_pad - num_tiles
-        seg_start = jnp.concatenate([seg_start, jnp.zeros(pad, jnp.int32)])
-        seg_end = jnp.concatenate([seg_end, jnp.zeros(pad, jnp.int32)])
+        tail = jnp.broadcast_to(seg_end[-1], (pad,)).astype(jnp.int32)
+        seg_start = jnp.concatenate([seg_start, tail])
+        seg_end = jnp.concatenate([seg_end, tail])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t_pad // batch,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((batch, PIX, 4), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch, PIX, 1), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((batch, 8, PIX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((2, ROW, chunk), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=[pltpu.VMEM((2, ROW, window), jnp.float32),
+                        pltpu.VMEM((ROW, chunk), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA(())],
     )
     kernel = functools.partial(_fwd_kernel, grid_x=grid_x, chunk=chunk,
                                power_cutoff=power_cutoff, cap=cap,
-                               batch=batch, mxu_power=mxu_power)
-    out, nc = pl.pallas_call(
+                               batch=batch, mxu_power=mxu_power,
+                               window=window, sub=sub)
+    out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((t_pad, PIX, 4), jnp.float32),
-                   jax.ShapeDtypeStruct((t_pad, PIX, 1), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((t_pad, 8, PIX), jnp.float32)],
         interpret=interpret,
-    )(seg_start, seg_end, pair_data)
-    return out[:num_tiles], nc[:num_tiles]
+    )(seg_start, seg_end, pair_data)[0]
+    out = out[:num_tiles]
+    # Back to the legacy (T, PIX, 4) / (T, PIX, 1) API shapes.
+    color_T = out[:, 0:4, :].transpose(0, 2, 1)
+    nc = out[:, 4, :, None].astype(jnp.int32)
+    return color_T, nc
 
 
 # --------------------------------------------------------------- backward
 
+def _suffix_sum_lanes(x, chunk: int):
+    """Inclusive suffix sum along lanes via log-step rolls — exact f32
+    (a jnp.dot(x, triu) prefix runs at DEFAULT precision = bf16 on the
+    MXU, which would round gradient partial sums to ~2^-8)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = 1
+    while s < chunk:
+        x = x + jnp.where(lane < chunk - s, pltpu.roll(x, chunk - s, 1),
+                          0.0)
+        s *= 2
+    return x
+
+
+def _suffix_prod_lanes(x, chunk: int):
+    """Inclusive suffix product along lanes (exact f32)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = 1
+    while s < chunk:
+        x = x * jnp.where(lane < chunk - s, pltpu.roll(x, chunk - s, 1),
+                          1.0)
+        s *= 2
+    return x
+
+
 def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
-                buf, gbuf, sem, gsem, *, grid_x: int, chunk: int,
-                power_cutoff: float, cap: int, batch: int):
+                win, fbuf, gbuf, wsem, fsem, gsem, *, grid_x: int,
+                chunk: int, power_cutoff: float, cap: int, batch: int,
+                window: int, sub: int):
     """fin_ref: blocked (batch, PIX, 8) = [g_r, g_g, g_b, g_T, final_T,
     n_contrib, pad, pad] along the last axis. grads_hbm: (ROW, CAP) output.
 
-    Only chunks up to the deepest contributing pair (max n_contrib) are
-    processed; the caller zero-masks the rest. batch consecutive tiles per
-    grid program (amortizes per-program launch overhead)."""
+    Pair reads ride the same cross-program window streaming as the
+    forward (blend_fov DMA discipline; the backward walks chunks
+    back-to-front, but the window holds the batch's whole range so access
+    order is free). T is recovered by DIVISION from the running suffix
+    product of (1 - alpha) — the reference backward's own trick
+    (backward.cu:503) — instead of exp of the negated log-suffix: the
+    log form overflows f32 when a chunk stacks enough near-opaque pairs
+    (exp(+|sum log1p(-a)|) with a capped at 0.99), while the division is
+    bounded by the forward's T >= T_EPS semantics and additionally
+    clamped at 1. Only chunks up to the deepest contributing pair are
+    processed; the caller zero-masks the rest."""
     tb = pl.program_id(0)
-    jax.lax.fori_loop(
-        0, batch,
-        functools.partial(_bwd_one_tile, tb=tb, seg_start_ref=seg_start_ref,
-                          seg_end_ref=seg_end_ref, pairs_hbm=pairs_hbm,
-                          fin_ref=fin_ref, grads_hbm=grads_hbm, buf=buf,
-                          gbuf=gbuf, sem=sem, gsem=gsem, grid_x=grid_x,
-                          chunk=chunk, power_cutoff=power_cutoff, cap=cap,
-                          batch=batch),
-        0)
+    nprog = pl.num_programs(0)
+    maxsub = window // sub
 
+    def seg_base(p):
+        t0 = jnp.minimum(p * batch, seg_start_ref.shape[0] - 1)
+        return pl.multiple_of(
+            (seg_start_ref[t0] // chunk) * chunk, chunk)
 
-def _bwd_one_tile(b, carry, *, tb, seg_start_ref, seg_end_ref, pairs_hbm,
-                  fin_ref, grads_hbm, buf, gbuf, sem, gsem, grid_x: int,
-                  chunk: int, power_cutoff: float, cap: int, batch: int):
-    t = tb * batch + b
-    start = seg_start_ref[t]
-    end = seg_end_ref[t]
-    n = end - start
-    px, py = _pixel_coords(t, grid_x)
+    def seg_nsub(p):
+        t0 = jnp.minimum(p * batch, seg_start_ref.shape[0] - 1)
+        t1 = jnp.minimum((p + 1) * batch - 1, seg_end_ref.shape[0] - 1)
+        base = (seg_start_ref[t0] // chunk) * chunk
+        rng = seg_end_ref[t1] - base
+        return jnp.clip(jnp.minimum(pl.cdiv(rng, sub),
+                                    (cap - base) // sub), 0, maxsub)
 
-    fin = fin_ref[b]                         # (PIX, 8)
-    g_r = fin[:, 0:1]                        # (PIX, 1)
-    g_g = fin[:, 1:2]
-    g_b = fin[:, 2:3]
-    gT = fin[:, 3:4]
-    Tf = fin[:, 4:5]
-    nc = fin[:, 5:6]
-    max_nc = jnp.max(nc)
-    # UNALIGNED segments: chunk windows start at the chunk-floor of the
-    # segment start; [start, end) masking handles the head, and the
-    # boundary chunk shared with earlier tiles is read-merge-written (see
-    # the write step below). Walk only to the deepest contributing pair.
-    base = pl.multiple_of((start // chunk) * chunk, chunk)
-    deepest = jnp.minimum(end, start + max_nc.astype(jnp.int32))
-    num_chunks = pl.cdiv(deepest - base, chunk)
+    def start_window(p, slot):
+        base = seg_base(p)
+        ns = seg_nsub(p)
 
-    def get_dma(slot, k):
-        src = pl.multiple_of(jnp.minimum(base + k * chunk, cap - chunk),
-                             chunk)
-        return pltpu.make_async_copy(pairs_hbm.at[:, pl.ds(src, chunk)],
-                                     buf.at[slot], sem.at[slot])
+        def issue(j, _):
+            @pl.when(j < ns)
+            def _():
+                src = pl.multiple_of(base + j * sub, 128)
+                pltpu.make_async_copy(
+                    pairs_hbm.at[:, pl.ds(src, sub)],
+                    win.at[slot, :, pl.ds(j * sub, sub)],
+                    wsem.at[slot]).start()
+            return 0
 
-    @pl.when(num_chunks > 0)
+        jax.lax.fori_loop(0, maxsub, issue, 0)
+
+    def wait_window(p, slot):
+        ns = seg_nsub(p)
+
+        def drain(j, _):
+            @pl.when(j < ns)
+            def _():
+                pltpu.make_async_copy(
+                    pairs_hbm.at[:, pl.ds(0, sub)],
+                    win.at[slot, :, pl.ds(0, sub)],
+                    wsem.at[slot]).wait()
+            return 0
+
+        jax.lax.fori_loop(0, maxsub, drain, 0)
+
+    slot = jax.lax.rem(tb, 2)
+
+    @pl.when(tb == 0)
     def _():
-        get_dma((num_chunks - 1) % 2, num_chunks - 1).start()
+        start_window(0, 0)
 
-    def body(state):
-        k, T_back, S_r, S_g, S_b = state     # k counts down num_chunks..1
-        kk = k - 1
+    wait_window(tb, slot)
 
-        @pl.when(kk > 0)
-        def _():
-            get_dma((kk - 1) % 2, kk - 1).start()
+    @pl.when(tb + 1 < nprog)
+    def _():
+        start_window(tb + 1, 1 - slot)
 
-        get_dma(kk % 2, kk).wait()
-        data = buf[kk % 2]
-        src = pl.multiple_of(jnp.minimum(base + kk * chunk, cap - chunk),
-                             chunk)
-        gid = src + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        in_seg = (gid >= start) & (gid < end)
-        rank = (gid - start).astype(jnp.float32)             # (1, chunk)
+    win_base = seg_base(tb)
+    win_loaded = seg_nsub(tb) * sub
 
-        alpha, geo_ok, G, dx, dy = _alpha_from_chunk(data, px, py,
-                                                     power_cutoff)
-        contribute = geo_ok & (alpha >= ALPHA_MIN) & in_seg & (rank < nc)
-        a_eff = jnp.where(contribute, alpha, 0.0)
-        logs = jnp.log1p(-a_eff)                             # (PIX, chunk)
+    def per_tile(b):
+        t = tb * batch + b
+        start = seg_start_ref[t]
+        end = seg_end_ref[t]
+        px, py = _pixel_coords(t, grid_x)
 
-        triu_i = _triu_incl(chunk)
-        inc = jnp.dot(logs, triu_i, preferred_element_type=jnp.float32)
-        seg_total = jnp.sum(logs, axis=1, keepdims=True)     # (PIX, 1)
-        T_j = T_back * jnp.exp(-(seg_total - inc + logs))
-        w = a_eff * T_j                                      # (PIX, chunk)
+        fin = fin_ref[b]                         # (PIX, 8)
+        g_r = fin[:, 0:1]                        # (PIX, 1)
+        g_g = fin[:, 1:2]
+        g_b = fin[:, 2:3]
+        gT = fin[:, 3:4]
+        Tf = fin[:, 4:5]
+        nc = fin[:, 5:6]
+        max_nc = jnp.max(nc)
+        # UNALIGNED segments: chunk windows start at the chunk-floor of
+        # the segment start; [start, end) masking handles the head, and
+        # the boundary chunk shared with earlier tiles is
+        # read-merge-written. Walk only to the deepest contributing pair.
+        base = pl.multiple_of((start // chunk) * chunk, chunk)
+        deepest = jnp.minimum(end, start + max_nc.astype(jnp.int32))
+        num_chunks = pl.cdiv(deepest - base, chunk)
 
-        wr = w * data[6:7, :]
-        wg = w * data[7:8, :]
-        wb = w * data[8:9, :]
-        Winc_r = jnp.dot(wr, triu_i, preferred_element_type=jnp.float32)
-        Winc_g = jnp.dot(wg, triu_i, preferred_element_type=jnp.float32)
-        Winc_b = jnp.dot(wb, triu_i, preferred_element_type=jnp.float32)
-        tot_r = jnp.sum(wr, axis=1, keepdims=True)
-        tot_g = jnp.sum(wg, axis=1, keepdims=True)
-        tot_b = jnp.sum(wb, axis=1, keepdims=True)
-        Sr_j = S_r + (tot_r - Winc_r)
-        Sg_j = S_g + (tot_g - Winc_g)
-        Sb_j = S_b + (tot_b - Winc_b)
+        def body(state):
+            k, T_back, S_r, S_g, S_b = state   # k counts down num_chunks..1
+            kk = k - 1
+            src = pl.multiple_of(
+                jnp.minimum(base + kk * chunk, cap - chunk), chunk)
+            woff = src - win_base
+            in_win = (woff >= 0) & (woff + chunk <= win_loaded)
 
-        gc_dot_col = (g_r * data[6:7, :] + g_g * data[7:8, :]
-                      + g_b * data[8:9, :])
-        gc_dot_S = g_r * Sr_j + g_g * Sg_j + g_b * Sb_j
-        inv_om = 1.0 / (1.0 - a_eff)
-        dL_da = jnp.where(contribute,
-                          gc_dot_col * T_j - (gc_dot_S + gT * Tf) * inv_om,
-                          0.0)
+            @pl.when(jnp.logical_not(in_win))
+            def _():
+                dma = pltpu.make_async_copy(
+                    pairs_hbm.at[:, pl.ds(src, chunk)], fbuf, fsem)
+                dma.start()
+                dma.wait()
 
-        d_op = jnp.sum(G * dL_da, axis=0, keepdims=True)     # (1, chunk)
-        d_power = alpha * dL_da
-        ca = data[2:3, :]
-        cb = data[3:4, :]
-        cc = data[4:5, :]
-        d_dx = d_power * (-(ca * dx + cb * dy))
-        d_dy = d_power * (-(cc * dy + cb * dx))
+            wdata = win[slot, :, pl.ds(
+                pl.multiple_of(jnp.clip(woff, 0, window - chunk), 128),
+                chunk)]
+            sel = jnp.full((ROW, chunk), in_win)
+            data = jnp.where(sel, wdata, fbuf[...])
+            gid = src + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            in_seg = (gid >= start) & (gid < end)
+            rank = (gid - start).astype(jnp.float32)         # (1, chunk)
 
-        zero = jnp.zeros((1, chunk), jnp.float32)
-        g_out = jnp.concatenate([
-            jnp.sum(d_dx, axis=0, keepdims=True),
-            jnp.sum(d_dy, axis=0, keepdims=True),
-            jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True),
-            jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True),
-            jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True),
-            d_op,
-            jnp.sum(w * g_r, axis=0, keepdims=True),
-            jnp.sum(w * g_g, axis=0, keepdims=True),
-            jnp.sum(w * g_b, axis=0, keepdims=True),
-            zero, zero, zero, zero, zero, zero, zero,
-        ], axis=0)                                           # (ROW, chunk)
-        slot = kk % 2
-        # Boundary chunk shared with EARLIER tiles (lanes < start): their
-        # gradient rows are already in HBM (the grid is sequential and
-        # every write below completes synchronously), so read-merge-write
-        # keeps them. Lanes >= end carry zeros here and are merged over by
-        # the LATER tile that owns them, in its own boundary pass.
-        @pl.when((kk == 0) & (base < start))
-        def _():
-            rdma = pltpu.make_async_copy(
-                grads_hbm.at[:, pl.ds(src, chunk)], gbuf.at[1 - slot],
-                gsem.at[1 - slot])
-            rdma.start()
-            rdma.wait()
-            lane_g = src + jax.lax.broadcasted_iota(
-                jnp.int32, (ROW, chunk), 1)
-            gbuf[slot] = jnp.where(lane_g < start, gbuf[1 - slot], g_out)
+            alpha, geo_ok, G, dx, dy = _alpha_from_chunk(data, px, py,
+                                                         power_cutoff)
+            contribute = geo_ok & (alpha >= ALPHA_MIN) & in_seg & (rank < nc)
+            a_eff = jnp.where(contribute, alpha, 0.0)
+            om = 1.0 - a_eff                                 # (PIX, chunk)
 
-        @pl.when(jnp.logical_not((kk == 0) & (base < start)))
-        def _():
-            gbuf[slot] = g_out
-        wdma = pltpu.make_async_copy(gbuf.at[slot],
-                                     grads_hbm.at[:, pl.ds(src, chunk)],
-                                     gsem.at[slot])
-        wdma.start()
-        wdma.wait()
+            # T before pair j = T_after_chunk / prod_{i>=j} om_i, clamped
+            # at 1 (T <= 1 holds mathematically; the clamp bounds f32
+            # roundoff and any impossible-state division blowup).
+            sfx_om = _suffix_prod_lanes(om, chunk)
+            T_j = jnp.minimum(T_back / sfx_om, 1.0)
+            w = a_eff * T_j                                  # (PIX, chunk)
 
-        T_back = T_back * jnp.exp(-seg_total)
-        S_r = S_r + tot_r
-        S_g = S_g + tot_g
-        S_b = S_b + tot_b
-        return kk, T_back, S_r, S_g, S_b
+            wr = w * data[6:7, :]
+            wg = w * data[7:8, :]
+            wb = w * data[8:9, :]
+            sfx_r = _suffix_sum_lanes(wr, chunk)             # incl suffix
+            sfx_g = _suffix_sum_lanes(wg, chunk)
+            sfx_b = _suffix_sum_lanes(wb, chunk)
+            # Color suffix EXCLUSIVE of j: sum over i > j.
+            Sr_j = S_r + (sfx_r - wr)
+            Sg_j = S_g + (sfx_g - wg)
+            Sb_j = S_b + (sfx_b - wb)
 
-    def cond(state):
-        return state[0] > 0
+            gc_dot_col = (g_r * data[6:7, :] + g_g * data[7:8, :]
+                          + g_b * data[8:9, :])
+            gc_dot_S = g_r * Sr_j + g_g * Sg_j + g_b * Sb_j
+            inv_om = 1.0 / om
+            dL_da = jnp.where(
+                contribute,
+                gc_dot_col * T_j - (gc_dot_S + gT * Tf) * inv_om, 0.0)
 
-    zero_col = jnp.zeros((PIX, 1), jnp.float32)
-    jax.lax.while_loop(cond, body, (num_chunks, Tf, zero_col, zero_col,
-                                    zero_col))
-    return carry
+            d_op = jnp.sum(G * dL_da, axis=0, keepdims=True)  # (1, chunk)
+            d_power = alpha * dL_da
+            ca = data[2:3, :]
+            cb = data[3:4, :]
+            cc = data[4:5, :]
+            d_dx = d_power * (-(ca * dx + cb * dy))
+            d_dy = d_power * (-(cc * dy + cb * dx))
+
+            zero = jnp.zeros((1, chunk), jnp.float32)
+            g_out = jnp.concatenate([
+                jnp.sum(d_dx, axis=0, keepdims=True),
+                jnp.sum(d_dy, axis=0, keepdims=True),
+                jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True),
+                jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True),
+                jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True),
+                d_op,
+                jnp.sum(w * g_r, axis=0, keepdims=True),
+                jnp.sum(w * g_g, axis=0, keepdims=True),
+                jnp.sum(w * g_b, axis=0, keepdims=True),
+                zero, zero, zero, zero, zero, zero, zero,
+            ], axis=0)                                       # (ROW, chunk)
+            gslot = kk % 2
+            # Boundary chunk shared with EARLIER tiles (lanes < start):
+            # their gradient rows are already in HBM (the grid is
+            # sequential and every write below completes synchronously),
+            # so read-merge-write keeps them. Lanes >= end carry zeros
+            # here and are merged over by the LATER tile that owns them.
+            @pl.when((kk == 0) & (base < start))
+            def _():
+                rdma = pltpu.make_async_copy(
+                    grads_hbm.at[:, pl.ds(src, chunk)], gbuf.at[1 - gslot],
+                    gsem.at[1 - gslot])
+                rdma.start()
+                rdma.wait()
+                lane_g = src + jax.lax.broadcasted_iota(
+                    jnp.int32, (ROW, chunk), 1)
+                gbuf[gslot] = jnp.where(lane_g < start, gbuf[1 - gslot],
+                                        g_out)
+
+            @pl.when(jnp.logical_not((kk == 0) & (base < start)))
+            def _():
+                gbuf[gslot] = g_out
+            wdma = pltpu.make_async_copy(gbuf.at[gslot],
+                                         grads_hbm.at[:, pl.ds(src, chunk)],
+                                         gsem.at[gslot])
+            wdma.start()
+            wdma.wait()
+
+            T_back = jnp.minimum(T_back / sfx_om[:, 0:1], 1.0)
+            S_r = S_r + sfx_r[:, 0:1]
+            S_g = S_g + sfx_g[:, 0:1]
+            S_b = S_b + sfx_b[:, 0:1]
+            return kk, T_back, S_r, S_g, S_b
+
+        def cond(state):
+            return state[0] > 0
+
+        zero_col = jnp.zeros((PIX, 1), jnp.float32)
+        jax.lax.while_loop(cond, body, (num_chunks, Tf, zero_col, zero_col,
+                                        zero_col))
+
+    for b in range(batch):
+        per_tile(b)
 
 
 def _backward(pair_data, seg_start, seg_end, fin, n_contrib_max,
               grid_x: int, grid_y: int, chunk: int, power_cutoff: float,
-              interpret: bool, batch: int = 8):
+              interpret: bool, batch: int = 8, window: int = 16384,
+              sub: int = 2048):
     num_tiles = grid_x * grid_y
     cap = pair_data.shape[1]
+    assert window % sub == 0 and chunk % 128 == 0 and sub % 128 == 0
+    assert cap >= 128, cap
+    sub = min(sub, (cap // 128) * 128)
+    window = max(sub, min(window, (cap // sub) * sub))
+    assert window >= chunk, (window, chunk)
     seg_start0, seg_end0 = seg_start, seg_end
     t_pad = ((num_tiles + batch - 1) // batch) * batch
     if t_pad != num_tiles:
         pad = t_pad - num_tiles
-        seg_start = jnp.concatenate([seg_start, jnp.zeros(pad, jnp.int32)])
-        seg_end = jnp.concatenate([seg_end, jnp.zeros(pad, jnp.int32)])
+        tail = jnp.broadcast_to(seg_end[-1], (pad,)).astype(jnp.int32)
+        seg_start = jnp.concatenate([seg_start, tail])
+        seg_end = jnp.concatenate([seg_end, tail])
         fin = jnp.concatenate(
             [fin, jnp.zeros((pad, PIX, 8), jnp.float32)], axis=0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -555,14 +793,16 @@ def _backward(pair_data, seg_start, seg_end, fin, n_contrib_max,
                   pl.BlockSpec((batch, PIX, 8), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        scratch_shapes=[pltpu.VMEM((2, ROW, chunk), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, ROW, window), jnp.float32),
+                        pltpu.VMEM((ROW, chunk), jnp.float32),
                         pltpu.VMEM((2, ROW, chunk), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA(()),
                         pltpu.SemaphoreType.DMA((2,))],
     )
     kernel = functools.partial(_bwd_kernel, grid_x=grid_x, chunk=chunk,
                                power_cutoff=power_cutoff, cap=cap,
-                               batch=batch)
+                               batch=batch, window=window, sub=sub)
     grads = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((ROW, cap), jnp.float32)],

@@ -71,11 +71,15 @@ class RasterizeConfig:
                                       # grid program (amortizes launch cost)
     pallas_blend_batch: int = 8       # blend kernels: tiles per grid
                                       # program (amortizes ~9 us launch)
-    pallas_prefix_mode: str = "logmm"  # fov blend transmittance prefix:
+    pallas_prefix_mode: str = "scan"  # fov blend transmittance prefix:
+                                      # "scan" (exact f32 Hillis-Steele
+                                      # product scan — measured FASTER
+                                      # than logmm in the transposed
+                                      # orientation, 8.5 vs 10.4 ms on
+                                      # the bench workload, and exact) or
                                       # "logmm" (bf16 log-space MXU
                                       # matmul, ~2e-3 relative weight
-                                      # error) or "scan" (exact f32
-                                      # Hillis-Steele product scan)
+                                      # error; round-2 default)
     pallas_table_kernel: bool = True  # SoA foveated path: build the
                                       # expand kernel's split-row table
                                       # with the fused per-Gaussian Pallas

@@ -141,22 +141,17 @@ key, dbits, attrs, kept = jax.jit(lambda d, c, g, t: pex.expand_fov_pallas(
 
 
 def tile_sort(key, attrs):
-    with jax.enable_x64(True):
-        res = jax.lax.sort(
-            (key, fov._pack_i64(attrs[0], attrs[1]),
-             fov._pack_i64(attrs[2], attrs[3]),
-             fov._pack_i64(attrs[4], attrs[5])), num_keys=1)
-        packed = jnp.concatenate(
-            [fov._unpack_i64(res[i]) for i in range(1, 4)]
-            + [jnp.zeros((2, key.shape[0]), jnp.float32)], axis=0)
-        seg_start = jnp.searchsorted(
-            res[0], pex.seg_bounds32(num_tiles), side='left'
-        ).astype(jnp.int32)
+    res = jax.lax.sort((key, *attrs), num_keys=1)
+    packed = jnp.concatenate(
+        [jnp.stack(res[1:], axis=0),
+         jnp.zeros((2, key.shape[0]), jnp.float32)], axis=0)
+    seg_start = jnp.searchsorted(
+        res[0], pex.seg_bounds32(num_tiles), side='left').astype(jnp.int32)
     return packed, seg_start
 
 
 packed, seg_start = timeit(jax.jit(tile_sort), key, attrs,
-                           label="tile sort i64 (reference point)")
+                           label="tile sort i32 (reference point)")
 
 grad_x, grad_y, _, tile_blend = foveation.compute_tile_level_infos(
     levels, cam.width, cam.height, fov_cfg)
@@ -175,12 +170,14 @@ tile_act = jnp.stack([
     jnp.zeros_like(l1_active, jnp.float32)], axis=-1)
 
 for spec in [x for x in args.blend.split(",") if x]:
-    batch, chunk, window = map(int, spec.split(":"))
-    fn = jax.jit(lambda p, s, e, a, b=batch, c=chunk, w=window:
+    parts = spec.split(":")
+    batch, chunk, window = map(int, parts[:3])
+    pmode = parts[3] if len(parts) > 3 else "logmm"
+    fn = jax.jit(lambda p, s, e, a, b=batch, c=chunk, w=window, pm=pmode:
                  pkf.blend_fov_pallas(p, s, e, a, gx, gy, c, -4.5, False,
-                                      batch=b, window=w))
+                                      batch=b, window=w, prefix_mode=pm))
     timeit(fn, packed, seg_start[:-1], seg_start[1:], tile_act,
-           label=f"blend batch={batch} chunk={chunk} window={window}")
+           label=f"blend batch={batch} chunk={chunk} window={window} {pmode}")
 
 # Ablations at the default config: pure per-tile overhead (empty segments)
 # and single-chain-everywhere (dual-chain cost share).

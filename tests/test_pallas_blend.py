@@ -530,3 +530,50 @@ def test_blend_pallas_unaligned_gradients():
     for a, u in zip(ga_g, gu_g):
         np.testing.assert_allclose(np.asarray(u), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_deep_saturated_segment_gradients_finite():
+    """Hundreds of near-opaque pairs stacked in ONE tile: the pixel
+    saturates (T < 1e-4) a few pairs in, n_contrib stays small, and the
+    backward's T recovery must stay bounded. The round-2 backward
+    recovered T as exp(+|chunk log-suffix|), which overflows f32 once a
+    chunk stacks ~>=19 contributing pairs at alpha ~0.99; the round-3
+    form divides by the running suffix product (backward.cu:503) and
+    clamps at 1. Gradients must be finite and match the XLA oracle."""
+    gx = gy = 1
+    num_tiles = 1
+    n_pairs = 600
+    cap = 768  # unaligned segment start exercises the window floor
+    start, end = 37, 37 + n_pairs
+    rng = np.random.default_rng(7)
+
+    mean2d = jnp.asarray(rng.uniform(2, 14, (cap, 2)), jnp.float32)
+    conic = jnp.asarray(
+        np.stack([rng.uniform(0.02, 0.06, cap),
+                  np.zeros(cap),
+                  rng.uniform(0.02, 0.06, cap)], -1), jnp.float32)
+    op = jnp.asarray(rng.uniform(0.9, 0.99, cap), jnp.float32)
+    col = jnp.asarray(rng.uniform(0, 1, (cap, 3)), jnp.float32)
+    tile = jnp.where((jnp.arange(cap) >= start) & (jnp.arange(cap) < end),
+                     0, num_tiles).astype(jnp.int32)
+    seg = jnp.asarray([start, end], jnp.int32)
+
+    def loss_x(m, c, o, cl):
+        out = blend.blend(tile, m, c, o, cl, seg, jnp.int32(end),
+                          gx, gy, 256, -4.5)
+        return jnp.sum(out[0] * out[0]) + jnp.sum(out[1])
+
+    def loss_p(m, c, o, cl):
+        packed = blend_fwd.pack_pairs(m, c, o, cl)
+        out = blend_fwd.blend_pallas(packed, seg[:1], seg[1:], gx, gy,
+                                     128, -4.5, True)
+        return jnp.sum(out[0] * out[0]) + jnp.sum(out[1])
+
+    gx_ = jax.jit(jax.grad(loss_x, argnums=(0, 1, 2, 3)))(
+        mean2d, conic, op, col)
+    gp_ = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2, 3)))(
+        mean2d, conic, op, col)
+    for a, b in zip(jax.tree.leaves(gx_), jax.tree.leaves(gp_)):
+        assert np.all(np.isfinite(np.asarray(b)))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-5)
