@@ -76,15 +76,36 @@ def _render_level_fused(m, camera, level_i, li, config):
     pc = projection.preprocess_cols(m["xyz"], m["scaling"], m["rotation"],
                                     camera,
                                     scale_modifier=config.scale_modifier)
-    t1cols = [pc.rx0.astype(jnp.float32), pc.ry0.astype(jnp.float32),
-              jnp.maximum(pc.rx1 - pc.rx0, 1).astype(jnp.float32),
-              pc.tnum.astype(jnp.float32),
+    # Clip every rect to the owned-tile region's bounding box BEFORE pair
+    # expansion (output-invariant: pairs outside it land on tiles whose
+    # segments the blend empties anyway). The level-0 pass owns only the
+    # small gaze-centered box but carries the LARGEST model — without the
+    # clip it binned its full cloud four times per frame. The reference's
+    # MM-FR pays the full 4x binning (N8 culls only at render via
+    # tile_skips); the 4-passes-per-frame structure is preserved.
+    owned2d = (level_i == li).reshape(gy, gx)
+    txs = jax.lax.broadcasted_iota(jnp.int32, (gy, gx), 1)
+    tys = jax.lax.broadcasted_iota(jnp.int32, (gy, gx), 0)
+    big = jnp.int32(1 << 20)
+    bx0 = jnp.min(jnp.where(owned2d, txs, big))
+    by0 = jnp.min(jnp.where(owned2d, tys, big))
+    bx1 = jnp.max(jnp.where(owned2d, txs + 1, 0))
+    by1 = jnp.max(jnp.where(owned2d, tys + 1, 0))
+    rx0 = jnp.maximum(pc.rx0, bx0)
+    ry0 = jnp.maximum(pc.ry0, by0)
+    rx1 = jnp.minimum(pc.rx1, bx1)
+    ry1 = jnp.minimum(pc.ry1, by1)
+    tnum = jnp.maximum(rx1 - rx0, 0) * jnp.maximum(ry1 - ry0, 0)
+    valid = pc.valid & (tnum > 0)
+    t1cols = [rx0.astype(jnp.float32), ry0.astype(jnp.float32),
+              jnp.maximum(rx1 - rx0, 1).astype(jnp.float32),
+              jnp.where(valid, tnum, 0).astype(jnp.float32),
               pc.mx, pc.my, pc.v1x, pc.v1y, pc.v2x, pc.v2y,
               pc.len1, pc.len2, pc.ca, pc.cb, pc.cc,
               m["opacity"], m["colors"][:, 0], m["colors"][:, 1],
               m["colors"][:, 2]]
     packed, seg_start, num_pairs, overflow, _cap3 = binning.bin_fused_ps1(
-        t1cols, pc.valid, pc.depth, gx, gy, cap, config.pallas_interpret,
+        t1cols, valid, pc.depth, gx, gy, cap, config.pallas_interpret,
         config.dummy_slack, config.compact_capacity, config.expand_chunk,
         config.expand_batch, sort_exact=config.sort_exact_depth)
     owned = level_i == li

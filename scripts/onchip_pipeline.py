@@ -1,10 +1,15 @@
-"""Reduced-but-honest on-chip pipeline run (VERDICT round-1 item #7).
+"""Reduced-but-honest on-chip pipeline run (VERDICT r1 #7, r2 #4).
 
 Drives the REAL jitted training loops on the TPU at reduced scale:
 efficiency-aware prune loop (quality gates, scale-decay, rollback,
-metric prunes) -> one PS-mask layer -> compose -> SM-FR assignment,
-recording wall-clock + model trajectory into
-artifacts/onchip_pipeline_r2.json.
+metric prunes) -> THREE chained PS-mask layers (ps = 3, 7, 12, each
+starting from the previous layer like run_multi_ecc_masking.py:144-152)
+-> compose -> SM-FR assignment, recording wall-clock + the COMPRESSION
+LADDER (per-layer live counts; the reference's pnum/ours-Q/bicycle.txt
+ladder is 1 : 0.40 : 0.22 : 0.17) into artifacts/onchip_pipeline_r3.json.
+The round-2 runs predate the exact-count rank prune (a227b2c): their one
+tied-score event wiped 88-92%% of the model and rolled back to zero
+compression.
 
 Scene: the bicycle proxy at 200k Gaussians. Ground truth comes from
 rendering the UNPERTURBED proxy on 10 ring cameras at 512x384 (divisible
@@ -34,6 +39,7 @@ from fovsplat.train import compose, loops
 N = int(os.environ.get("PIPE_N", 200_000))
 PRUNE_ITERS = int(os.environ.get("PIPE_PRUNE_ITERS", 2000))
 MASK_ITERS = int(os.environ.get("PIPE_MASK_ITERS", 600))
+MASK_RATIO = float(os.environ.get("PIPE_MASK_RATIO", 0.03))
 W, H = 512, 384
 INTERP = os.environ.get("PIPE_INTERPRET", "") == "1"   # CPU smoke
 
@@ -130,40 +136,49 @@ def main():
     log(f"prune stage: {time.time()-t0:.1f}s, live {N} -> "
         f"{live_after_prune}, ssim {s1:.4f} psnr {p1:.2f}")
 
-    # ---- stage: one PS-mask layer (ps=3) ----------------------------------
-    t0 = time.time()
+    # ---- stage: THREE chained PS-mask layers (ps = 3, 7, 12) -------------
+    # Layer k starts from layer k-1's state and prunes against a
+    # pooling-size-matched HVS target (run_multi_ecc_masking.py:108-152:
+    # target = PS1 model's HVS at that pooling * target_loss_scale).
     _, hvs_view = loops.make_eval_fns(cfg)
-    hvs0 = float(np.mean([float(hvs_view(state, v.camera,
-                                         jnp.asarray(v.image), 3.0))
-                          for v in train_views[:2]]))
-    masked = loops.mask_training(
-        state, train_views, pooling_size=3.0, target_hvs=hvs0 * 1.15,
-        cfg=cfg, iters=MASK_ITERS, masking_iters=int(MASK_ITERS * 0.8),
-        prune_interval=120, log=log, eval_views_cap=2)
-    art["stages"]["mask_ps3"] = {
-        "s": round(time.time() - t0, 1), "iters": MASK_ITERS,
-        "live_after": int(masked.live_count()),
-        "hvs0": hvs0}
-    log(f"mask stage: {time.time()-t0:.1f}s, live -> "
-        f"{int(masked.live_count())}")
+    layers = [state]
+    for ps in (3.0, 7.0, 12.0):
+        t0 = time.time()
+        hvs0 = float(np.mean([float(hvs_view(state, v.camera,
+                                             jnp.asarray(v.image), ps))
+                              for v in train_views[:2]]))
+        masked = loops.mask_training(
+            layers[-1], train_views, pooling_size=ps,
+            target_hvs=hvs0 * 1.15, cfg=cfg, iters=MASK_ITERS,
+            masking_iters=int(MASK_ITERS * 0.8), prune_interval=120,
+            prune_ratio=MASK_RATIO, log=log, eval_views_cap=2)
+        layers.append(masked)
+        art["stages"][f"mask_ps{int(ps)}"] = {
+            "s": round(time.time() - t0, 1), "iters": MASK_ITERS,
+            "live_after": int(masked.live_count()), "hvs0": hvs0}
+        log(f"mask ps={ps}: {time.time()-t0:.1f}s, live -> "
+            f"{int(masked.live_count())}")
 
     # ---- stage: compose + SM-FR ------------------------------------------
     t0 = time.time()
-    layers = [state, masked]
     model = compose.compose_layers(layers)
     counts = [int(st.live_count()) for st in layers]
+    fr = [c / counts[0] for c in counts]
     naive_hl = compose.gen_naive_fr(state, counts)
     art["stages"]["compose"] = {
         "s": round(time.time() - t0, 1), "layer_counts": counts,
+        "ladder_fractions": [round(f, 3) for f in fr],
+        "reference_fractions": [1.0, 0.401, 0.218, 0.174],
         "naive_hl_hist": np.bincount(
             np.asarray(naive_hl).astype(int) + 1).tolist()}
-    log(f"compose: {time.time()-t0:.1f}s, counts={counts}")
+    log(f"compose: {time.time()-t0:.1f}s, counts={counts} "
+        f"fractions={[round(f, 3) for f in fr]}")
 
     art["total_s"] = round(time.time() - t_all, 1)
     os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/onchip_pipeline_r2.json", "w") as f:
+    with open("artifacts/onchip_pipeline_r3.json", "w") as f:
         json.dump(art, f, indent=1)
-    with open("artifacts/onchip_pipeline_r2.log", "w") as f:
+    with open("artifacts/onchip_pipeline_r3.log", "w") as f:
         f.write("\n".join(logbuf))
     print(json.dumps(art))
 

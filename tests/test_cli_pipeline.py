@@ -58,6 +58,71 @@ def _build_scene(root, n_views=3, res=48):
     return root
 
 
+def test_pipeline_smoke(tmp_path, monkeypatch):
+    """Default-suite orchestrator coverage (round-2 verdict #8): the REAL
+    run_pipeline driver over a tiny scene with the heavy TRAINING LOOPS
+    stubbed to identity (each loop's own math is covered by
+    test_training_pipeline.py; compiling them all takes ~20 min on this
+    4-core box — the full-compute variants stay @slow). What this
+    exercises by default: scene load, stage chaining, ckpt save/load +
+    PLY export, index tracking, compose, pnum/naive-FR generation, and
+    the filesystem-idempotency resume contract
+    (combined_training_script.py:82-149)."""
+    from fovsplat import pipeline
+    from fovsplat.models import state as S
+    from fovsplat.ops.rasterize import RasterizeConfig
+    from fovsplat.train import loops, optim
+
+    from fovsplat.train import scratch
+
+    # Identity stubs preserving each loop's signature/return shape; the
+    # mask stub kills a fixed fraction so compose/pnum see a real ladder.
+    monkeypatch.setattr(loops, "finetune",
+                        lambda state, *a, **k: state)
+    monkeypatch.setattr(scratch, "train_scratch",
+                        lambda state, *a, **k: state)
+    monkeypatch.setattr(loops, "prune_training",
+                        lambda state, *a, **k: S.opacity_prune(state, 0.0))
+
+    def fake_mask(state, *a, **k):
+        scores = jnp.arange(state.capacity, dtype=jnp.float32)
+        return S.metric_prune(state, scores, 0.25)
+
+    monkeypatch.setattr(loops, "mask_training", fake_mask)
+    monkeypatch.setattr(loops, "evaluate", lambda *a, **k: (0.9, 30.0))
+    monkeypatch.setattr(
+        loops, "make_eval_fns",
+        lambda cfg: (lambda *a: {"ssim": 0.9, "psnr": 30.0},
+                     lambda *a: 1e-5))
+
+    scene_dir = _build_scene(str(tmp_path / "scene"), n_views=2, res=32)
+    out_dir = str(tmp_path / "out")
+    cfg = pipeline.PipelineConfig(scratch_iters=2, finetune_iters=1,
+                                  hvs_ft_iters=1, masking_budget=3,
+                                  eval_views_cap=1)
+    lcfg = loops.LoopConfig(
+        raster=RasterizeConfig(pair_capacity=1 << 12, chunk=256),
+        optim=optim.OptimConfig(position_lr_max_steps=50))
+    model, layers = pipeline.run_pipeline(scene_dir, out_dir, cfg=cfg,
+                                          loop_cfg=lcfg, small=True)
+
+    for artifact in ("base.npz", "pruned.npz", "ps1.npz",
+                     "point_cloud_ps1.ply", "ours_composed.npz", "pnum.txt",
+                     "naive_fr.npz", "log.txt"):
+        assert os.path.exists(os.path.join(out_dir, artifact)), artifact
+    assert model.shs_dcs.shape[1] == 4
+    assert len(layers) == 4
+    counts = [int(st.live_count()) for st in layers]
+    assert counts[0] > counts[1] > counts[2] > counts[3] > 0
+
+    # Idempotent resume: stages must skip.
+    pipeline.run_pipeline(scene_dir, out_dir, cfg=cfg, loop_cfg=lcfg,
+                          small=True)
+    log = open(os.path.join(out_dir, "log.txt")).read()
+    assert "[skip] base model exists" in log
+    assert "[skip] pruned model exists" in log
+
+
 @pytest.mark.slow
 def test_pipeline_small(tmp_path):
     from fovsplat import pipeline
