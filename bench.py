@@ -223,8 +223,12 @@ def leg_train_step(args):
     cam = proxy.proxy_camera()
     gt = jnp.asarray(rng.uniform(0, 1, (cam.height, cam.width, 3)),
                      jnp.float32)
+    # Kept pairs measured 2.99M at this shape (no level cull): bound the
+    # compacted buffer so the train sort + CAP-sized backward ops run at
+    # ~3.4M lanes instead of 5.36M (overflow asserted 0 below).
     cfg = loops.LoopConfig(raster=RasterizeConfig(
         pair_capacity=1 << 22, chunk=4096, backend=args.backend,
+        compact_capacity=3_407_872,
         pallas_chunk=256, pallas_interpret=args.interpret))
     step = loops.make_photometric_step(cfg)
     st, aux = step(state, cam, gt, jnp.int32(0), jnp.float32(0.0))

@@ -322,13 +322,35 @@ def _fused_train_pair_builder(gx, gy, cap, cfg, n):
     def bwd(res, ct):
         gid_row, num_pairs = res
         d_packed = ct[0]                          # (16, CAP3)
-        lane = jnp.arange(gid_row.shape[0], dtype=jnp.int32)
+        cap3 = gid_row.shape[0]
+        lane = jnp.arange(cap3, dtype=jnp.int32)
         gid = jnp.where(lane < num_pairs,
                         gid_row.astype(jnp.int32), n)
-        seg = lambda r: jax.ops.segment_sum(
-            jnp.where(lane < num_pairs, d_packed[r], 0.0), gid,
-            num_segments=n + 1)[:n]
-        d_diff = tuple(seg(r) for r in range(9))
+        # Per-Gaussian reduction of the 9 cotangent rows. XLA TPU has no
+        # fast scatter: 9x segment_sum costs ~216 ms at 3.4M pairs
+        # (scripts/bench_gid_reduce.py). Instead: ONE gid sort, then the
+        # windowed interval-reduce kernel over the sorted stream
+        # (ops/pallas/segment_reduce) — exact f32, no atomics, ~10x
+        # cheaper end to end. Deterministic like the segment_sum it
+        # replaces (per-gid sums reduce in sorted-lane order).
+        from fovsplat.ops.pallas import segment_reduce as psr
+        srt = jax.lax.sort(
+            (gid, *(jnp.where(lane < num_pairs, d_packed[r], 0.0)
+                    for r in range(9))), num_keys=1)
+        quant = 512 * 16
+        pad = (-cap3) % quant
+        rows = jnp.concatenate(
+            [srt[0][None, :].astype(jnp.float32),
+             jnp.stack(srt[1:], axis=0),
+             jnp.zeros((6, cap3), jnp.float32)], axis=0)
+        if pad:
+            tail = jnp.zeros((16, pad), jnp.float32)
+            tail = tail.at[0, :].set(jnp.float32(n))
+            rows = jnp.concatenate([rows, tail], axis=1)
+        n_pad = ((n + 1 + psr.FLUSH - 1) // psr.FLUSH) * psr.FLUSH
+        out = psr.reduce_by_sorted_gid(rows, n_pad=n_pad,
+                                       interpret=cfg.pallas_interpret)
+        d_diff = tuple(out[1 + r, :n] for r in range(9))
         d_aux = tuple(jnp.zeros(n, jnp.float32) for _ in range(10))
         return d_diff, d_aux, None, jnp.zeros(n, jnp.float32)
 

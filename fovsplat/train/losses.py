@@ -30,19 +30,26 @@ def psnr(a, b):
     return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))
 
 
-def _gaussian_window(size: int = 11, sigma: float = 1.5):
+def _gaussian_1d(size: int = 11, sigma: float = 1.5):
     xs = jnp.arange(size, dtype=jnp.float32) - size // 2
     g = jnp.exp(-(xs ** 2) / (2 * sigma ** 2))
-    g = g / g.sum()
-    return jnp.outer(g, g)
+    return g / g.sum()
 
 
-def _depthwise_conv(img, kernel):
-    """img (B,H,W,C), kernel (kh,kw) -> same-padded depthwise conv."""
+def _depthwise_conv(img, g):
+    """img (B,H,W,C), g (k,) 1-D gaussian -> same-padded SEPARABLE
+    depthwise blur (the 11x11 window is outer(g, g); two 1-D passes are
+    ~5.5x fewer MACs and lower far better on TPU than the dense 2-D
+    depthwise conv — the SSIM gradient alone cost 68 ms/step at 1237x822
+    with the 2-D form)."""
     c = img.shape[-1]
-    k = jnp.broadcast_to(kernel[:, :, None, None], kernel.shape + (1, c))
+    kh = jnp.broadcast_to(g[:, None, None, None], (g.shape[0], 1, 1, c))
+    kw = jnp.broadcast_to(g[None, :, None, None], (1, g.shape[0], 1, c))
+    out = jax.lax.conv_general_dilated(
+        img, kh, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
     return jax.lax.conv_general_dilated(
-        img, k, window_strides=(1, 1), padding="SAME",
+        out, kw, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
 
 
@@ -53,7 +60,7 @@ def ssim(a, b, size: int = 11, sigma: float = 1.5):
     if a.ndim == 3:
         a = a[None]
         b = b[None]
-    w = _gaussian_window(size, sigma)
+    w = _gaussian_1d(size, sigma)
     mu1 = _depthwise_conv(a, w)
     mu2 = _depthwise_conv(b, w)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2

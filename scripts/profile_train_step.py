@@ -32,7 +32,9 @@ state = S.from_params(params)
 cam = proxy.proxy_camera()
 gt = jnp.asarray(rng.uniform(0, 1, (cam.height, cam.width, 3)), jnp.float32)
 cfg = loops.LoopConfig(raster=RasterizeConfig(
-    pair_capacity=1 << 22, chunk=4096, backend="pallas", pallas_chunk=256))
+    pair_capacity=1 << 22, chunk=4096, backend="pallas",
+    compact_capacity=int(os.environ.get("PROF_COMPACT", 3_407_872)) or None,
+    pallas_chunk=256))
 
 
 def force(x):
@@ -114,7 +116,7 @@ bin_train = jax.jit(lambda t1, v, d: binning.bin_fused_ps1(
     cfg.raster.compact_capacity, cfg.raster.expand_chunk,
     cfg.raster.expand_batch, train=True))
 out = timeit(bin_train, t1cols, pc.valid, pc.depth,
-             label="train binning (expand+sort, FULL cap)")
+             label="train binning (expand+sort)")
 packed, seg_start, num_pairs, overflow, cap3 = out
 print("  train cap3:", cap3, "num_pairs:", int(jax.device_get(num_pairs)),
       flush=True)

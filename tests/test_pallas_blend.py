@@ -577,3 +577,31 @@ def test_deep_saturated_segment_gradients_finite():
         assert np.all(np.isfinite(np.asarray(b)))
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_segment_reduce_matches_segment_sum():
+    """Windowed interval-reduce over a sorted gid stream (the train
+    backward's scatter replacement) vs jax.ops.segment_sum, including
+    sparse gid jumps that force multi-block window advances."""
+    from fovsplat.ops.pallas import segment_reduce as psr
+    rng = np.random.default_rng(11)
+    cap = 512 * 16 * 2
+    n = 3000
+    # clustered + sparse gids (long empty stretches), ascending
+    raw = np.concatenate([
+        rng.integers(0, 40, cap // 2),
+        rng.integers(2000, 2050, cap // 4),
+        rng.integers(n - 8, n, cap - cap // 2 - cap // 4)])
+    gid = np.sort(raw).astype(np.int32)
+    vals = rng.normal(0, 1, (9, cap)).astype(np.float32)
+    rows = np.zeros((16, cap), np.float32)
+    rows[0] = gid
+    rows[1:10] = vals
+    n_pad = ((n + 1 + psr.FLUSH - 1) // psr.FLUSH) * psr.FLUSH
+    out = psr.reduce_by_sorted_gid(jnp.asarray(rows), n_pad=n_pad,
+                                   interpret=True)
+    for r in range(9):
+        ref = jax.ops.segment_sum(jnp.asarray(vals[r]), jnp.asarray(gid),
+                                  num_segments=n)
+        np.testing.assert_allclose(np.asarray(out[1 + r, :n]),
+                                   np.asarray(ref), rtol=1e-5, atol=1e-5)
