@@ -544,7 +544,7 @@ def _suffix_prod_lanes(x, chunk: int):
 
 
 def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
-                win, fbuf, gbuf, wsem, fsem, gsem, *, grid_x: int,
+                win, fbuf, gbuf, gout_ref, wsem, fsem, gsem, *, grid_x: int,
                 chunk: int, power_cutoff: float, cap: int, batch: int,
                 window: int, sub: int):
     """fin_ref: blocked (batch, PIX, 8) = [g_r, g_g, g_b, g_T, final_T,
@@ -564,6 +564,11 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
     tb = pl.program_id(0)
     nprog = pl.num_programs(0)
     maxsub = window // sub
+
+    @pl.when(tb == 0)
+    def _():
+        gout_ref[0] = 0
+        gout_ref[1] = 0
 
     def seg_base(p):
         t0 = jnp.minimum(p * batch, seg_start_ref.shape[0] - 1)
@@ -622,6 +627,27 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
 
     win_base = seg_base(tb)
     win_loaded = seg_nsub(tb) * sub
+
+    # Suffix-sum operand: X @ tril_incl (tril[k, j] = 1 for k >= j) gives
+    # inclusive suffix sums along lanes on the MXU. Inputs ride as exact
+    # bf16 hi/lo splits (f32-accumulate => f32-summation accuracy); the
+    # lane-roll scan form costs ~8 VPU passes per operand per chunk and
+    # dominated the backward.
+    tril_bf = (jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+               >= jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+               ).astype(jnp.bfloat16)
+
+    def _sfx_sum_cat(xcat, k):
+        # (k*PIX, chunk) -> inclusive lane suffix sums via one bf16
+        # hi/lo-split MXU pass pair (exact bf16 parts, f32 accumulate).
+        hi = pltpu.bitcast(pltpu.bitcast(xcat, jnp.int32) & _MASK_HI,
+                           jnp.float32)
+        lo = xcat - hi
+        parts = jnp.concatenate([hi, lo], axis=0).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            parts, tril_bf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return out[:k * PIX] + out[k * PIX:]
 
     def per_tile(b):
         t = tb * batch + b
@@ -685,9 +711,10 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
             wr = w * data[6:7, :]
             wg = w * data[7:8, :]
             wb = w * data[8:9, :]
-            sfx_r = _suffix_sum_lanes(wr, chunk)             # incl suffix
-            sfx_g = _suffix_sum_lanes(wg, chunk)
-            sfx_b = _suffix_sum_lanes(wb, chunk)
+            sfx = _sfx_sum_cat(jnp.concatenate([wr, wg, wb], axis=0), 3)
+            sfx_r = sfx[0:PIX]                               # incl suffix
+            sfx_g = sfx[PIX:2 * PIX]
+            sfx_b = sfx[2 * PIX:3 * PIX]
             # Color suffix EXCLUSIVE of j: sum over i > j.
             Sr_j = S_r + (sfx_r - wr)
             Sg_j = S_g + (sfx_g - wg)
@@ -723,13 +750,25 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
                 zero, zero, zero, zero, zero, zero, zero,
             ], axis=0)                                       # (ROW, chunk)
             gslot = kk % 2
+
+            def drain(s):
+                @pl.when(gout_ref[s] == 1)
+                def _():
+                    pltpu.make_async_copy(
+                        gbuf.at[s], grads_hbm.at[:, pl.ds(0, chunk)],
+                        gsem.at[s]).wait()
+                    gout_ref[s] = 0
+
             # Boundary chunk shared with EARLIER tiles (lanes < start):
-            # their gradient rows are already in HBM (the grid is
-            # sequential and every write below completes synchronously),
-            # so read-merge-write keeps them. Lanes >= end carry zeros
-            # here and are merged over by the LATER tile that owns them.
+            # their gradient rows are already in HBM, but possibly still
+            # in flight — drain ALL outstanding writes before the
+            # read-merge (the only ordering point; elsewhere writes go to
+            # disjoint chunk regions and stay ASYNC, waited lazily only
+            # when their slot is reused).
             @pl.when((kk == 0) & (base < start))
             def _():
+                drain(0)
+                drain(1)
                 rdma = pltpu.make_async_copy(
                     grads_hbm.at[:, pl.ds(src, chunk)], gbuf.at[1 - gslot],
                     gsem.at[1 - gslot])
@@ -742,12 +781,13 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
 
             @pl.when(jnp.logical_not((kk == 0) & (base < start)))
             def _():
+                drain(gslot)
                 gbuf[gslot] = g_out
             wdma = pltpu.make_async_copy(gbuf.at[gslot],
                                          grads_hbm.at[:, pl.ds(src, chunk)],
                                          gsem.at[gslot])
             wdma.start()
-            wdma.wait()
+            gout_ref[gslot] = 1
 
             T_back = jnp.minimum(T_back / sfx_om[:, 0:1], 1.0)
             S_r = S_r + sfx_r[:, 0:1]
@@ -764,6 +804,17 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
 
     for b in range(batch):
         per_tile(b)
+
+    # Last program: drain any in-flight gradient writes.
+    @pl.when(tb == nprog - 1)
+    def _():
+        for s_ in (0, 1):
+            @pl.when(gout_ref[s_] == 1)
+            def _(s_=s_):
+                pltpu.make_async_copy(
+                    gbuf.at[s_], grads_hbm.at[:, pl.ds(0, chunk)],
+                    gsem.at[s_]).wait()
+                gout_ref[s_] = 0
 
 
 def _backward(pair_data, seg_start, seg_end, fin, n_contrib_max,
@@ -796,6 +847,7 @@ def _backward(pair_data, seg_start, seg_end, fin, n_contrib_max,
         scratch_shapes=[pltpu.VMEM((2, ROW, window), jnp.float32),
                         pltpu.VMEM((ROW, chunk), jnp.float32),
                         pltpu.VMEM((2, ROW, chunk), jnp.float32),
+                        pltpu.SMEM((2,), jnp.int32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA(()),
                         pltpu.SemaphoreType.DMA((2,))],
