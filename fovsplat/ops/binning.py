@@ -331,6 +331,30 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
                             train, sort_exact)
 
 
+def compact_prebuilt(dtable, tnum, *, flag_row: int, flag_thresh: float,
+                     interpret: bool = False):
+    """Drop invalid rows from a prebuilt split-row table
+    (ops/pallas/compact_table) and rebuild the (dtable, cum, total,
+    n_rows) prebuilt-binning contract.
+
+    The compacted cum is recovered from the rewritten cum_excl split rows
+    (3-5, exact bf16 part sums); lanes past the live count are set to the
+    pair total, which closes the last Gaussian's expansion interval and
+    leaves every later interval empty — the same tail convention as
+    build_fov_table_pallas' zero-tnum padding lanes."""
+    from fovsplat.ops.pallas import compact_table as pct
+    n_pad = dtable.shape[1]
+    dtc, live, total = pct.compact_table_pallas(
+        dtable, tnum, flag_row=flag_row, flag_thresh=flag_thresh,
+        interpret=interpret)
+    total_f = total.astype(jnp.float32)
+    lane = jnp.arange(n_pad, dtype=jnp.int32)
+    cumc = (dtc[3].astype(jnp.float32) + dtc[4].astype(jnp.float32)
+            + dtc[5].astype(jnp.float32))
+    cum = jnp.where(lane < live, cumc, total_f)[None, :]
+    return dtc, cum, total_f, n_pad
+
+
 def _ps1_expand_sort(pex, dtable, cum_pad2, gstarts, total, total_f,
                      overflow, grid_x, grid_y, cap2, compact_capacity,
                      chunk, kbatch, interpret, train=False,

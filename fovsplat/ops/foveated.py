@@ -708,17 +708,24 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
             camera,
             jnp.stack([b[0] for b in bb]), jnp.stack([b[1] for b in bb]),
             jnp.stack([b[2] for b in bb]), jnp.stack([b[3] for b in bb]))
-        dtable, cum, total_f = ptab.build_fov_table_pallas(
+        dtable, cum, total_f, tnum = ptab.build_fov_table_pallas(
             model.geo_t, model.col_t, consts, n=n,
             grid_x=gx, grid_y=gy, width=camera.width, height=camera.height,
             scale_modifier=config.scale_modifier, fov_num=L,
             sh_degree=sh_degree, interpret=config.pallas_interpret)
+        n_rows = n
+        dummy_slack = config.dummy_slack
+        if config.compact_table:
+            dtable, cum, total_f, n_rows = binning.compact_prebuilt(
+                dtable, tnum, flag_row=27, flag_thresh=-1.0,
+                interpret=config.pallas_interpret)
+            dummy_slack = 0
         packed, seg_start, num_pairs, overflow, _cap2 = _bin_fov_fused(
             None, None, None, None, gaze, alpha, gx, gy, cap, camera,
-            fov_cfg, config.pallas_interpret, config.dummy_slack,
+            fov_cfg, config.pallas_interpret, dummy_slack,
             config.compact_capacity, config.expand_chunk,
-            config.expand_batch, prebuilt=(dtable, cum, total_f), n_rows=n,
-            sort_exact=config.sort_exact_depth)
+            config.expand_batch, prebuilt=(dtable, cum, total_f),
+            n_rows=n_rows, sort_exact=config.sort_exact_depth)
     else:
         pc = projection.preprocess_cols(
             model.xyz, model.scales, model.rotations, camera,

@@ -87,7 +87,7 @@ def _split2(x):
     return hi, x - hi
 
 
-def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
+def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, tnum_ref, carry,
             *, chunk: int, n: int, grid_x: int, grid_y: int,
             width: int, height: int, scale_modifier: float,
             fov_num: int, sh_degree: int, mode: str = "fov"):
@@ -226,6 +226,14 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
     # Dummy rows: every INVALID row in [0, n) carries one culled pair so
     # the expand kernel's bounded-window property holds in original order
     # (foveated._bin_fov_fused); padding lanes >= n carry none.
+    # INVALID lanes' projective values can be inf/NaN (p_w blows up near
+    # hw = 0); they must not reach the table — a zero one-hot column does
+    # NOT neutralize a NaN operand through an MXU pass (0 * NaN = NaN
+    # accumulates into every pair of the chunk). Sanitize every
+    # valid-gated value before the split rows.
+    px = jnp.where(valid, px, 0.0)
+    py = jnp.where(valid, py, 0.0)
+    depth = jnp.where(valid, depth, 1.0)
     is_dummy = jnp.logical_not(valid) & (lane < n)
     tnum_f = jnp.where(valid, tnum.astype(jnp.float32), 0.0) \
         + jnp.where(is_dummy, 1.0, 0.0)
@@ -250,12 +258,27 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
     ca = cyy * det_inv
     cb = -cxy * det_inv
     cc = cxx * det_inv
+    # Same sanitize rationale as px/py/depth: behind-camera lanes can
+    # push tz ~ 0 -> inf through the EWA chain into the OBB/conic family,
+    # and inf splits produce NaN residual rows.
+    v1x = jnp.where(valid, v1x, 0.0)
+    v1y = jnp.where(valid, v1y, 0.0)
+    v2x = jnp.where(valid, v2x, 0.0)
+    v2y = jnp.where(valid, v2y, 0.0)
+    len1 = jnp.where(valid, len1, 0.0)
+    len2 = jnp.where(valid, len2, 0.0)
+    ca = jnp.where(valid, ca, 1.0)
+    cb = jnp.where(valid, cb, 0.0)
+    cc = jnp.where(valid, cc, 1.0)
 
     # --- SH rest (ch-major bf16 rows, slice-wise upcast) + colors ---
     dxc = x - k(_C_CAM)
     dyc = y - k(_C_CAM + 1)
     dzc = z - k(_C_CAM + 2)
-    inv_n = jax.lax.rsqrt(dxc * dxc + dyc * dyc + dzc * dzc)
+    # max guard: zero-padded model lanes sit AT the camera center and
+    # rsqrt(0) = inf would poison the SH rows (see sanitize note above).
+    inv_n = jax.lax.rsqrt(jnp.maximum(
+        dxc * dxc + dyc * dyc + dzc * dzc, 1e-20))
     dx = dxc * inv_n
     dy = dyc * inv_n
     dz = dzc * inv_n
@@ -314,6 +337,7 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, carry,
     cum_excl = kc + (incl - tnum_f)
     carry[0] = kc + incl[0, chunk - 1]
     cum_ref[...] = cum_excl
+    tnum_ref[...] = tnum_f
 
     # --- dtable rows ---
     rows = [rx0_f, ry0_f, rw_f,
@@ -356,7 +380,9 @@ def build_fov_table_pallas(geo_t, col_t, consts, *, n, chunk=4096,
     `chunk`), consts (1, 128) f32 (see module docstring).
 
     Returns (dtable (64, N_pad) bf16, cum (1, N_pad) f32 exclusive cumsum
-    with cum[lane >= n] == pair total, total_f () f32)."""
+    with cum[lane >= n] == pair total, total_f () f32, tnum (1, N_pad)
+    f32 per-row tile counts incl. the one-dummy-per-invalid-row scheme —
+    input to ops/pallas/compact_table)."""
     n_pad = geo_t.shape[1]
     assert n_pad % chunk == 0 and col_t.shape[1] == n_pad
     assert geo_t.shape[0] == GROWS and col_t.shape[0] == CROWS
@@ -366,22 +392,24 @@ def build_fov_table_pallas(geo_t, col_t, consts, *, n, chunk=4096,
         width=width, height=height,
         scale_modifier=scale_modifier, fov_num=fov_num, sh_degree=sh_degree,
         mode=mode)
-    dtable, cum = pl.pallas_call(
+    dtable, cum, tnum = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec((GROWS, chunk), lambda c: (0, c)),
                   pl.BlockSpec((CROWS, chunk), lambda c: (0, c)),
                   pl.BlockSpec((1, 128), lambda c: (0, 0))],
         out_specs=[pl.BlockSpec((TROWS, chunk), lambda c: (0, c)),
+                   pl.BlockSpec((1, chunk), lambda c: (0, c)),
                    pl.BlockSpec((1, chunk), lambda c: (0, c))],
         out_shape=[jax.ShapeDtypeStruct((TROWS, n_pad), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
                    jax.ShapeDtypeStruct((1, n_pad), jnp.float32)],
         scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
         interpret=interpret,
     )(geo_t, col_t, consts)
     # Padding lanes contribute tnum = 0, so the last cum lane IS the total.
     total_f = cum[0, -1]
-    return dtable, cum, total_f
+    return dtable, cum, total_f, tnum
 
 
 def make_table_consts(camera, bx0=None, by0=None, bx1=None, by1=None):

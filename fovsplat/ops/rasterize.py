@@ -85,6 +85,12 @@ class RasterizeConfig:
                                       # with the fused per-Gaussian Pallas
                                       # pass (ops/pallas/build_table)
                                       # instead of ~50 XLA column passes
+    compact_table: bool = True        # SoA table-kernel paths: drop
+                                      # invalid rows (and their dummy
+                                      # pairs — ~17% of expand chunks on
+                                      # the bench workload) with the
+                                      # ops/pallas/compact_table pass
+                                      # before expansion
     clip_level_rects: bool = True     # foveated paths: clip each
                                       # Gaussian's tile rect to its
                                       # level's reachable bbox before
@@ -412,17 +418,25 @@ def rasterize_ps1_soa(model: Ps1ModelSoA, camera, bg_color=None,
     gy = (camera.height + 15) // 16
     cap = config.padded_capacity()
     consts = ptab.make_table_consts(camera)
-    dtable, cum, total_f = ptab.build_fov_table_pallas(
+    dtable, cum, total_f, tnum = ptab.build_fov_table_pallas(
         model.geo_t, model.col_t, consts, n=model.n, grid_x=gx, grid_y=gy,
         width=camera.width, height=camera.height,
         scale_modifier=config.scale_modifier, fov_num=1,
         sh_degree=sh_degree, interpret=config.pallas_interpret,
         mode="ps1")
+    n_rows = model.n
+    dummy_slack = config.dummy_slack
+    if config.compact_table:
+        from fovsplat.ops import binning as _bn
+        dtable, cum, total_f, n_rows = _bn.compact_prebuilt(
+            dtable, tnum, flag_row=45, flag_thresh=0.5,
+            interpret=config.pallas_interpret)
+        dummy_slack = 0
     packed, seg_start, num_pairs, overflow, _cap3 = binning.bin_fused_ps1(
         None, None, None, gx, gy, cap, config.pallas_interpret,
-        config.dummy_slack, config.compact_capacity, config.expand_chunk,
+        dummy_slack, config.compact_capacity, config.expand_chunk,
         config.expand_batch, prebuilt=(dtable, cum, total_f),
-        n_rows=model.n, sort_exact=config.sort_exact_depth)
+        n_rows=n_rows, sort_exact=config.sort_exact_depth)
     tile_color, final_T, n_contrib = pk.blend_pallas_fwd_only(
         packed, seg_start[:-1], seg_start[1:], gx, gy, config.pallas_chunk,
         config.power_cutoff, config.pallas_interpret,

@@ -183,8 +183,17 @@ consts_k = ptab.make_table_consts(
 tk = jax.jit(lambda g, c, k: ptab.build_fov_table_pallas(
     g, c, k, n=n, grid_x=gx, grid_y=gy, width=cam.width, height=cam.height,
     fov_num=L, interpret=_args.interpret))
-timeit(tk, model.geo_t, model.col_t, consts_k, reps=10,
-       label="table KERNEL (cols+table fused)")
+tk_out = timeit(tk, model.geo_t, model.col_t, consts_k, reps=10,
+                label="table KERNEL (cols+table fused)")
+
+from fovsplat.ops import binning as _bng
+ctk = jax.jit(lambda d, t: _bng.compact_prebuilt(
+    d, t, flag_row=27, flag_thresh=-1.0, interpret=_args.interpret))
+ct_out = timeit(ctk, tk_out[0], tk_out[3], reps=10,
+                label="table compaction (dummy drop)")
+print("live rows:", int(jax.device_get(
+    jnp.sum(ct_out[1][0] < ct_out[2]))), "candidates:",
+    int(jax.device_get(ct_out[2])), flush=True)
 
 gaze_dir = jnp.stack(foveation._ncd2dir(
     gaze[0], gaze[1], fov_cfg.real_image_width,

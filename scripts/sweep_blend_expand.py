@@ -66,7 +66,7 @@ for h in range(L):
 consts = ptab.make_table_consts(
     cam, jnp.stack([b[0] for b in bbs]), jnp.stack([b[1] for b in bbs]),
     jnp.stack([b[2] for b in bbs]), jnp.stack([b[3] for b in bbs]))
-dtable, cum, total_f = jax.jit(lambda g, c, k: ptab.build_fov_table_pallas(
+dtable, cum, total_f, _tnum = jax.jit(lambda g, c, k: ptab.build_fov_table_pallas(
     g, c, k, n=n, grid_x=gx, grid_y=gy, width=cam.width, height=cam.height,
     fov_num=L))(model.geo_t, model.col_t, consts)
 
