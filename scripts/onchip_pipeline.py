@@ -110,9 +110,17 @@ def main():
 
     logbuf = []
 
+    def checkpoint_art():
+        os.makedirs("artifacts", exist_ok=True)
+        with open("artifacts/onchip_pipeline_r3.json", "w") as f:
+            json.dump(art, f, indent=1)
+        with open("artifacts/onchip_pipeline_r3.log", "w") as f:
+            f.write("\n".join(logbuf))
+
     def log(msg):
         logbuf.append(str(msg))
         print(msg, flush=True)
+        checkpoint_art()   # survive a timeout kill mid-stage
 
     # ---- stage: efficiency-aware prune loop -------------------------------
     t0 = time.time()
