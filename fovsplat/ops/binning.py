@@ -293,20 +293,26 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
     #   22-23 len2 | 24-26 ca | 27-29 cb | 30-32 cc | 33-35 op
     #   36-38 r | 39-41 g | 42-44 b | 45 valid | 46-48 depth
     #   49-51 gid (train-mode payload) | 52-63 pad
-    cols = [jnp.where(valid, t1[0], 0.0),
-            jnp.where(valid, t1[1], 0.0),
-            jnp.where(valid, t1[2], 1.0),
+    # Valid-mask EVERY value column — see foveated.build_fov_dtable: a
+    # NaN table row poisons every pair of its expansion chunk through the
+    # MXU one-hot matmul (0 * NaN accumulates NaN on TPU).
+    def vm(x, safe=0.0):
+        return jnp.where(valid, x, safe)
+
+    cols = [vm(t1[0]),
+            vm(t1[1]),
+            vm(t1[2], 1.0),
             *_split3(cum_excl),
-            *_split3(t1[4]), *_split3(t1[5]),           # mx, my
-            *_split2(t1[6]), *_split2(t1[7]),           # v1x, v1y
-            *_split2(t1[8]), *_split2(t1[9]),           # v2x, v2y
-            *_split2(t1[10]), *_split2(t1[11]),         # len1, len2
-            *_split3(t1[12]), *_split3(t1[13]),         # ca, cb
-            *_split3(t1[14]), *_split3(t1[15]),         # cc, op
-            *_split3(t1[16]), *_split3(t1[17]),         # r, g
-            *_split3(t1[18]),                           # b
+            *_split3(vm(t1[4])), *_split3(vm(t1[5])),   # mx, my
+            *_split2(vm(t1[6])), *_split2(vm(t1[7])),   # v1x, v1y
+            *_split2(vm(t1[8])), *_split2(vm(t1[9])),   # v2x, v2y
+            *_split2(vm(t1[10])), *_split2(vm(t1[11])),  # len1, len2
+            *_split3(vm(t1[12], 1.0)), *_split3(vm(t1[13])),  # ca, cb
+            *_split3(vm(t1[14], 1.0)), *_split3(vm(t1[15])),  # cc, op
+            *_split3(vm(t1[16])), *_split3(vm(t1[17])),  # r, g
+            *_split3(vm(t1[18])),                       # b
             valid.astype(jnp.float32),
-            *_split3(depth),
+            *_split3(vm(depth, 1.0)),
             *_split3(jnp.arange(n, dtype=jnp.float32))]   # gid (train mode)
 
     wsize = chunk + pex.WPAD

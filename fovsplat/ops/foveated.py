@@ -161,19 +161,29 @@ def build_fov_dtable(t1cols, t2cols, valid, depth, cap2, chunk):
     cum_incl = jnp.cumsum(tnum)
     total_f = cum_incl[-1]
     cum_excl = cum_incl - tnum
-    cols = [jnp.where(valid, t1[0], 0.0),             # rx0
-            jnp.where(valid, t1[1], 0.0),             # ry0
-            jnp.where(valid, t1[2], 1.0),             # rw
+    # EVERY value column is valid-masked, not just the rect fields:
+    # invalid rows' projective values can be inf/NaN (p_w blows up near
+    # hw = 0 — a Gaussian CROSSING the camera plane mid-training hits
+    # this), inf splits write NaN residual rows, and the TPU MXU
+    # propagates a NaN operand through ZERO one-hot columns into every
+    # pair of the chunk (verified on-chip; this seeded the r3 pipeline
+    # run's two non-finite-gradient events).
+    def vm(x, safe=0.0):
+        return jnp.where(valid, x, safe)
+
+    cols = [vm(t1[0]),                                # rx0
+            vm(t1[1]),                                # ry0
+            vm(t1[2], 1.0),                           # rw
             *_split3(cum_excl),
-            *_split3(t1[4]), *_split3(t1[5]),         # mx, my
-            *_split2(t1[6]), *_split2(t1[7]),         # v1x, v1y
-            *_split2(t1[8]), *_split2(t1[9]),         # v2x, v2y
-            *_split2(t1[10]), *_split2(t1[11]),       # len1, len2
-            *_split3(t1[12]),                         # ca
+            *_split3(vm(t1[4])), *_split3(vm(t1[5])),  # mx, my
+            *_split2(vm(t1[6])), *_split2(vm(t1[7])),  # v1x, v1y
+            *_split2(vm(t1[8])), *_split2(vm(t1[9])),  # v2x, v2y
+            *_split2(vm(t1[10])), *_split2(vm(t1[11])),  # len1, len2
+            *_split3(vm(t1[12], 1.0)),                # ca
             jnp.where(valid, t1[15], -2.0),           # hl: dummy culled
-            *_split3(depth),
+            *_split3(vm(depth, 1.0)),
             jnp.zeros(n, jnp.float32)] \
-        + list(t2cols) + [t1[13], t1[14]]             # cb, cc
+        + [vm(c) for c in t2cols] + [vm(t1[13]), vm(t1[14], 1.0)]  # cb, cc
     total = jnp.minimum(total_f, cap2).astype(jnp.int32)
 
     wsize = chunk + pex.WPAD

@@ -728,8 +728,12 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
                 contribute,
                 gc_dot_col * T_j - (gc_dot_S + gT * Tf) * inv_om, 0.0)
 
-            d_op = jnp.sum(G * dL_da, axis=0, keepdims=True)  # (1, chunk)
-            d_power = alpha * dL_da
+            # Masked G / a_eff (identical on contributing lanes): a
+            # non-finite alpha on an excluded lane must not ride 0 * NaN
+            # into the reductions.
+            d_op = jnp.sum(jnp.where(contribute, G, 0.0) * dL_da,
+                           axis=0, keepdims=True)     # (1, chunk)
+            d_power = a_eff * dL_da
             ca = data[2:3, :]
             cb = data[3:4, :]
             cc = data[4:5, :]

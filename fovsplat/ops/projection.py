@@ -115,7 +115,10 @@ def _cov2d_from_cols(means3d, sig, world_view, focal_x, focal_y,
     mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
     tX = W[0, 0] * mx + W[0, 1] * my + W[0, 2] * mz + world_view[0, 3]
     tY = W[1, 0] * mx + W[1, 1] * my + W[1, 2] * mz + world_view[1, 3]
-    tz = W[2, 0] * mx + W[2, 1] * my + W[2, 2] * mz + world_view[2, 3]
+    tz_raw = W[2, 0] * mx + W[2, 1] * my + W[2, 2] * mz + world_view[2, 3]
+    # Safe-where (see preprocess_cols p_w): rows at/behind the near plane
+    # are culled, but their DERIVATIVES through 1/tz must stay finite.
+    tz = jnp.where(tz_raw > NEAR_CULL_Z, tz_raw, 1.0)
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
     tx = jnp.clip(tX / tz, -limx, limx) * tz
@@ -213,9 +216,15 @@ def preprocess_cols(means3d: jnp.ndarray, scales: jnp.ndarray,
     hx = FP[0, 0] * mx + FP[0, 1] * my + FP[0, 2] * mz + FP[0, 3]
     hy = FP[1, 0] * mx + FP[1, 1] * my + FP[1, 2] * mz + FP[1, 3]
     hw = FP[3, 0] * mx + FP[3, 1] * my + FP[3, 2] * mz + FP[3, 3]
-    p_w = 1.0 / (hw + 1e-7)
-    p_proj = jnp.stack([hx * p_w, hy * p_w], axis=-1)
     in_front = depth > NEAR_CULL_Z
+    # Safe-where: rows at/behind the camera plane (always culled) must not
+    # produce inf forward values OR inf/NaN DERIVATIVES — a culled row's
+    # zero cotangent times an inf d(px)/d(hw) is NaN, which _mask_dead_grads
+    # then has to absorb on a LIVE row (the r3 pipeline run's non-finite
+    # gradient seed; tests/test_pallas_blend.py camera-plane regression).
+    hw_safe = jnp.where(in_front, hw + 1e-7, 1.0)
+    p_w = 1.0 / hw_safe
+    p_proj = jnp.stack([hx * p_w, hy * p_w], axis=-1)
 
     if cov3d_precomp is None:
         sig = _cov3d_cols(scales, rotations, scale_modifier)

@@ -605,3 +605,32 @@ def test_segment_reduce_matches_segment_sum():
                                   num_segments=n)
         np.testing.assert_allclose(np.asarray(out[1 + r, :n]),
                                    np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_camera_plane_gaussian_stays_finite():
+    """A Gaussian sitting ON the camera plane (projective w ~ 0) produces
+    inf/NaN projective values on its (culled) table row. The TPU MXU
+    propagates NaN operands through ZERO one-hot columns (verified
+    on-chip), so an unsanitized table row poisons every pair of its
+    expansion chunk — this seeded the r3 pipeline run's non-finite
+    gradient events. Render AND gradients must stay finite."""
+    from fovsplat.data.cameras import look_at_camera
+    means, scales, quats, ops_, colors = synthetic_cloud(n=200, seed=5)
+    cam = look_at_camera([0.0, 0.0, -4.0], [0, 0, 0], [0, -1, 0],
+                         fovx=1.1, fovy=0.9, width=96, height=64)
+    # Row 0: exactly on the camera plane (view z = 0); row 1: just behind.
+    means = jnp.asarray(means).at[0].set(jnp.asarray([1.0, 0.5, -4.0]))
+    means = means.at[1].set(jnp.asarray([0.2, -0.1, -4.05]))
+    cfg = rasterize.RasterizeConfig(pair_capacity=1 << 13, chunk=256,
+                                    backend="pallas", pallas_chunk=128,
+                                    pallas_interpret=True)
+
+    def loss(m, s, q, o, c):
+        out = rasterize.rasterize(m, s, q, o, cam, colors=c, config=cfg)
+        return jnp.sum(out["render"] ** 2) + jnp.sum(out["final_T"])
+
+    val, grads = jax.jit(jax.value_and_grad(
+        loss, argnums=(0, 1, 2, 3, 4)))(means, scales, quats, ops_, colors)
+    assert np.isfinite(float(val))
+    for g in jax.tree.leaves(grads):
+        assert np.all(np.isfinite(np.asarray(g)))
