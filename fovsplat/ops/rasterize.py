@@ -85,12 +85,18 @@ class RasterizeConfig:
                                       # with the fused per-Gaussian Pallas
                                       # pass (ops/pallas/build_table)
                                       # instead of ~50 XLA column passes
-    compact_table: bool = True        # SoA table-kernel paths: drop
+    compact_table: bool = False       # SoA table-kernel paths: drop
                                       # invalid rows (and their dummy
                                       # pairs — ~17% of expand chunks on
                                       # the bench workload) with the
                                       # ops/pallas/compact_table pass
-                                      # before expansion
+                                      # before expansion. OFF by default:
+                                      # the pass measures 6-7.4 ms at
+                                      # 1.16M rows on the v5e — more than
+                                      # the ~2.5 ms of dummy-chunk expand
+                                      # time it removes (parked; the
+                                      # kernel+tests stay for a cheaper
+                                      # rework)
     clip_level_rects: bool = True     # foveated paths: clip each
                                       # Gaussian's tile rect to its
                                       # level's reachable bbox before

@@ -634,3 +634,29 @@ def test_camera_plane_gaussian_stays_finite():
     assert np.isfinite(float(val))
     for g in jax.tree.leaves(grads):
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_fov_soa_compact_table_invariant():
+    """compact_table=True (dummy-row drop, ops/pallas/compact_table) must
+    not change the SoA render (parked perf experiment — keep it correct)."""
+    means, scales, quats, ops_, colors = synthetic_cloud(n=260, seed=9)
+    rng = np.random.default_rng(9)
+    hl = jnp.asarray(rng.choice(4, size=(260,)), jnp.float32)
+    dcs = jnp.asarray(rng.normal(0, 0.6, (260, 4, 3)), jnp.float32)
+    op4 = jnp.asarray(rng.uniform(0.2, 0.95, (260, 4)), jnp.float32)
+    rest = jnp.asarray(rng.normal(0, 0.04, (260, 15, 3)), jnp.float32)
+    from tests.utils import make_test_camera
+    cam = make_test_camera(width=96, height=64)
+    from fovsplat.ops import foveated as fov
+    model = fov.pack_fov_model(means, scales, quats, op4, dcs, rest, hl)
+    base = dict(pair_capacity=1 << 13, backend="pallas", pallas_chunk=128,
+                pallas_interpret=True, pallas_fwd_only=True,
+                dummy_slack=8192)
+    imgs = []
+    for flag in (False, True):
+        cfg = rasterize.RasterizeConfig(**base, compact_table=flag)
+        out = jax.jit(lambda m, gz, c=cfg: fov.rasterize_fov_soa(
+            m, cam, gaze=gz, alpha=0.05, blending=True, config=c))(
+            model, jnp.array([0.5, 0.5], jnp.float32))
+        imgs.append(np.asarray(out["render"]))
+    np.testing.assert_allclose(imgs[1], imgs[0], rtol=0, atol=1e-6)
