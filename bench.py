@@ -192,8 +192,18 @@ def leg_mmfr(sc, cam, args):
                           backend=args.backend, pallas_chunk=args.blend_chunk,
                           pallas_fwd_only=True,
                           pallas_interpret=args.interpret)
-    fn = jax.jit(lambda gz: emm.render_mmfr(models, cam, gz, 0.05, cfg))
-    return nine_gaze_fps(lambda gaze, gz: fn(gaze), cam,
+    # One jit per level pass: the unrolled 4-model graph can OOM the
+    # remote compile helper (SIGKILL'd in one run).
+    fns = [jax.jit(lambda gz, m=m, li=li: emm.render_mmfr_level(
+        m, cam, gz, 0.05, li, cfg)) for li, m in enumerate(models)]
+
+    def render(gaze):
+        total = fns[0](gaze)
+        for f in fns[1:]:
+            total = total + f(gaze)
+        return total
+
+    return nine_gaze_fps(lambda gaze, gz: render(gaze), cam,
                          max(1, args.warmup // 2), max(2, args.reps // 2))
 
 

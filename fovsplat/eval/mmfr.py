@@ -64,6 +64,29 @@ def render_mmfr(models, camera, gaze, alpha,
         total = contrib if total is None else total + contrib
     return total
 
+def render_mmfr_level(m, camera, gaze, alpha, li, config,
+                      fov_cfg=None, bg_color=None):
+    """ONE MM-FR level pass as a standalone jittable unit: the 4-pass
+    frame compiles as four small programs instead of one (the unrolled
+    4-model graph can exceed the remote compile service's memory)."""
+    fov_cfg = fov_cfg or foveation.FoveationConfig()
+    levels = foveation.compute_tile_levels(gaze, camera.width,
+                                           camera.height, alpha, fov_cfg)
+    level_i = levels.astype(jnp.int32)
+    num_tiles = levels.shape[0]
+    out = _render_level_fused(m, camera, level_i, li, config)
+    own = (level_i == li).astype(jnp.float32)
+    gx = (camera.width + TILE - 1) // TILE
+    gy = (camera.height + TILE - 1) // TILE
+    own_img = tiles_to_image(
+        jnp.broadcast_to(own[:, None], (num_tiles, TILE * TILE)),
+        gx, gy, camera.width, camera.height)
+    contrib = out["render"] * own_img[..., None]
+    if bg_color is not None:
+        contrib = contrib + (own_img * out["final_T"])[..., None] *             jnp.asarray(bg_color)
+    return contrib
+
+
 def _render_level_fused(m, camera, level_i, li, config):
     """One MM-FR level pass on the fused pipeline: column preprocess +
     fused binning of the whole model, blend restricted to owned tiles by
