@@ -139,4 +139,5 @@ def _render_level_fused(m, camera, level_i, li, config):
         config.pallas_interpret, batch=config.pallas_blend_batch)
     image = tiles_to_image(tile_color, gx, gy, camera.width, camera.height)
     T_img = tiles_to_image(final_T, gx, gy, camera.width, camera.height)
-    return {"render": image, "final_T": T_img, "overflow": overflow}
+    return {"render": image, "final_T": T_img, "overflow": overflow,
+            "num_pairs": num_pairs}
