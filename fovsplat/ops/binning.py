@@ -350,15 +350,19 @@ def compact_prebuilt(dtable, tnum, *, flag_row: int, flag_thresh: float,
     build_fov_table_pallas' zero-tnum padding lanes."""
     from fovsplat.ops.pallas import compact_table as pct
     n_pad = dtable.shape[1]
+    # Output capacity: worst-case live (= n_pad) plus the kernel's
+    # staged-block slack, rounded to the expand pipeline's 8192-lane
+    # (chunk*kbatch) granule so the downstream contract holds unchanged.
+    cap_out = n_pad + 8192
     dtc, live, total = pct.compact_table_pallas(
         dtable, tnum, flag_row=flag_row, flag_thresh=flag_thresh,
-        interpret=interpret)
+        cap_out=cap_out, interpret=interpret)
     total_f = total.astype(jnp.float32)
-    lane = jnp.arange(n_pad, dtype=jnp.int32)
+    lane = jnp.arange(cap_out, dtype=jnp.int32)
     cumc = (dtc[3].astype(jnp.float32) + dtc[4].astype(jnp.float32)
             + dtc[5].astype(jnp.float32))
     cum = jnp.where(lane < live, cumc, total_f)[None, :]
-    return dtc, cum, total_f, n_pad
+    return dtc, cum, total_f, cap_out
 
 
 def _ps1_expand_sort(pex, dtable, cum_pad2, gstarts, total, total_f,

@@ -519,19 +519,6 @@ def _forward(pair_data, seg_start, seg_end, grid_x: int, grid_y: int,
 
 # --------------------------------------------------------------- backward
 
-def _suffix_sum_lanes(x, chunk: int):
-    """Inclusive suffix sum along lanes via log-step rolls — exact f32
-    (a jnp.dot(x, triu) prefix runs at DEFAULT precision = bf16 on the
-    MXU, which would round gradient partial sums to ~2^-8)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    s = 1
-    while s < chunk:
-        x = x + jnp.where(lane < chunk - s, pltpu.roll(x, chunk - s, 1),
-                          0.0)
-        s *= 2
-    return x
-
-
 def _suffix_prod_lanes(x, chunk: int):
     """Inclusive suffix product along lanes (exact f32)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
@@ -629,17 +616,21 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
     win_loaded = seg_nsub(tb) * sub
 
     # Suffix-sum operand: X @ tril_incl (tril[k, j] = 1 for k >= j) gives
-    # inclusive suffix sums along lanes on the MXU. Inputs ride as exact
-    # bf16 hi/lo splits (f32-accumulate => f32-summation accuracy); the
-    # lane-roll scan form costs ~8 VPU passes per operand per chunk and
-    # dominated the backward.
+    # inclusive suffix sums along lanes on the MXU. Inputs ride as bf16
+    # hi/lo x2 splits with f32 accumulation: hi is exact, but lo = x - hi
+    # still carries up to 16 residual mantissa bits and is ROUNDED to
+    # bf16, so the suffix sums have a ~2^-17 relative error bound (an x3
+    # split would be exact at 1.5x the operand volume — not worth it for
+    # gradient terms). The lane-roll scan form is exact but costs ~8 VPU
+    # passes per operand per chunk and dominated the backward.
     tril_bf = (jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
                >= jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
                ).astype(jnp.bfloat16)
 
     def _sfx_sum_cat(xcat, k):
         # (k*PIX, chunk) -> inclusive lane suffix sums via one bf16
-        # hi/lo-split MXU pass pair (exact bf16 parts, f32 accumulate).
+        # hi/lo-split MXU pass pair (~2^-17 relative error: the lo part
+        # is rounded to bf16 — see the tril_bf comment above).
         hi = pltpu.bitcast(pltpu.bitcast(xcat, jnp.int32) & _MASK_HI,
                            jnp.float32)
         lo = xcat - hi

@@ -201,9 +201,16 @@ def compact_table_pallas(dtable, tnum, *, chunk=512, kbatch=16,
         kbatch //= 2                  # small tables (tests) divide less
     assert n_pad % (chunk * kbatch) == 0, (n_pad, chunk, kbatch)
     if cap_out is None:
-        cap_out = n_pad
+        # Real slack past the worst-case live count: the staged block DMA
+        # writes a full (chunk+128)-wide block at a 128-aligned base, so
+        # with live == n_pad the last write extends past n_pad. Without
+        # the slack the dst clamp would shift that block low and corrupt
+        # the previous block's tail.
+        cap_out = n_pad + chunk + 128
     cap_out = ((cap_out + 127) // 128) * 128
-    assert cap_out >= chunk + 128
+    assert cap_out >= n_pad + chunk + 128 or cap_out >= chunk + 128, (
+        "cap_out must either cover worst-case live+block slack or the "
+        "caller must guarantee live <= cap_out - (chunk+128)")
     grid = (n_pad // (chunk * kbatch),)
     kernel = functools.partial(_kernel, chunk=chunk, kbatch=kbatch,
                                cap_out=cap_out, flag_row=flag_row,

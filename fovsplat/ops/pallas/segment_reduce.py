@@ -8,9 +8,10 @@ segment_sum 300 ms (scripts/bench_gid_reduce.py). A cumsum-diff
 formulation is cheap but catastrophically cancels (a single Gaussian's
 sum is recovered as the difference of two ~global-magnitude prefix sums).
 
-This kernel exploits the SORTED gid stream instead: a chunk of `chunk`
-lanes spans at most chunk+1 consecutive gid values, so per-gid sums are
-one equality one-hot matmul against a sliding output window:
+This kernel exploits the SORTED gid stream instead: per-gid sums are
+one equality one-hot matmul against a sliding output window (with a
+flush-and-remask loop for chunks whose gid span exceeds the window —
+sparse streams can jump arbitrarily far inside one chunk):
 
     partial (R, WOUT) += vals (R, chunk) @ onehot(gid == base + w)
 
@@ -80,24 +81,47 @@ def _kernel(block_ref, out_hbm, carry, base_ref, sem,
         blk = block_ref[:, pl.ds(k * chunk, chunk)]        # (VROWS, chunk)
         gid = blk[0:1, :].astype(jnp.int32)                 # (1, chunk)
         first = gid[0, 0]
+        last = gid[0, chunk - 1]                            # max (sorted)
 
-        # Advance the window until this chunk's gids fit: gids ascend, so
-        # first <= every gid in the chunk <= first + chunk.
+        # Advance the window until this chunk's FIRST gid sits in the
+        # retained [base, base+FLUSH) span.
         def adv_cond(b):
             return first >= b + FLUSH
 
         base_ref[0] = jax.lax.while_loop(adv_cond, flush_one, base_ref[0])
-        base = base_ref[0]
 
-        onehot = (gid == base + w_iota).astype(jnp.bfloat16)  # (WOUT, chunk)
         hi, mid, lo = _split3_rows(blk[1:1 + nrows, :])
         parts = jnp.concatenate([hi, mid, lo], axis=0).astype(jnp.bfloat16)
-        partial = jax.lax.dot_general(
-            parts, onehot, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (3R, WOUT)
-        add = (partial[0:nrows] + partial[nrows:2 * nrows]
-               + partial[2 * nrows:3 * nrows])
-        carry[1:1 + nrows, :] += add
+
+        def accumulate(base, lo_gid):
+            # Lanes with gid < lo_gid were accumulated by a previous
+            # window position; the one-hot's [base, base+WOUT) range
+            # masks lanes still ahead of this window.
+            onehot = ((gid == base + w_iota)
+                      & (gid >= lo_gid)).astype(jnp.bfloat16)
+            partial = jax.lax.dot_general(
+                parts, onehot, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (3R, WOUT)
+            carry[1:1 + nrows, :] += (
+                partial[0:nrows] + partial[nrows:2 * nrows]
+                + partial[2 * nrows:3 * nrows])
+
+        accumulate(base_ref[0], jnp.int32(-2147483647))
+
+        # Sorted-but-SPARSE gid streams can span more than WOUT values
+        # inside one chunk (e.g. a long frustum-culled id run): keep
+        # flushing and re-accumulate only the not-yet-covered lanes
+        # until the chunk's last gid fits the window.
+        def tail_cond(b):
+            return last >= b + WOUT
+
+        def tail_body(b):
+            covered = b + WOUT
+            b = flush_one(b)
+            accumulate(b, covered)
+            return b
+
+        base_ref[0] = jax.lax.while_loop(tail_cond, tail_body, base_ref[0])
         return 0
 
     jax.lax.fori_loop(0, kbatch, body, 0)

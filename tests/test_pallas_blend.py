@@ -586,12 +586,18 @@ def test_segment_reduce_matches_segment_sum():
     from fovsplat.ops.pallas import segment_reduce as psr
     rng = np.random.default_rng(11)
     cap = 512 * 16 * 2
-    n = 3000
-    # clustered + sparse gids (long empty stretches), ascending
+    n = 9000
+    # clustered + sparse gids (long empty stretches), ascending. The
+    # cluster sizes are deliberately NOT multiples of chunk=512, so the
+    # jumps land strictly INSIDE a chunk — including one jump (40 ->
+    # 2000 -> 8992) much wider than the kernel's WOUT window straddled
+    # within a single 512-lane chunk (the round-3 silent-drop bug).
+    n0, n1, n2 = cap // 2 + 17, cap // 4 - 300, 283
     raw = np.concatenate([
-        rng.integers(0, 40, cap // 2),
-        rng.integers(2000, 2050, cap // 4),
-        rng.integers(n - 8, n, cap - cap // 2 - cap // 4)])
+        rng.integers(0, 40, n0),
+        rng.integers(2000, 2050, n1),
+        rng.integers(5000, 5004, n2),
+        rng.integers(n - 8, n, cap - n0 - n1 - n2)])
     gid = np.sort(raw).astype(np.int32)
     vals = rng.normal(0, 1, (9, cap)).astype(np.float32)
     rows = np.zeros((16, cap), np.float32)
@@ -660,3 +666,42 @@ def test_fov_soa_compact_table_invariant():
             model, jnp.array([0.5, 0.5], jnp.float32))
         imgs.append(np.asarray(out["render"]))
     np.testing.assert_allclose(imgs[1], imgs[0], rtol=0, atol=1e-6)
+
+
+def test_compact_table_near_full_live():
+    """compact_table with ~ALL rows valid: the live count fills n_pad, so
+    the final staged block extends past n_pad. With the old default
+    cap_out=n_pad the dst clamp shifted that block 128+ lanes low,
+    overwriting the previous block's tail (round-3 advisor finding)."""
+    from fovsplat.ops.pallas import compact_table as pct
+    rng = np.random.default_rng(5)
+    n_pad = 8192
+    valid = np.ones(n_pad, bool)
+    valid[[37, 4100, 8000]] = False          # live = n_pad - 3
+    tnum = rng.integers(1, 9, n_pad).astype(np.float32) * valid
+    dt = np.zeros((64, n_pad), np.float32)
+    payload_rows = [r for r in range(64) if r not in (3, 4, 5, 45)]
+    dt[payload_rows] = np.float32(np.float16(
+        rng.normal(0, 1, (len(payload_rows), n_pad))))
+    dt[45] = valid.astype(np.float32)
+    dtb = jnp.asarray(dt).astype(jnp.bfloat16)
+    dtc, live, total = pct.compact_table_pallas(
+        dtb, jnp.asarray(tnum)[None, :], flag_row=45, flag_thresh=0.5,
+        interpret=True)
+    live = int(live)
+    assert live == int(valid.sum())
+    assert int(total) == int(tnum.sum())
+    keep_idx = np.nonzero(valid)[0]
+    out = np.asarray(dtc, np.float32)
+    # Payload rows (everything but the rebuilt cum splits 3-5) must be an
+    # exact permutation-compaction of the surviving input columns.
+    for r in payload_rows + [45]:
+        ref = np.asarray(dtb[r], np.float32)[keep_idx]
+        np.testing.assert_array_equal(out[r, :live], ref)
+    # Rebuilt cum rows: exclusive prefix of the kept tnums, exact.
+    cum = out[3, :live] + out[4, :live] + out[5, :live]
+    ref_cum = np.concatenate([[0.0], np.cumsum(tnum[keep_idx])[:-1]])
+    np.testing.assert_array_equal(cum, ref_cum.astype(np.float32))
+    # Lanes in [live, ceil128(live)+zero-tail) must be zeroed (NaN there
+    # would poison the expand one-hot matmul).
+    assert np.all(out[:, ((live + 127) // 128) * 128:] == 0.0)
