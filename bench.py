@@ -69,34 +69,42 @@ def nine_gaze_fps(render, cam, warmups, reps, log=lambda *a: None):
     return float(np.mean(per_gaze)), per_gaze
 
 
-def build_fov_render(sc, cam, args, naive=False):
-    """Returns (render(gaze, bucket), diag(gaze), n_buckets).
+GRAN_CAND = 524_288      # candidate-axis capacity granule
+GRAN_KEPT = 393_216      # kept-axis capacity granule
 
-    Adaptive capacity buckets: the whole binning pipeline is sized by
-    STATIC capacities, but off-center gazes keep ~45-75% of the center
-    gaze's pairs (level culling concentrates detail at the gaze) — the
-    sort/expand cost is linear in capacity, so each gaze picks the
-    smallest bucket its measured counts fit (the reference's harness
-    likewise resizes its buffers per frame, rasterize_points.cu
-    resizeFunctional). Bucket choice comes from an untimed diagnostic
-    frame per gaze; every timed frame's overflow counter is asserted 0."""
+
+def build_fov_render(sc, cam, args, naive=False):
+    """Returns (render(gaze, caps), diag(gaze, caps), probe_caps).
+
+    MEASURED capacity buckets, decoupled per axis: the binning pipeline is
+    sized by two static capacities — the candidate axis (pair expansion:
+    cum total incl. dummy rows) and the kept axis (post-cull pairs: sort +
+    blend lanes). Off-center gazes keep ~45-75% of the center gaze's
+    pairs, and the two axes shrink by DIFFERENT factors (round 3 coupled
+    them multiplicatively, so most gazes fell back to the full bucket on
+    candidate overflow). Each gaze now gets capacities = its own measured
+    counts rounded up to a granule (bounding distinct compiles), checked
+    by the overflow counter on the actual frame. The reference's harness
+    likewise resizes its buffers to measured counts and keeps them
+    (rasterize_points.cu resizeFunctional). caps=None uses the full probe
+    capacities."""
     import jax
     import jax.numpy as jnp
     from fovsplat.ops import foveated as fov
     from fovsplat.ops.rasterize import RasterizeConfig
 
-    def mkcfg(f):
-        r = lambda v: (int(v * f) + 8191) // 8192 * 8192
+    def mkcfg(caps):
+        cand_cap, kept_cap = caps
         return RasterizeConfig(
-            pair_capacity=r(args.pair_capacity), backend=args.backend,
+            pair_capacity=cand_cap, backend=args.backend,
             pallas_fwd_only=True, pallas_interpret=args.interpret,
             pallas_chunk=args.blend_chunk,
             pallas_blend_batch=args.blend_batch,
             expand_chunk=args.expand_chunk, expand_batch=args.expand_batch,
-            dummy_slack=args.dummy_slack,
-            compact_capacity=r(args.compact_capacity))
+            dummy_slack=0, compact_capacity=kept_cap)
 
-    cfgs = [mkcfg(1.0), mkcfg(0.78), mkcfg(0.58)]
+    probe_caps = (args.pair_capacity + args.dummy_slack,
+                  args.compact_capacity)
     opac4 = jnp.asarray(sc["opacities4"])
     dcs = jnp.asarray(sc["shs_dcs"])
     if naive:
@@ -106,13 +114,14 @@ def build_fov_render(sc, cam, args, naive=False):
         dcs = jnp.broadcast_to(dcs[:, :1, :], dcs.shape)
 
     if args.backend != "pallas":
+        cfg = mkcfg(probe_caps)
         fn = jax.jit(lambda gz, o4, dc: fov.rasterize_fov(
             jnp.asarray(sc["means"]), jnp.asarray(sc["scales"]),
             jnp.asarray(sc["rotations"]), o4, dc,
             jnp.asarray(sc["shs_rest"]), jnp.asarray(sc["highest_levels"]),
             cam, gaze=gz, alpha=0.05, blending=True,
-            config=cfgs[0])["render"])
-        return (lambda gz, bucket=0: fn(gz, opac4, dcs)), None, 1
+            config=cfg)["render"])
+        return (lambda gz, caps=None: fn(gz, opac4, dcs)), None, probe_caps
 
     # SoA fast path: pack once per model (the reference loads its composed
     # model once per FPS run too). All big arrays are jit ARGUMENTS —
@@ -122,47 +131,56 @@ def build_fov_render(sc, cam, args, naive=False):
         jnp.asarray(sc["means"]), jnp.asarray(sc["scales"]),
         jnp.asarray(sc["rotations"]), opac4, dcs,
         jnp.asarray(sc["shs_rest"]), jnp.asarray(sc["highest_levels"]))
-    fns = [jax.jit(lambda mdl, gz, c=c: fov.rasterize_fov_soa(
-        mdl, cam, gaze=gz, alpha=0.05, blending=True,
-        config=c)) for c in cfgs]
+    fns = {}
 
-    def render(gz, bucket=0):
-        return fns[bucket](model, gz)["render"]
+    def get_fn(caps):
+        caps = probe_caps if caps is None else caps
+        if caps not in fns:
+            c = mkcfg(caps)
+            fns[caps] = jax.jit(lambda mdl, gz, c=c: fov.rasterize_fov_soa(
+                mdl, cam, gaze=gz, alpha=0.05, blending=True, config=c))
+        return fns[caps]
 
-    def diag(gz, bucket=0):
-        return fns[bucket](model, gz)
+    def render(gz, caps=None):
+        return get_fn(caps)(model, gz)["render"]
 
-    return render, diag, len(cfgs)
+    def diag(gz, caps=None):
+        return get_fn(caps)(model, gz)
+
+    return render, diag, probe_caps
+
+
+def _round_up(v, gran):
+    return (int(v) + gran - 1) // gran * gran
 
 
 def leg_fov(sc, cam, args, tag, naive=False):
     import jax.numpy as jnp
-    render, diag, n_buckets = build_fov_render(sc, cam, args, naive=naive)
-    buckets = {}
+    render, diag, probe_caps = build_fov_render(sc, cam, args, naive=naive)
+    gaze_caps = {}
     if diag is not None:
-        # Untimed diagnostic frame per gaze: record kept pairs at the full
-        # bucket, then pick the smallest bucket with >=12% headroom on
-        # BOTH the kept (compact) and candidate (pair) capacities and
-        # re-verify its overflow counter.
+        # Untimed diagnostic frame per gaze at the full probe capacities:
+        # read the exact candidate/kept counts, round each up to its
+        # granule (never above the probe caps), and verify the chosen
+        # shape's overflow counter on the real frame.
         for gz in GAZES:
             g = jnp.asarray(gz, jnp.float32)
-            out = diag(g, 0)
+            out = diag(g, None)
             kept = int(_force(out["num_pairs"] * 1.0))
+            cand = int(_force(out["candidates"] * 1.0))
             ovf = int(_force(out["overflow"] * 1.0))
-            assert ovf == 0, (gz, "full-bucket overflow — raise "
+            assert ovf == 0, (gz, "probe-capacity overflow — raise "
                               "--pair-capacity/--compact-capacity")
-            choice = 0
-            for b, f in ((2, 0.58), (1, 0.78)):
-                if kept * 1.12 <= args.compact_capacity * f:
-                    o2 = diag(g, b)
-                    if int(_force(o2["overflow"] * 1.0)) == 0:
-                        choice = b
-                        break
-            buckets[gz] = choice
-            print(f"# {tag}: gaze={gz} kept={kept} bucket={choice}",
-                  file=sys.stderr)
+            caps = (min(_round_up(cand, GRAN_CAND), probe_caps[0]),
+                    min(_round_up(kept, GRAN_KEPT), probe_caps[1]))
+            o2 = diag(g, caps)
+            if int(_force(o2["overflow"] * 1.0)) != 0:
+                caps = probe_caps        # never time an overflowing shape
+            gaze_caps[gz] = caps
+            print(f"# {tag}: gaze={gz} kept={kept} cand={cand} "
+                  f"caps={caps}", file=sys.stderr)
     fps, per_gaze = nine_gaze_fps(
-        lambda gaze, gz: render(gaze, buckets.get(gz, 0)),
+        lambda gaze, gz: render(gaze, gaze_caps.get(gz)),
         cam, args.warmup, args.reps)
     return fps, per_gaze
 
@@ -188,22 +206,61 @@ def leg_mmfr(sc, cam, args):
             rotation=jnp.asarray(sc["rotations"]),
             opacity=jnp.asarray(sc["opacities4"][:, li] * keep),
             colors=jnp.asarray(np.minimum(colors, 1.0))))
-    cfg = RasterizeConfig(pair_capacity=args.pair_capacity, chunk=4096,
-                          backend=args.backend, pallas_chunk=args.blend_chunk,
-                          pallas_fwd_only=True,
-                          pallas_interpret=args.interpret)
-    # One jit per level pass: the unrolled 4-model graph can OOM the
-    # remote compile helper (SIGKILL'd in one run).
-    fns = [jax.jit(lambda gz, m=m, li=li: emm.render_mmfr_level(
-        m, cam, gz, 0.05, li, cfg)) for li, m in enumerate(models)]
 
-    def render(gaze):
-        total = fns[0](gaze)
-        for f in fns[1:]:
-            total = total + f(gaze)
+    def mkcfg(caps):
+        return RasterizeConfig(
+            pair_capacity=caps[0], dummy_slack=0, chunk=4096,
+            backend=args.backend, pallas_chunk=args.blend_chunk,
+            pallas_blend_batch=args.blend_batch, pallas_fwd_only=True,
+            compact_capacity=caps[1], pallas_interpret=args.interpret)
+
+    # One jit per level pass (the unrolled 4-model graph OOMs the remote
+    # compile helper), with the MODEL AS A JIT ARGUMENT — a closure
+    # capture inlines the 1.16M-row arrays as HLO constants, and that
+    # request size is what SIGKILLed the round-3 compile helper. Each
+    # (level, capacity) pair compiles once; capacities come from the
+    # measured per-level counts (L0 owns only the gaze box and keeps a
+    # small fraction of the shared capacity).
+    probe_caps = (args.pair_capacity + args.dummy_slack,
+                  args.compact_capacity)
+    fns = {}
+
+    def get_fn(li, caps, diag=False):
+        key = (li, caps, diag)
+        if key not in fns:
+            cfg = mkcfg(caps)
+            fns[key] = jax.jit(lambda m, gz: emm.render_mmfr_level(
+                m, cam, gz, 0.05, li, cfg, return_diag=diag))
+        return fns[key]
+
+    # Per-(gaze, level) capacity probe. Coarser granules than the ours
+    # leg: 36 probe points must dedupe to a handful of compiled shapes.
+    level_caps = {}
+    for gz in GAZES:
+        g = jnp.asarray(gz, jnp.float32)
+        for li in range(4):
+            _, d = get_fn(li, probe_caps, diag=True)(models[li], g)
+            kept = int(_force(d["num_pairs"] * 1.0))
+            cand = int(_force(d["candidates"] * 1.0))
+            assert int(_force(d["overflow"] * 1.0)) == 0, (gz, li)
+            caps = (min(_round_up(cand, 786_432), probe_caps[0]),
+                    min(_round_up(kept, 524_288), probe_caps[1]))
+            _, d2 = get_fn(li, caps, diag=True)(models[li], g)
+            if int(_force(d2["overflow"] * 1.0)) != 0:
+                caps = probe_caps
+            level_caps[(gz, li)] = caps
+        print(f"# mmfr: gaze={gz} caps="
+              f"{[level_caps[(gz, li)] for li in range(4)]}",
+              file=sys.stderr)
+
+    def render(gaze, gz):
+        total = None
+        for li in range(4):
+            c = get_fn(li, level_caps[(gz, li)])(models[li], gaze)
+            total = c if total is None else total + c
         return total
 
-    return nine_gaze_fps(lambda gaze, gz: render(gaze), cam,
+    return nine_gaze_fps(render, cam,
                          max(1, args.warmup // 2), max(2, args.reps // 2))
 
 
@@ -244,6 +301,10 @@ def leg_train_step(args):
     st, aux = step(state, cam, gt, jnp.int32(0), jnp.float32(0.0))
     loss0 = float(aux["loss"])
     assert int(aux["overflow"]) == 0
+    # Kept pairs measured from the step itself (round-3 hardcoded the
+    # foveated center-gaze 1.53M here, understating SOL ~2x — this shape
+    # has no level cull and keeps ~2.99M).
+    kept = float(aux["num_pairs"])
     reps = 10
     cur = st
     t0 = time.perf_counter()
@@ -254,7 +315,6 @@ def leg_train_step(args):
     # Backward SOL model (docs/ARCHITECTURE.md "Speed-of-light budget"):
     # useful blend fwd+bwd flops ~= kept_pairs * PIX * ~90 VPU flops at
     # ~2 Tflop/s VPU, + gradient segment-sum + preprocess chain (small).
-    kept = 1.53e6
     useful_s = kept * 256 * 90 / 2.0e12
     return dt, loss0, useful_s / dt
 
@@ -309,7 +369,11 @@ def main():
     ap.add_argument("--expand-chunk", type=int, default=512)
     ap.add_argument("--expand-batch", type=int, default=16)
     ap.add_argument("--warmup", type=int, default=3)
-    ap.add_argument("--reps", type=int, default=5)
+    # 20 reps per gaze: the timed loop is chained-dispatch with ONE host
+    # read at the end, so the ~25 ms tunnel RTT amortizes to RTT/reps.
+    # The reference times 5 reps x 35 views per gaze (175 frames); 20
+    # chained frames per gaze is well within its harness envelope.
+    ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--budget-s", type=float, default=1500.0,

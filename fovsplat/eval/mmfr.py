@@ -65,10 +65,16 @@ def render_mmfr(models, camera, gaze, alpha,
     return total
 
 def render_mmfr_level(m, camera, gaze, alpha, li, config,
-                      fov_cfg=None, bg_color=None):
+                      fov_cfg=None, bg_color=None, return_diag=False):
     """ONE MM-FR level pass as a standalone jittable unit: the 4-pass
     frame compiles as four small programs instead of one (the unrolled
-    4-model graph can exceed the remote compile service's memory)."""
+    4-model graph can exceed the remote compile service's memory).
+
+    return_diag=True additionally returns {"overflow", "num_pairs",
+    "candidates"} — the sizing signals for per-level capacity buckets
+    (the L0 pass owns only the small gaze-centered box and keeps FEW
+    pairs; sizing every level at the shared capacity made the L0 pass
+    sort at ~10x its need, the round-3 ledger's #1 MM-FR lever)."""
     fov_cfg = fov_cfg or foveation.FoveationConfig()
     levels = foveation.compute_tile_levels(gaze, camera.width,
                                            camera.height, alpha, fov_cfg)
@@ -84,6 +90,10 @@ def render_mmfr_level(m, camera, gaze, alpha, li, config,
     contrib = out["render"] * own_img[..., None]
     if bg_color is not None:
         contrib = contrib + (own_img * out["final_T"])[..., None] *             jnp.asarray(bg_color)
+    if return_diag:
+        return contrib, {"overflow": out["overflow"],
+                         "num_pairs": out["num_pairs"],
+                         "candidates": out["candidates"]}
     return contrib
 
 
@@ -119,7 +129,13 @@ def _render_level_fused(m, camera, level_i, li, config):
     rx1 = jnp.minimum(pc.rx1, bx1)
     ry1 = jnp.minimum(pc.ry1, by1)
     tnum = jnp.maximum(rx1 - rx0, 0) * jnp.maximum(ry1 - ry0, 0)
-    valid = pc.valid & (tnum > 0)
+    # Dead-opacity cull (output-invariant: the blend rejects a < 1/255
+    # anyway): per-level MM models arrive as the full cloud with
+    # non-members' opacity zeroed, but the reference's MM models are
+    # independently-pruned SMALL models (prune_finetune.py) — without
+    # this cull every level pass binned the full cloud, overstating the
+    # baseline's candidate load ~4x.
+    valid = pc.valid & (tnum > 0) & (m["opacity"] >= 1.0 / 255.0)
     t1cols = [rx0.astype(jnp.float32), ry0.astype(jnp.float32),
               jnp.maximum(rx1 - rx0, 1).astype(jnp.float32),
               jnp.where(valid, tnum, 0).astype(jnp.float32),
@@ -127,7 +143,8 @@ def _render_level_fused(m, camera, level_i, li, config):
               pc.len1, pc.len2, pc.ca, pc.cb, pc.cc,
               m["opacity"], m["colors"][:, 0], m["colors"][:, 1],
               m["colors"][:, 2]]
-    packed, seg_start, num_pairs, overflow, _cap3 = binning.bin_fused_ps1(
+    (packed, seg_start, num_pairs, overflow, _cap3,
+     candidates) = binning.bin_fused_ps1(
         t1cols, valid, pc.depth, gx, gy, cap, config.pallas_interpret,
         config.dummy_slack, config.compact_capacity, config.expand_chunk,
         config.expand_batch, sort_exact=config.sort_exact_depth)
@@ -140,4 +157,4 @@ def _render_level_fused(m, camera, level_i, li, config):
     image = tiles_to_image(tile_color, gx, gy, camera.width, camera.height)
     T_img = tiles_to_image(final_T, gx, gy, camera.width, camera.height)
     return {"render": image, "final_T": T_img, "overflow": overflow,
-            "num_pairs": num_pairs}
+            "num_pairs": num_pairs, "candidates": candidates}

@@ -393,7 +393,7 @@ def _ps1_expand_sort(pex, dtable, cum_pad2, gstarts, total, total_f,
     seg_start = jnp.searchsorted(
         res[0], pex.seg_bounds32(num_tiles),
         side='left').astype(jnp.int32)
-    return packed, seg_start, seg_start[-1], overflow, cap3
+    return packed, seg_start, seg_start[-1], overflow, cap3, total_f
 
 
 @jax.tree_util.register_dataclass

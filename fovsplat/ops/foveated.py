@@ -298,7 +298,7 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
     seg_start = jnp.searchsorted(
         res[0], pex.seg_bounds32(num_tiles),
         side='left').astype(jnp.int32)
-    return packed, seg_start, seg_start[-1], overflow, cap3
+    return packed, seg_start, seg_start[-1], overflow, cap3, total_f
 
 
 def _dual_blend(pair_tile, pair_mean2d, pair_conic, pair_op1, pair_op2,
@@ -533,7 +533,7 @@ def rasterize_fov(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
     if config.backend == "pallas":
         from fovsplat.ops.pallas import blend_fov as pkf
         if fused is not None:
-            packed, seg_start, num_pairs, overflow, _cap2 = fused
+            packed, seg_start, num_pairs, overflow, _cap2, _cand = fused
             bn = binning.Binned(pair_gauss=None, pair_tile=None,
                                 seg_start=seg_start, num_pairs=num_pairs,
                                 overflow=overflow, depth_order=None)
@@ -730,7 +730,7 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
                 dtable, tnum, flag_row=27, flag_thresh=-1.0,
                 interpret=config.pallas_interpret)
             dummy_slack = 0
-        packed, seg_start, num_pairs, overflow, _cap2 = _bin_fov_fused(
+        packed, seg_start, num_pairs, overflow, _cap2, candidates = _bin_fov_fused(
             None, None, None, None, gaze, alpha, gx, gy, cap, camera,
             fov_cfg, config.pallas_interpret, dummy_slack,
             config.compact_capacity, config.expand_chunk,
@@ -784,7 +784,7 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
                       + rest_c[c], 0.0)
                      for c in range(3) for l in range(L)])
 
-        packed, seg_start, num_pairs, overflow, _cap2 = _bin_fov_fused(
+        packed, seg_start, num_pairs, overflow, _cap2, candidates = _bin_fov_fused(
             t1cols, t2cols, valid, pc.depth, gaze, alpha, gx, gy, cap,
             camera, fov_cfg, config.pallas_interpret, config.dummy_slack,
             config.compact_capacity, config.expand_chunk,
@@ -826,4 +826,8 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
 
     image = tiles_to_image(tile_color, gx, gy, camera.width, camera.height)
     return {"render": image, "tile_levels": levels, "tile_blend": tile_blend,
-            "num_pairs": num_pairs, "overflow": overflow}
+            "num_pairs": num_pairs, "overflow": overflow,
+            # Candidate pairs incl. dummy rows (pre-cull, unclamped):
+            # the measured sizing signal for the candidate (pair_capacity
+            # + dummy_slack) axis of capacity buckets (bench.py).
+            "candidates": candidates}

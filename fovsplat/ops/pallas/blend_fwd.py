@@ -616,29 +616,30 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
     win_loaded = seg_nsub(tb) * sub
 
     # Suffix-sum operand: X @ tril_incl (tril[k, j] = 1 for k >= j) gives
-    # inclusive suffix sums along lanes on the MXU. Inputs ride as bf16
-    # hi/lo x2 splits with f32 accumulation: hi is exact, but lo = x - hi
-    # still carries up to 16 residual mantissa bits and is ROUNDED to
-    # bf16, so the suffix sums have a ~2^-17 relative error bound (an x3
-    # split would be exact at 1.5x the operand volume — not worth it for
-    # gradient terms). The lane-roll scan form is exact but costs ~8 VPU
-    # passes per operand per chunk and dominated the backward.
+    # inclusive suffix sums along lanes on the MXU. Inputs ride as EXACT
+    # bf16 x3 splits (8+8+8 >= f32's 24 mantissa bits) with f32
+    # accumulation — exact f32-summation suffix sums. The lane-roll scan
+    # form is also exact but costs ~8 VPU passes per operand per chunk
+    # and dominated the backward before the MXU form.
     tril_bf = (jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
                >= jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
                ).astype(jnp.bfloat16)
 
     def _sfx_sum_cat(xcat, k):
-        # (k*PIX, chunk) -> inclusive lane suffix sums via one bf16
-        # hi/lo-split MXU pass pair (~2^-17 relative error: the lo part
-        # is rounded to bf16 — see the tril_bf comment above).
+        # (k*PIX, chunk) -> inclusive lane suffix sums via one MXU pass
+        # over an EXACT bf16 x3 split (hi+mid+lo == x exactly; f32
+        # accumulate => exact f32-summation suffix sums).
         hi = pltpu.bitcast(pltpu.bitcast(xcat, jnp.int32) & _MASK_HI,
                            jnp.float32)
-        lo = xcat - hi
-        parts = jnp.concatenate([hi, lo], axis=0).astype(jnp.bfloat16)
+        rem = xcat - hi
+        mid = pltpu.bitcast(pltpu.bitcast(rem, jnp.int32) & _MASK_HI,
+                            jnp.float32)
+        parts = jnp.concatenate([hi, mid, rem - mid],
+                                axis=0).astype(jnp.bfloat16)
         out = jax.lax.dot_general(
             parts, tril_bf, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return out[:k * PIX] + out[k * PIX:]
+        return out[:k * PIX] + out[k * PIX:2 * k * PIX] + out[2 * k * PIX:]
 
     def per_tile(b):
         t = tb * batch + b
@@ -663,7 +664,7 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
         num_chunks = pl.cdiv(deepest - base, chunk)
 
         def body(state):
-            k, T_back, S_r, S_g, S_b = state   # k counts down num_chunks..1
+            k, T_back, S_cg = state            # k counts down num_chunks..1
             kk = k - 1
             src = pl.multiple_of(
                 jnp.minimum(base + kk * chunk, cap - chunk), chunk)
@@ -699,21 +700,19 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
             T_j = jnp.minimum(T_back / sfx_om, 1.0)
             w = a_eff * T_j                                  # (PIX, chunk)
 
-            wr = w * data[6:7, :]
-            wg = w * data[7:8, :]
-            wb = w * data[8:9, :]
-            sfx = _sfx_sum_cat(jnp.concatenate([wr, wg, wb], axis=0), 3)
-            sfx_r = sfx[0:PIX]                               # incl suffix
-            sfx_g = sfx[PIX:2 * PIX]
-            sfx_b = sfx[2 * PIX:3 * PIX]
-            # Color suffix EXCLUSIVE of j: sum over i > j.
-            Sr_j = S_r + (sfx_r - wr)
-            Sg_j = S_g + (sfx_g - wg)
-            Sb_j = S_b + (sfx_b - wb)
-
+            # The per-channel color suffixes S_r/S_g/S_b are only ever
+            # consumed as their dot with the per-pixel cotangent g — and
+            # g is constant along the chunk axis, so the three channel
+            # suffixes collapse to ONE suffix of w * (c . g). That cuts
+            # the dominant tril-matmul operand from 3*PIX rows to PIX
+            # (and drops the wr/wg/wb products): ~3x less MXU volume in
+            # the hot per-chunk path.
             gc_dot_col = (g_r * data[6:7, :] + g_g * data[7:8, :]
-                          + g_b * data[8:9, :])
-            gc_dot_S = g_r * Sr_j + g_g * Sg_j + g_b * Sb_j
+                          + g_b * data[8:9, :])               # (PIX, chunk)
+            w_cg = w * gc_dot_col
+            sfx_cg = _sfx_sum_cat(w_cg, 1)                    # incl suffix
+            # Suffix EXCLUSIVE of j: sum over i > j, plus deeper chunks.
+            gc_dot_S = S_cg + (sfx_cg - w_cg)
             inv_om = 1.0 / om
             dL_da = jnp.where(
                 contribute,
@@ -785,17 +784,14 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
             gout_ref[gslot] = 1
 
             T_back = jnp.minimum(T_back / sfx_om[:, 0:1], 1.0)
-            S_r = S_r + sfx_r[:, 0:1]
-            S_g = S_g + sfx_g[:, 0:1]
-            S_b = S_b + sfx_b[:, 0:1]
-            return kk, T_back, S_r, S_g, S_b
+            S_cg = S_cg + sfx_cg[:, 0:1]
+            return kk, T_back, S_cg
 
         def cond(state):
             return state[0] > 0
 
         zero_col = jnp.zeros((PIX, 1), jnp.float32)
-        jax.lax.while_loop(cond, body, (num_chunks, Tf, zero_col, zero_col,
-                                        zero_col))
+        jax.lax.while_loop(cond, body, (num_chunks, Tf, zero_col))
 
     for b in range(batch):
         per_tile(b)

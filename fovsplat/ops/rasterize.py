@@ -203,7 +203,7 @@ def rasterize(means3d, scales, rotations, opacities, camera,
             prep.len1, prep.len2))
         builder = _fused_train_pair_builder(gx, gy, cap, cfg,
                                             means3d.shape[0])
-        packed, seg_start, num_pairs, overflow, _cap3 = builder(
+        packed, seg_start, num_pairs, overflow, _cap3, _cand = builder(
             diff_cols, aux_cols, prep.valid, prep.depth)
         bn = binning.Binned(pair_gauss=None, pair_tile=None,
                             seg_start=seg_start, num_pairs=num_pairs,
@@ -219,7 +219,8 @@ def rasterize(means3d, scales, rotations, opacities, camera,
             prep.ca, prep.cb, prep.cc,
             opacities, colors[:, 0], colors[:, 1], colors[:, 2],
         ]
-        packed, seg_start, num_pairs, overflow, _cap2 = binning.bin_fused_ps1(
+        (packed, seg_start, num_pairs, overflow, _cap2,
+         _cand) = binning.bin_fused_ps1(
             t1cols, prep.valid, prep.depth, gx, gy, cap,
             cfg.pallas_interpret, cfg.dummy_slack, cfg.compact_capacity,
             cfg.expand_chunk, cfg.expand_batch,
@@ -328,7 +329,7 @@ def _fused_train_pair_builder(gx, gy, cap, cfg, n):
 
     def fwd(diff_cols, aux_cols, valid, depth):
         out = build(diff_cols, aux_cols, valid, depth)
-        packed, seg_start, num_pairs, overflow, cap3 = out
+        packed, seg_start, num_pairs, overflow, cap3, _cand = out
         return out, (packed[9], num_pairs)
 
     def bwd(res, ct):
@@ -438,7 +439,8 @@ def rasterize_ps1_soa(model: Ps1ModelSoA, camera, bg_color=None,
             dtable, tnum, flag_row=45, flag_thresh=0.5,
             interpret=config.pallas_interpret)
         dummy_slack = 0
-    packed, seg_start, num_pairs, overflow, _cap3 = binning.bin_fused_ps1(
+    (packed, seg_start, num_pairs, overflow, _cap3,
+     _cand) = binning.bin_fused_ps1(
         None, None, None, gx, gy, cap, config.pallas_interpret,
         dummy_slack, config.compact_capacity, config.expand_chunk,
         config.expand_batch, prebuilt=(dtable, cum, total_f),

@@ -265,7 +265,8 @@ def rasterize_stats(means3d, scales, rotations, opacities, camera,
                   prep.len1, prep.len2,
                   prep.ca, prep.cb, prep.cc,
                   opacities, colors[:, 0], colors[:, 1], colors[:, 2]]
-        packed, seg_start, num_pairs, overflow, cap3 = binning.bin_fused_ps1(
+        (packed, seg_start, num_pairs, overflow, cap3,
+         _cand) = binning.bin_fused_ps1(
             t1cols, prep.valid, prep.depth, gx, gy, cap,
             config.pallas_interpret, config.dummy_slack,
             config.compact_capacity, config.expand_chunk,

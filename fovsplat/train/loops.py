@@ -133,9 +133,9 @@ def make_photometric_step(cfg: LoopConfig, use_scale_decay: bool = False):
                 term = scale_max * (gs_count - 4) * (gs_count > 4) * state.live
                 n_live = jnp.maximum(jnp.sum(state.live), 1)
                 loss = loss + scale_weight * jnp.sum(term) / n_live
-            return loss, out["binned"].overflow
+            return loss, (out["binned"].overflow, out["binned"].num_pairs)
 
-        (loss, overflow), grads = jax.value_and_grad(
+        (loss, (overflow, num_pairs)), grads = jax.value_and_grad(
             objective, has_aux=True)(state.params)
         grads, n_bad = _mask_dead_grads(grads, state.live)
         lrs = optim.learning_rates(state.params, it, cfg.optim,
@@ -143,7 +143,8 @@ def make_photometric_step(cfg: LoopConfig, use_scale_decay: bool = False):
         params, opt = optim.apply_updates(state.params, grads, state.opt,
                                           lrs, cfg.optim)
         return (dataclasses.replace(state, params=params, opt=opt),
-                {"loss": loss, "overflow": overflow, "nonfinite": n_bad})
+                {"loss": loss, "overflow": overflow, "nonfinite": n_bad,
+                 "num_pairs": num_pairs})
 
     return jax.jit(step)
 
@@ -298,7 +299,15 @@ def prune_training(state: S.TrainerState, train_views, test_views,
                    metric: str = "max_comp_efficiency",
                    start_iter: int = 0, log: Callable = print, seed: int = 0,
                    final_prune_rounds: int = 5, eval_views_cap: int = 25):
-    """Efficiency-aware pruning (prune.py training(), SURVEY.md §3.2)."""
+    """Efficiency-aware pruning (prune.py training(), SURVEY.md §3.2).
+
+    Round-4 change vs the reference's 5-prunes-at-once events
+    (prune.py:292-299): each 2% prune inside an event is individually
+    re-gated and the LAST PASSING state kept. The reference's 50k-iter
+    budget lets a 10% cut adapt before the next 1000-iter gate; at
+    reduced budgets (on-chip pipeline) the all-or-nothing event either
+    over-pruned (full rollback, losing the event) or under-pruned — the
+    round-3 ladder's PS7 layer was a literal no-op because of this."""
     step_fn = make_photometric_step(cfg, use_scale_decay=use_scale_decay)
     eval_view, _ = make_eval_fns(cfg)
     score_view = make_score_fn(cfg, metric)
@@ -308,9 +317,16 @@ def prune_training(state: S.TrainerState, train_views, test_views,
                         max_views=eval_views_cap)
 
     def do_metric_prunes(st, times):
+        """Prune up to `times` x prune_ratio, re-gating after EACH cut;
+        returns the last state that still passed both gates."""
         for _ in range(times):
             scores = metric_prune_scores(st, train_views, score_view)
-            st = S.metric_prune(st, scores, prune_ratio)
+            cand = S.metric_prune(st, scores, prune_ratio)
+            c_ssim, c_psnr = run_eval(cand)
+            if c_ssim >= target_ssim and c_psnr >= target_psnr:
+                st = cand
+            else:
+                break
         return st
 
     rng = random.Random(seed)
@@ -355,22 +371,40 @@ def prune_training(state: S.TrainerState, train_views, test_views,
                 log(f"[prune] it={it} FAIL gates, skip pruning")
 
         if rel == pruning_iters:
-            # Final gate: roll back to current-best if below target, then up
-            # to `final_prune_rounds` more prunes each re-tested
-            # (prune.py:326-356).
+            # Final gate: roll back to current-best if below target
+            # (prune.py:326-356), then keep pruning UNTIL THE GATE BINDS
+            # — alternate (prune 2%, re-gate, short adapt window) up to
+            # final_prune_rounds. The round-3 run stopped at the
+            # iteration budget with gates passed by a mile (ssim 0.965
+            # vs target 0.870, -4% points); the capability claim is
+            # compression to the target, not to the clock.
             t_ssim, t_psnr = run_eval(state)
             if (t_ssim < target_ssim or t_psnr < target_psnr) and best is not None:
                 log(f"[prune] it={it} below target, rollback to best")
                 state = restore(best)
+            adapt_iters = max(prune_interval // 10, 25)
             for _ in range(final_prune_rounds):
-                cand = do_metric_prunes(state, 1)
+                scores = metric_prune_scores(state, train_views, score_view)
+                cand = S.metric_prune(state, scores, prune_ratio)
+                for ai in range(adapt_iters):
+                    if not stack:
+                        stack = list(train_views)
+                        rng.shuffle(stack)
+                    va = stack.pop()
+                    cand, aux = step_fn(cand, va.camera,
+                                        jnp.asarray(va.image),
+                                        jnp.int32(it + ai),
+                                        jnp.float32(0.0))
+                    watch.push(aux)
                 c_ssim, c_psnr = run_eval(cand)
                 if c_ssim >= target_ssim and c_psnr >= target_psnr:
                     state = cand
                     log(f"[prune] final prune kept: live="
-                        f"{int(state.live_count())}")
+                        f"{int(state.live_count())} ssim={c_ssim:.4f} "
+                        f"psnr={c_psnr:.2f}")
                 else:
-                    log("[prune] final prune rejected")
+                    log(f"[prune] final prune rejected (ssim={c_ssim:.4f} "
+                        f"psnr={c_psnr:.2f}) — gate binds")
                     break
 
     watch.flush()
@@ -420,12 +454,25 @@ def mask_training(state: S.TrainerState, train_views, pooling_size: float,
                 f"target={target_hvs:.3e}")
             if hvs <= target_hvs:
                 best = jax.tree.map(np.asarray, state)
+                # Per-prune re-gating (round-4, see prune_training): each
+                # 2% cut is re-checked against the HVS target and the
+                # last passing state kept — the reference's 10%-at-once
+                # event (metric_mask_learn.py:247-268) relies on a long
+                # adapt window the reduced budget does not have, and a
+                # failed event cost a FULL rollback in round 3.
                 for _ in range(per_prune_times):
                     scores = metric_prune_scores(state, train_views,
                                                  score_view)
-                    state = S.metric_prune(state, scores, prune_ratio)
+                    cand = S.metric_prune(state, scores, prune_ratio)
+                    c_hvs = run_hvs(cand)
+                    if c_hvs <= target_hvs:
+                        state = cand
+                        best = jax.tree.map(np.asarray, state)
+                    else:
+                        break
                 state = S.reset_opacity_max(state, 0.1)
-                log(f"[mask] pruned to {int(state.live_count())}")
+                log(f"[mask] pruned to {int(state.live_count())} "
+                    f"(per-prune gated)")
 
     watch.flush()
     hvs = run_hvs(state)

@@ -91,3 +91,43 @@ def test_tile_sharded_pallas_backend():
     assert int(aux_x["overflow"]) == 0 and int(aux_p["overflow"]) == 0
     np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
                                rtol=0, atol=1.2e-2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tile_sharded_capacity_stress():
+    """Non-toy shape (round-4): 128k clustered proxy Gaussians at 512x384
+    over 8 devices, with a per-destination capacity tight enough that the
+    skewed destination loads (central tiles live on few devices) fill
+    multiple blend chunks per destination. Asserts (a) exact parity with
+    the single-device renderer at a fitting capacity, and (b) that an
+    undersized per-destination capacity is REPORTED via the overflow
+    counter rather than silently dropping pairs."""
+    from fovsplat.data import proxy
+    from fovsplat.parallel import tile_shard
+    n = 131_072
+    sc = proxy.bicycle_proxy(n=n)
+    cam = proxy.proxy_camera(width=512, height=384)
+    mesh = dp.make_mesh(8)
+    args = (jnp.asarray(sc["means"]), jnp.asarray(sc["scales"]),
+            jnp.asarray(sc["rotations"]), jnp.asarray(sc["opacity"]),
+            jnp.asarray(np.clip(
+                0.5 + 0.282095 * sc["shs_dcs"][:, 0, :], 0.0, 1.0)))
+    img, aux = tile_shard.render_tile_sharded(
+        mesh, *args, cam, pair_capacity=1 << 19,
+        per_dest_capacity=40_960, chunk=1024,
+        bg_color=jnp.array([0.1, 0.2, 0.3]))
+    assert int(aux["overflow"]) == 0
+
+    ref = rasterize.rasterize(
+        args[0], args[1], args[2], args[3], cam, colors=args[4],
+        bg_color=jnp.array([0.1, 0.2, 0.3]),
+        config=rasterize.RasterizeConfig(pair_capacity=1 << 19, chunk=4096))
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref["render"]),
+                               rtol=1e-4, atol=1e-4)
+
+    # Undersized per-destination capacity: the all-to-all send buffers
+    # truncate, and the overflow counter must say so.
+    _, aux_small = tile_shard.render_tile_sharded(
+        mesh, *args, cam, pair_capacity=1 << 19,
+        per_dest_capacity=4_096, chunk=1024)
+    assert int(aux_small["overflow"]) > 0
