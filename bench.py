@@ -21,6 +21,7 @@ always lands): SM-FR (naive) FPS, MM-FR FPS, 1080p FPS, full train step
 """
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -109,11 +110,17 @@ def build_fov_render(sc, cam, args, naive=False):
     dcs = jnp.asarray(sc["shs_dcs"])
     if naive:
         # SM-FR (reference N7): one shared color/opacity per Gaussian,
-        # levels only gate participation — broadcast per-level arrays.
-        opac4 = jnp.broadcast_to(opac4[:, :1], opac4.shape)
-        dcs = jnp.broadcast_to(dcs[:, :1, :], dcs.shape)
+        # levels only gate participation. The shared packing uses the
+        # 48-row table layout (25% smaller expansion matmul) — the naive
+        # baseline is structurally cheaper than ours, as in the
+        # reference (871 vs 702 FPS).
+        opac4 = opac4[:, :1]
+        dcs = dcs[:, :1, :]
 
     if args.backend != "pallas":
+        if naive:    # the XLA fallback keeps the 4-level layout
+            opac4 = jnp.broadcast_to(opac4, (opac4.shape[0], 4))
+            dcs = jnp.broadcast_to(dcs, (dcs.shape[0], 4, 3))
         cfg = mkcfg(probe_caps)
         fn = jax.jit(lambda gz, o4, dc: fov.rasterize_fov(
             jnp.asarray(sc["means"]), jnp.asarray(sc["scales"]),
@@ -127,7 +134,8 @@ def build_fov_render(sc, cam, args, naive=False):
     # model once per FPS run too). All big arrays are jit ARGUMENTS —
     # closure captures become inline HLO constants and blow the remote
     # compile service's request-size limit.
-    model = jax.jit(fov.pack_fov_model)(
+    model = jax.jit(functools.partial(fov.pack_fov_model,
+                                      shared_colors=naive))(
         jnp.asarray(sc["means"]), jnp.asarray(sc["scales"]),
         jnp.asarray(sc["rotations"]), opac4, dcs,
         jnp.asarray(sc["shs_rest"]), jnp.asarray(sc["highest_levels"]))
@@ -293,9 +301,10 @@ def leg_train_step(args):
     # Kept pairs measured 2.99M at this shape (no level cull): bound the
     # compacted buffer so the train sort + CAP-sized backward ops run at
     # ~3.4M lanes instead of 5.36M (overflow asserted 0 below).
+    # Kept measured 2.99M at this shape; 3.15M bound = kept + ~5%.
     cfg = loops.LoopConfig(raster=RasterizeConfig(
         pair_capacity=1 << 22, chunk=4096, backend=args.backend,
-        compact_capacity=3_407_872,
+        compact_capacity=3_145_728,
         pallas_chunk=256, pallas_interpret=args.interpret))
     step = loops.make_photometric_step(cfg)
     st, aux = step(state, cam, gt, jnp.int32(0), jnp.float32(0.0))
@@ -307,10 +316,13 @@ def leg_train_step(args):
     kept = float(aux["num_pairs"])
     reps = 10
     cur = st
+    # Chained dispatch, ONE host read at the end: a per-rep
+    # float(aux['loss']) paid a full ~30 ms tunnel RTT every step and
+    # inflated the recorded step ~15% in rounds 1-3.
     t0 = time.perf_counter()
     for i in range(reps):
         cur, aux = step(cur, cam, gt, jnp.int32(i), jnp.float32(0.0))
-        float(aux["loss"])
+    float(aux["loss"])
     dt = (time.perf_counter() - t0) / reps
     # Backward SOL model (docs/ARCHITECTURE.md "Speed-of-light budget"):
     # useful blend fwd+bwd flops ~= kept_pairs * PIX * ~90 VPU flops at

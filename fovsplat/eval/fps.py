@@ -59,20 +59,36 @@ def make_fov_render(params, composed, config, fov_cfg=None, alpha=0.05,
                     p.features_rest, hl, camera, gaze=gaze, alpha=alpha,
                     blending=blending, config=config, fov_cfg=fov_cfg,
                     live_mask=live)["render"]
-    else:  # naive SM-FR: shared model, per-level arrays broadcast
-        def render(camera, gaze):
-            return fov.rasterize_fov(
-                p.xyz, p.get_scaling(), p.get_rotation(), None,
-                None, p.features_rest, hl, camera, gaze=gaze,
-                alpha=alpha, blending=blending, config=config,
-                fov_cfg=fov_cfg, live_mask=live,
-                colors_override=jnp.broadcast_to(
-                    fov.compute_fov_colors(
-                        p.xyz, p.features_rest,
-                        jnp.repeat(p.features_dc, fov_cfg.fov_num, axis=1),
-                        camera.cam_center)[:, :1, :],
-                    (p.num_points, fov_cfg.fov_num, 3)),
-                opacity_shared=p.get_opacity())["render"]
+    else:  # naive SM-FR: one shared color/opacity, levels only gate
+        if config.backend == "pallas" and config.pallas_fused_expand:
+            # Shared-color SoA packing: 48-row table layout (reference
+            # N7's structural advantage — see pack_fov_model).
+            model = fov.pack_fov_model(
+                p.xyz, p.get_scaling(), p.get_rotation(),
+                p.get_opacity()[:, None], p.features_dc[:, 0:1, :],
+                p.features_rest, jnp.where(live, hl, -1.0),
+                shared_colors=True)
+
+            def render(camera, gaze):
+                return fov.rasterize_fov_soa(
+                    model, camera, gaze=gaze, alpha=alpha,
+                    blending=blending, config=config,
+                    fov_cfg=fov_cfg)["render"]
+        else:
+            def render(camera, gaze):
+                return fov.rasterize_fov(
+                    p.xyz, p.get_scaling(), p.get_rotation(), None,
+                    None, p.features_rest, hl, camera, gaze=gaze,
+                    alpha=alpha, blending=blending, config=config,
+                    fov_cfg=fov_cfg, live_mask=live,
+                    colors_override=jnp.broadcast_to(
+                        fov.compute_fov_colors(
+                            p.xyz, p.features_rest,
+                            jnp.repeat(p.features_dc, fov_cfg.fov_num,
+                                       axis=1),
+                            camera.cam_center)[:, :1, :],
+                        (p.num_points, fov_cfg.fov_num, 3)),
+                    opacity_shared=p.get_opacity())["render"]
 
     return jax.jit(render)
 

@@ -209,7 +209,8 @@ def build_fov_dtable(t1cols, t2cols, valid, depth, cap2, chunk):
 def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
                    cap, camera, fov_cfg, interpret, dummy_slack=None,
                    compact_capacity=None, chunk=256, kbatch=16,
-                   prebuilt=None, n_rows=None, sort_exact=False):
+                   prebuilt=None, n_rows=None, sort_exact=False,
+                   fov_layout=None):
     """Fused-Pallas foveated binning: expansion + OBB + level cull + per-pair
     level selection in one kernel (ops/pallas/expand_fov), then ONE stable
     tile sort whose payloads are the finished kernel SoA rows.
@@ -275,7 +276,8 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
         width=camera.width, height=camera.height,
         real_w=fov_cfg.real_image_width,
         real_h=camera.height / camera.width * fov_cfg.real_image_width,
-        dist=fov_cfg.real_viewing_distance, fov_num=L,
+        dist=fov_cfg.real_viewing_distance, fov_num=fov_layout or L,
+        fov_num_cull=L,
         sqrt_max_ps=fov_cfg.sqrt_max_ps, interpret=interpret)
     cap3 = key.shape[0]
     # Compacted-output overflow: kept pairs beyond the kernel's usable
@@ -635,10 +637,27 @@ class FovModelSoA:
 
 
 def pack_fov_model(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
-                   highest_levels) -> FovModelSoA:
+                   highest_levels, shared_colors: bool = False) -> FovModelSoA:
     """One-time layout conversion (the reference loads its composed model
-    once per FPS run too, render_compose_gazes_fps.py:81-90)."""
+    once per FPS run too, render_compose_gazes_fps.py:81-90).
+
+    shared_colors=True packs the SM-FR (naive, reference N7) layout: ONE
+    DC color and opacity per Gaussian (opacities (N,) or (N, L) col 0;
+    shs_dcs (N, 1, 3) or (N, L, 3) level 0), while highest_levels still
+    drive the full 4-level cull. The table shrinks 64 -> 48 rows, which
+    cuts the expand kernel's expansion-matmul volume 25% — the naive
+    baseline is structurally CHEAPER than ours, as in the reference
+    (871 vs 702 FPS)."""
     n = means3d.shape[0]
+    if shared_colors:
+        opacities = jnp.asarray(opacities)
+        shs_dcs = jnp.asarray(shs_dcs)
+        if opacities.ndim == 2:
+            opacities = opacities[:, :1]
+        else:
+            opacities = opacities[:, None]
+        if shs_dcs.shape[1] != 1:
+            shs_dcs = shs_dcs[:, :1, :]
     # Color/opacity rows are stored bf16: the expand kernel's attribute
     # table quantizes them to bf16/u8 anyway (expand_fov docstring), so
     # the per-frame SH/color reads — the largest per-Gaussian HBM term,
@@ -663,8 +682,10 @@ def pack_fov_model(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
     geo = jnp.concatenate(
         [xyz.T, sc.T, rot.T, hl[None, :],
          jnp.zeros((ptab.GROWS - 11, n), jnp.float32)], axis=0)
+    L = dc_t.shape[1]
     col = jnp.concatenate(
-        [rest_t.reshape(48, n), dc_t.reshape(12, n), opac_t], axis=0)
+        [rest_t.reshape(48, n), dc_t.reshape(3 * L, n), opac_t], axis=0)
+    col = jnp.pad(col, ((0, ptab.CROWS - col.shape[0]), (0, 0)))
     return FovModelSoA(
         xyz=xyz, scales=sc, rotations=rot,
         rest_t=rest_t, dc_t=dc_t, opac_t=opac_t, hl=hl,
@@ -686,6 +707,10 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
     num_tiles = gx * gy
     cap = config.padded_capacity()
     L = fov_cfg.fov_num
+    # Color-layout level count from the packed model: 1 = SM-FR shared
+    # colors (pack_fov_model(shared_colors=True)); the level CULL always
+    # runs at L levels.
+    L_lay = model.dc_t.shape[1]
     hl = model.hl
     n = model.xyz.shape[0]
 
@@ -721,8 +746,9 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
         dtable, cum, total_f, tnum = ptab.build_fov_table_pallas(
             model.geo_t, model.col_t, consts, n=n,
             grid_x=gx, grid_y=gy, width=camera.width, height=camera.height,
-            scale_modifier=config.scale_modifier, fov_num=L,
-            sh_degree=sh_degree, interpret=config.pallas_interpret)
+            scale_modifier=config.scale_modifier, fov_num=L_lay,
+            fov_num_bbox=L, sh_degree=sh_degree,
+            interpret=config.pallas_interpret)
         n_rows = n
         dummy_slack = config.dummy_slack
         if config.compact_table:
@@ -735,7 +761,8 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
             fov_cfg, config.pallas_interpret, dummy_slack,
             config.compact_capacity, config.expand_chunk,
             config.expand_batch, prebuilt=(dtable, cum, total_f),
-            n_rows=n_rows, sort_exact=config.sort_exact_depth)
+            n_rows=n_rows, sort_exact=config.sort_exact_depth,
+            fov_layout=L_lay)
     else:
         pc = projection.preprocess_cols(
             model.xyz, model.scales, model.rotations, camera,
@@ -778,9 +805,13 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
             pc.mx, pc.my, pc.v1x, pc.v1y, pc.v2x, pc.v2y, pc.len1, pc.len2,
             pc.ca, pc.cb, pc.cc, hl,
         ]
-        t2cols = ([model.opac_t[l].astype(jnp.float32) for l in range(L)]
+        # Fallback (non-table-kernel) path keeps the 4-level layout; a
+        # shared-color model (L_lay == 1) just broadcasts its one level.
+        t2cols = ([model.opac_t[min(l, L_lay - 1)].astype(jnp.float32)
+                   for l in range(L)]
                   + [jnp.maximum(
-                      sh.SH_C0 * model.dc_t[c, l].astype(jnp.float32)
+                      sh.SH_C0
+                      * model.dc_t[c, min(l, L_lay - 1)].astype(jnp.float32)
                       + rest_c[c], 0.0)
                      for c in range(3) for l in range(L)])
 

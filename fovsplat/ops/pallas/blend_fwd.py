@@ -873,13 +873,15 @@ def _backward(pair_data, seg_start, seg_end, fin, n_contrib_max,
 
 # --------------------------------------------------------------- public API
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def blend_pallas(pair_data, seg_start, seg_end, grid_x, grid_y, chunk,
-                 power_cutoff, interpret):
+                 power_cutoff, interpret, bwd_chunk=None):
     """Differentiable Pallas blend over a chunk-aligned SoA pair list.
 
     pair_data: (ROW, CAP) f32. Returns (tile_color [T,PIX,3],
-    final_T [T,PIX], n_contrib [T,PIX] i32).
+    final_T [T,PIX], n_contrib [T,PIX] i32). bwd_chunk overrides the
+    backward walk's chunk (measured fastest at 128 vs the forward's
+    256 at bench scale — scripts/probe_bwd_variants.py).
     """
     out, nc = _forward(pair_data, seg_start, seg_end, grid_x, grid_y, chunk,
                        power_cutoff, interpret)
@@ -887,14 +889,15 @@ def blend_pallas(pair_data, seg_start, seg_end, grid_x, grid_y, chunk,
 
 
 def _blend_pallas_fwd(pair_data, seg_start, seg_end, grid_x, grid_y, chunk,
-                      power_cutoff, interpret):
+                      power_cutoff, interpret, bwd_chunk=None):
     out, nc = _forward(pair_data, seg_start, seg_end, grid_x, grid_y, chunk,
                        power_cutoff, interpret)
     res = (pair_data, seg_start, seg_end, out[:, :, 3], nc[:, :, 0])
     return (out[:, :, 0:3], out[:, :, 3], nc[:, :, 0]), res
 
 
-def _blend_pallas_bwd(grid_x, grid_y, chunk, power_cutoff, interpret, res, g):
+def _blend_pallas_bwd(grid_x, grid_y, chunk, power_cutoff, interpret,
+                      bwd_chunk, res, g):
     pair_data, seg_start, seg_end, final_T, n_contrib = res
     g_color, g_T, _ = g
     num_tiles = grid_x * grid_y
@@ -905,7 +908,8 @@ def _blend_pallas_bwd(grid_x, grid_y, chunk, power_cutoff, interpret, res, g):
     fin = fin.at[:, :, 5].set(n_contrib.astype(jnp.float32))
     nc_max = jnp.max(n_contrib, axis=1)
     grads = _backward(pair_data, seg_start, seg_end, fin, nc_max,
-                      grid_x, grid_y, chunk, power_cutoff, interpret)
+                      grid_x, grid_y, bwd_chunk or chunk, power_cutoff,
+                      interpret)
     return grads, None, None
 
 

@@ -90,7 +90,12 @@ def _split2(x):
 def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, tnum_ref, carry,
             *, chunk: int, n: int, grid_x: int, grid_y: int,
             width: int, height: int, scale_modifier: float,
-            fov_num: int, sh_degree: int, mode: str = "fov"):
+            fov_num: int, fov_num_bbox: int, sh_degree: int,
+            mode: str = "fov"):
+    # fov_num is the COLOR/OPACITY LAYOUT level count; fov_num_bbox the
+    # level count of the clip-bbox consts + hl clamp (the SM-FR shared
+    # layout uses fov_num=1 with fov_num_bbox=4: one color/opacity per
+    # Gaussian, full 4-level culling — reference N7).
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -201,17 +206,18 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, tnum_ref, carry,
     lane = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     if mode == "fov":
         hl = g(10)
-        hli = jnp.clip(hl.astype(jnp.int32), 0, fov_num - 1)
+        nb = fov_num_bbox
+        hli = jnp.clip(hl.astype(jnp.int32), 0, nb - 1)
         bx0 = k(_C_BBOX + 0)
-        by0 = k(_C_BBOX + fov_num)
-        bx1 = k(_C_BBOX + 2 * fov_num)
-        by1 = k(_C_BBOX + 3 * fov_num)
-        for h in range(1, fov_num):
+        by0 = k(_C_BBOX + nb)
+        bx1 = k(_C_BBOX + 2 * nb)
+        by1 = k(_C_BBOX + 3 * nb)
+        for h in range(1, nb):
             m = hli == h
             bx0 = jnp.where(m, k(_C_BBOX + h), bx0)
-            by0 = jnp.where(m, k(_C_BBOX + fov_num + h), by0)
-            bx1 = jnp.where(m, k(_C_BBOX + 2 * fov_num + h), bx1)
-            by1 = jnp.where(m, k(_C_BBOX + 3 * fov_num + h), by1)
+            by0 = jnp.where(m, k(_C_BBOX + nb + h), by0)
+            bx1 = jnp.where(m, k(_C_BBOX + 2 * nb + h), bx1)
+            by1 = jnp.where(m, k(_C_BBOX + 3 * nb + h), by1)
         rx0 = jnp.maximum(rx0, bx0.astype(jnp.int32))
         ry0 = jnp.maximum(ry0, by0.astype(jnp.int32))
         rx1 = jnp.minimum(rx1, bx1.astype(jnp.int32))
@@ -313,7 +319,7 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, tnum_ref, carry,
     rest_c = [rest_eval(ch) for ch in range(3)]
     if mode == "fov":
         dc0 = 48
-        op0 = 60
+        op0 = dc0 + 3 * fov_num
         ops_lv = [col_ref[op0 + l:op0 + l + 1, :].astype(jnp.float32)
                   for l in range(fov_num)]
         cols_lv = [jnp.maximum(
@@ -363,19 +369,20 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, tnum_ref, carry,
                  *_split3(depth),
                  *_split3(lane.astype(jnp.float32))]
     out = jnp.concatenate(rows, axis=0).astype(jnp.bfloat16)
+    trows = dt_ref.shape[0]
     dt_ref[...] = jnp.concatenate(
-        [out, jnp.zeros((TROWS - out.shape[0], chunk), jnp.bfloat16)],
+        [out, jnp.zeros((trows - out.shape[0], chunk), jnp.bfloat16)],
         axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "chunk", "grid_x", "grid_y", "width", "height", "scale_modifier",
-    "fov_num", "sh_degree", "interpret", "mode"))
+    "fov_num", "fov_num_bbox", "sh_degree", "interpret", "mode"))
 def build_fov_table_pallas(geo_t, col_t, consts, *, n, chunk=4096,
                            grid_x, grid_y, width, height,
                            scale_modifier=1.0,
-                           fov_num=4, sh_degree=3, interpret=False,
-                           mode="fov"):
+                           fov_num=4, fov_num_bbox=None, sh_degree=3,
+                           interpret=False, mode="fov"):
     """geo_t (16, N_pad) f32, col_t (64, N_pad) bf16 (N_pad a multiple of
     `chunk`), consts (1, 128) f32 (see module docstring).
 
@@ -390,18 +397,23 @@ def build_fov_table_pallas(geo_t, col_t, consts, *, n, chunk=4096,
     kernel = functools.partial(
         _kernel, chunk=chunk, n=n, grid_x=grid_x, grid_y=grid_y,
         width=width, height=height,
-        scale_modifier=scale_modifier, fov_num=fov_num, sh_degree=sh_degree,
+        scale_modifier=scale_modifier, fov_num=fov_num,
+        fov_num_bbox=fov_num_bbox or fov_num, sh_degree=sh_degree,
         mode=mode)
+    # Shared-color (SM-FR) fov tables use 38 rows -> a 48-row table
+    # (16-aligned for bf16 tiling); the smaller M feeds straight into a
+    # 25%-smaller expansion matmul in expand_fov.
+    trows = TROWS if mode != "fov" or fov_num >= 2 else 48
     dtable, cum, tnum = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec((GROWS, chunk), lambda c: (0, c)),
                   pl.BlockSpec((CROWS, chunk), lambda c: (0, c)),
                   pl.BlockSpec((1, 128), lambda c: (0, 0))],
-        out_specs=[pl.BlockSpec((TROWS, chunk), lambda c: (0, c)),
+        out_specs=[pl.BlockSpec((trows, chunk), lambda c: (0, c)),
                    pl.BlockSpec((1, chunk), lambda c: (0, c)),
                    pl.BlockSpec((1, chunk), lambda c: (0, c))],
-        out_shape=[jax.ShapeDtypeStruct((TROWS, n_pad), jnp.bfloat16),
+        out_shape=[jax.ShapeDtypeStruct((trows, n_pad), jnp.bfloat16),
                    jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
                    jax.ShapeDtypeStruct((1, n_pad), jnp.float32)],
         scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],

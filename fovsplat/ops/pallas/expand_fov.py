@@ -241,7 +241,12 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm, cnt_hbm,
             *, chunk: int, wsize: int, batch: int, grid_x: int,
             num_tiles: int, n_pad: int, cap_out: int,
             width: int, height: int, real_w: float, real_h: float,
-            dist: float, fov_num: int, sqrt_max_ps: float):
+            dist: float, fov_num: int, fov_num_cull: int, drows: int,
+            sqrt_max_ps: float):
+    # fov_num is the table's color/opacity LAYOUT level count; the level
+    # cull always runs at fov_num_cull levels. The SM-FR shared layout
+    # (reference N7) uses fov_num=1 / fov_num_cull=4: a 48-row table
+    # (drows) instead of 64, cutting the expansion matmul volume 25%.
     cb_ = pl.program_id(0)
     total = ints_ref[0]
     out_w = chunk + 128
@@ -360,7 +365,8 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm, cnt_hbm,
 
             lv = _fov_level(tx, ty, gdx, gdy, gdz, alpha, width=width,
                             height=height, real_w=real_w, real_h=real_h,
-                            dist=dist, fov_num=fov_num, sqrt_max_ps=sqrt_max_ps)
+                            dist=dist, fov_num=fov_num_cull,
+                            sqrt_max_ps=sqrt_max_ps)
             hl = w[27:28, :]
             keep = in_range & obb & (lv < hl + 1.0)
 
@@ -413,7 +419,8 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm, cnt_hbm,
                  w[6:9, :],                                  # mx x3
                  w[9:12, :],                                 # my x3
                  w[24:27, :],                                # ca x3
-                 w[48:49, :], w[49:50, :],                   # cb, cc
+                 w[32 + 4 * fov_num:33 + 4 * fov_num, :],    # cb
+                 w[33 + 4 * fov_num:34 + 4 * fov_num, :],    # cc
                  o1, o2, r1c, g1c, b1c, r2c, g2c, b2c],
                 axis=0)                                      # (24, chunk)
             staged = jax.lax.dot_general(
@@ -799,12 +806,12 @@ def expand_ps1_pallas(dtable, cum, gstarts, total,
 
 @functools.partial(jax.jit, static_argnames=(
     "cap", "cap_out", "chunk", "batch", "grid_x", "grid_y", "width",
-    "height", "real_w", "real_h", "dist", "fov_num", "sqrt_max_ps",
-    "interpret"))
+    "height", "real_w", "real_h", "dist", "fov_num", "fov_num_cull",
+    "sqrt_max_ps", "interpret"))
 def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
                       cap_out=None, chunk=512, batch=8, grid_x, grid_y,
                       width, height, real_w, real_h, dist, fov_num,
-                      sqrt_max_ps, interpret=False):
+                      fov_num_cull=None, sqrt_max_ps, interpret=False):
     """dtable (DROWS, N_pad) bf16 split-row table (N_pad multiple of 128,
     >= wsize+1; layout in foveated.build_fov_dtable);
     cum (1, N_pad + 128) f32 exclusive cumsum of tiles_touched in original
@@ -847,7 +854,8 @@ def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
                                memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)],
-        scratch_shapes=[pltpu.VMEM((2, DROWS, wsize), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((2, dtable.shape[0], wsize),
+                                   jnp.bfloat16),
                         pltpu.VMEM((2, 1, wsize + 128), jnp.float32),
                         pltpu.VMEM((2, OROWS, chunk + 128), jnp.float32),
                         pltpu.VMEM((OROWS, 128), jnp.float32),
@@ -862,6 +870,7 @@ def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
         num_tiles=grid_x * grid_y, n_pad=n_pad, cap_out=cap_out,
         width=width, height=height,
         real_w=real_w, real_h=real_h, dist=dist, fov_num=fov_num,
+        fov_num_cull=fov_num_cull or fov_num, drows=dtable.shape[0],
         sqrt_max_ps=sqrt_max_ps)
     out, cnt = pl.pallas_call(
         kernel, grid_spec=grid_spec,

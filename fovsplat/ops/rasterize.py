@@ -38,6 +38,9 @@ class RasterizeConfig:
     scale_modifier: float = 1.0
     backend: str = "xla"              # "xla" | "pallas" (TPU hot path)
     pallas_chunk: int = 256           # pairs per kernel chunk
+    pallas_bwd_chunk: int = 128       # blend-backward chunk (measured
+                                      # fastest at 128; fwd stays 256 —
+                                      # scripts/probe_bwd_variants.py)
     pallas_interpret: bool = False    # interpreter mode (CPU tests)
     pallas_fwd_only: bool = False     # inference: skip segment alignment
                                       # (not differentiable)
@@ -241,7 +244,8 @@ def rasterize(means3d, scales, rotations, opacities, camera,
         if fused_train:
             tile_color, final_T, n_contrib = pk.blend_pallas(
                 packed, seg_start[:-1], seg_start[1:], gx, gy,
-                cfg.pallas_chunk, cfg.power_cutoff, cfg.pallas_interpret)
+                cfg.pallas_chunk, cfg.power_cutoff, cfg.pallas_interpret,
+                cfg.pallas_bwd_chunk)
         elif fused:
             tile_color, final_T, n_contrib = pk.blend_pallas_fwd_only(
                 packed, seg_start[:-1], seg_start[1:], gx, gy,
@@ -282,7 +286,8 @@ def rasterize(means3d, scales, rotations, opacities, camera,
                                    opacities[gid], colors[gid])
             tile_color, final_T, n_contrib = pk.blend_pallas(
                 packed, bn.seg_start[:-1], bn.seg_start[1:], gx, gy,
-                cfg.pallas_chunk, cfg.power_cutoff, cfg.pallas_interpret)
+                cfg.pallas_chunk, cfg.power_cutoff, cfg.pallas_interpret,
+                cfg.pallas_bwd_chunk)
     else:
         gid = jnp.minimum(bn.pair_gauss, means3d.shape[0] - 1)
         tile_color, final_T, n_contrib = blend.blend(

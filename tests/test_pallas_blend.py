@@ -705,3 +705,40 @@ def test_compact_table_near_full_live():
     # Lanes in [live, ceil128(live)+zero-tail) must be zeroed (NaN there
     # would poison the expand one-hot matmul).
     assert np.all(out[:, ((live + 127) // 128) * 128:] == 0.0)
+
+
+def test_naive_shared_layout_matches_broadcast():
+    """SM-FR shared-color SoA packing (pack_fov_model(shared_colors=True),
+    48-row table, fov_num layout 1 / cull 4) must render the same image as
+    the broadcast emulation (per-level arrays all equal) on the 64-row
+    layout — the naive baseline's structural speedup must be
+    output-invariant."""
+    from fovsplat.ops import foveated as fov
+    rng = np.random.default_rng(47)
+    n = 300
+    means, scales, quats, ops_, colors = synthetic_cloud(n=n, seed=47)
+    hl = jnp.asarray(rng.choice(4, size=(n,)), jnp.float32)
+    dc1 = jnp.asarray(rng.normal(0, 0.6, (n, 1, 3)), jnp.float32)
+    op1 = jnp.asarray(rng.uniform(0.2, 0.95, (n, 1)), jnp.float32)
+    rest = jnp.asarray(rng.normal(0, 0.04, (n, 15, 3)), jnp.float32)
+    from tests.utils import make_test_camera
+    cam = make_test_camera(width=96, height=64)
+    cfg = rasterize.RasterizeConfig(pair_capacity=1 << 13, backend="pallas",
+                                    pallas_chunk=128, pallas_interpret=True,
+                                    pallas_fwd_only=True, dummy_slack=8192)
+    args = (means, scales, quats)
+    m_shared = fov.pack_fov_model(*args, op1, dc1, rest, hl,
+                                  shared_colors=True)
+    assert m_shared.col_t.shape[0] == 64      # CROWS padding
+    m_bcast = fov.pack_fov_model(
+        *args, jnp.broadcast_to(op1, (n, 4)),
+        jnp.broadcast_to(dc1, (n, 4, 3)), rest, hl)
+    gaze = jnp.array([0.45, 0.55], jnp.float32)
+    imgs = []
+    for m in (m_shared, m_bcast):
+        out = jax.jit(lambda mm, gz: fov.rasterize_fov_soa(
+            mm, cam, gaze=gz, alpha=0.05, blending=True, config=cfg))(
+            m, gaze)
+        assert int(out["overflow"]) == 0
+        imgs.append(np.asarray(out["render"]))
+    np.testing.assert_allclose(imgs[0], imgs[1], rtol=0, atol=1e-5)
