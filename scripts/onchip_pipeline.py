@@ -6,7 +6,7 @@ metric prunes) -> THREE chained PS-mask layers (ps = 3, 7, 12, each
 starting from the previous layer like run_multi_ecc_masking.py:144-152)
 -> compose -> SM-FR assignment, recording wall-clock + the COMPRESSION
 LADDER (per-layer live counts; the reference's pnum/ours-Q/bicycle.txt
-ladder is 1 : 0.40 : 0.22 : 0.17) into artifacts/onchip_pipeline_r3.json.
+ladder is 1 : 0.40 : 0.22 : 0.17) into artifacts/onchip_pipeline_r4.json.
 The round-2 runs predate the exact-count rank prune (a227b2c): their one
 tied-score event wiped 88-92%% of the model and rolled back to zero
 compression.
@@ -36,10 +36,10 @@ from fovsplat.ops import rasterize as rast
 from fovsplat.ops.rasterize import RasterizeConfig
 from fovsplat.train import compose, loops
 
-N = int(os.environ.get("PIPE_N", 200_000))
-PRUNE_ITERS = int(os.environ.get("PIPE_PRUNE_ITERS", 2000))
-MASK_ITERS = int(os.environ.get("PIPE_MASK_ITERS", 600))
-MASK_RATIO = float(os.environ.get("PIPE_MASK_RATIO", 0.03))
+N = int(os.environ.get("PIPE_N", 400_000))
+PRUNE_ITERS = int(os.environ.get("PIPE_PRUNE_ITERS", 1000))
+MASK_ITERS = int(os.environ.get("PIPE_MASK_ITERS", 400))
+MASK_RATIO = float(os.environ.get("PIPE_MASK_RATIO", 0.035))
 W, H = 512, 384
 INTERP = os.environ.get("PIPE_INTERPRET", "") == "1"   # CPU smoke
 
@@ -112,9 +112,9 @@ def main():
 
     def checkpoint_art():
         os.makedirs("artifacts", exist_ok=True)
-        with open("artifacts/onchip_pipeline_r3.json", "w") as f:
+        with open("artifacts/onchip_pipeline_r4.json", "w") as f:
             json.dump(art, f, indent=1)
-        with open("artifacts/onchip_pipeline_r3.log", "w") as f:
+        with open("artifacts/onchip_pipeline_r4.log", "w") as f:
             f.write("\n".join(logbuf))
 
     def log(msg):
@@ -131,8 +131,8 @@ def main():
     state = loops.prune_training(
         state, train_views, test_views, t_ssim, t_psnr, cfg,
         iters=PRUNE_ITERS, pruning_iters=int(PRUNE_ITERS * 0.9),
-        prune_interval=200, log=log, eval_views_cap=2,
-        final_prune_rounds=2)
+        prune_interval=100, log=log, eval_views_cap=2,
+        final_prune_rounds=8)
     live_after_prune = int(state.live_count())
     s1, p1 = loops.evaluate(state, test_views, eval_view)
     art["stages"]["prune"] = {
@@ -158,12 +158,18 @@ def main():
         masked = loops.mask_training(
             layers[-1], train_views, pooling_size=ps,
             target_hvs=hvs0 * 1.15, cfg=cfg, iters=MASK_ITERS,
-            masking_iters=int(MASK_ITERS * 0.8), prune_interval=120,
-            prune_ratio=MASK_RATIO, log=log, eval_views_cap=2)
+            masking_iters=int(MASK_ITERS * 0.8), prune_interval=80,
+            prune_ratio=MASK_RATIO, per_prune_times=6, log=log,
+            eval_views_cap=2)
         layers.append(masked)
+        hvs_after = float(np.mean([
+            float(hvs_view(masked, v.camera, jnp.asarray(v.image), ps))
+            for v in train_views[:2]]))
         art["stages"][f"mask_ps{int(ps)}"] = {
             "s": round(time.time() - t0, 1), "iters": MASK_ITERS,
-            "live_after": int(masked.live_count()), "hvs0": hvs0}
+            "live_after": int(masked.live_count()), "hvs0": hvs0,
+            "hvs_after": hvs_after,
+            "target": hvs0 * 1.15}
         log(f"mask ps={ps}: {time.time()-t0:.1f}s, live -> "
             f"{int(masked.live_count())}")
 
@@ -184,9 +190,9 @@ def main():
 
     art["total_s"] = round(time.time() - t_all, 1)
     os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/onchip_pipeline_r3.json", "w") as f:
+    with open("artifacts/onchip_pipeline_r4.json", "w") as f:
         json.dump(art, f, indent=1)
-    with open("artifacts/onchip_pipeline_r3.log", "w") as f:
+    with open("artifacts/onchip_pipeline_r4.log", "w") as f:
         f.write("\n".join(logbuf))
     print(json.dumps(art))
 
