@@ -210,7 +210,7 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
                    cap, camera, fov_cfg, interpret, dummy_slack=None,
                    compact_capacity=None, chunk=256, kbatch=16,
                    prebuilt=None, n_rows=None, sort_exact=False,
-                   fov_layout=None):
+                   fov_layout=None, drop_invalid=False):
     """Fused-Pallas foveated binning: expansion + OBB + level cull + per-pair
     level selection in one kernel (ops/pallas/expand_fov), then ONE stable
     tile sort whose payloads are the finished kernel SoA rows.
@@ -269,7 +269,7 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
         camera.height / camera.width * fov_cfg.real_image_width,
         fov_cfg.real_viewing_distance))
 
-    key, dbits, attrs, kept = pex.expand_fov_pallas(
+    key, dbits, attrs, kept, missed = pex.expand_fov_pallas(
         dtable, cum_pad, gstarts, total, gaze_dir,
         jnp.float32(alpha), cap=cap2, cap_out=cap_out,
         chunk=chunk, batch=kbatch, grid_x=gx, grid_y=gy,
@@ -277,13 +277,15 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
         real_w=fov_cfg.real_image_width,
         real_h=camera.height / camera.width * fov_cfg.real_image_width,
         dist=fov_cfg.real_viewing_distance, fov_num=fov_layout or L,
-        fov_num_cull=L,
+        fov_num_cull=L, guard_marker=drop_invalid,
         sqrt_max_ps=fov_cfg.sqrt_max_ps, interpret=interpret)
     cap3 = key.shape[0]
     # Compacted-output overflow: kept pairs beyond the kernel's usable
-    # write region were dropped (reported, never silently reordered).
+    # write region were dropped (reported, never silently reordered);
+    # window-missed pairs (drop_invalid tables) likewise count as
+    # overflow — dropped and reported, never corrupted.
     overflow = overflow + jnp.maximum(
-        kept - (cap3 - (chunk + 128)), 0)
+        kept - (cap3 - (chunk + 128)), 0) + missed
 
     # ONE sort over the COMPACTED pairs: i32 fused (tile | depth-hi) key
     # (+ the exact-depth secondary key when configured — see
@@ -748,7 +750,8 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
             grid_x=gx, grid_y=gy, width=camera.width, height=camera.height,
             scale_modifier=config.scale_modifier, fov_num=L_lay,
             fov_num_bbox=L, sh_degree=sh_degree,
-            interpret=config.pallas_interpret)
+            interpret=config.pallas_interpret,
+            drop_invalid=config.expand_drop_invalid)
         n_rows = n
         dummy_slack = config.dummy_slack
         if config.compact_table:
@@ -762,7 +765,7 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
             config.compact_capacity, config.expand_chunk,
             config.expand_batch, prebuilt=(dtable, cum, total_f),
             n_rows=n_rows, sort_exact=config.sort_exact_depth,
-            fov_layout=L_lay)
+            fov_layout=L_lay, drop_invalid=config.expand_drop_invalid)
     else:
         pc = projection.preprocess_cols(
             model.xyz, model.scales, model.rotations, camera,

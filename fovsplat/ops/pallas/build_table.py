@@ -91,7 +91,7 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, tnum_ref, carry,
             *, chunk: int, n: int, grid_x: int, grid_y: int,
             width: int, height: int, scale_modifier: float,
             fov_num: int, fov_num_bbox: int, sh_degree: int,
-            mode: str = "fov"):
+            mode: str = "fov", drop_invalid: bool = False):
     # fov_num is the COLOR/OPACITY LAYOUT level count; fov_num_bbox the
     # level count of the clip-bbox consts + hl clamp (the SM-FR shared
     # layout uses fov_num=1 with fov_num_bbox=4: one color/opacity per
@@ -241,8 +241,14 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, tnum_ref, carry,
     py = jnp.where(valid, py, 0.0)
     depth = jnp.where(valid, depth, 1.0)
     is_dummy = jnp.logical_not(valid) & (lane < n)
-    tnum_f = jnp.where(valid, tnum.astype(jnp.float32), 0.0) \
-        + jnp.where(is_dummy, 1.0, 0.0)
+    # drop_invalid (fov inference): invalid rows carry NO dummy pair —
+    # the candidate stream shrinks by the invalid count (~22% at bench
+    # scale). The expand window property then holds only statistically;
+    # the expand kernel's marker-row guard (row 31) counts and drops any
+    # window-missed pair instead of corrupting it.
+    tnum_f = jnp.where(valid, tnum.astype(jnp.float32), 0.0)
+    if not drop_invalid:
+        tnum_f = tnum_f + jnp.where(is_dummy, 1.0, 0.0)
     rx0_f = jnp.where(valid, rx0.astype(jnp.float32), 0.0)
     ry0_f = jnp.where(valid, ry0.astype(jnp.float32), 0.0)
     rw_f = jnp.where(valid,
@@ -354,9 +360,12 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, tnum_ref, carry,
             *_split2(len1), *_split2(len2),
             *_split3(ca)]
     if mode == "fov":
-        # build_fov_dtable layout (50 rows).
+        # build_fov_dtable layout (50 rows). Row 31 = window marker: 1.0
+        # on every model row; a pair whose one-hot gathered marker is 0
+        # missed the expand window (only possible with drop_invalid) and
+        # is dropped + counted there.
         rows += [hl_row, *_split3(depth),
-                 jnp.zeros((1, chunk), jnp.float32)]
+                 jnp.where(lane < n, 1.0, 0.0)]
         rows += ops_lv + cols_lv + [cb, cc]
     else:
         # binning.bin_fused_ps1 layout (52 rows): cb/cc/op/r/g/b as x3
@@ -377,12 +386,14 @@ def _kernel(geo_ref, col_ref, consts_ref, dt_ref, cum_ref, tnum_ref, carry,
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "chunk", "grid_x", "grid_y", "width", "height", "scale_modifier",
-    "fov_num", "fov_num_bbox", "sh_degree", "interpret", "mode"))
+    "fov_num", "fov_num_bbox", "sh_degree", "interpret", "mode",
+    "drop_invalid"))
 def build_fov_table_pallas(geo_t, col_t, consts, *, n, chunk=4096,
                            grid_x, grid_y, width, height,
                            scale_modifier=1.0,
                            fov_num=4, fov_num_bbox=None, sh_degree=3,
-                           interpret=False, mode="fov"):
+                           interpret=False, mode="fov",
+                           drop_invalid=False):
     """geo_t (16, N_pad) f32, col_t (64, N_pad) bf16 (N_pad a multiple of
     `chunk`), consts (1, 128) f32 (see module docstring).
 
@@ -399,7 +410,7 @@ def build_fov_table_pallas(geo_t, col_t, consts, *, n, chunk=4096,
         width=width, height=height,
         scale_modifier=scale_modifier, fov_num=fov_num,
         fov_num_bbox=fov_num_bbox or fov_num, sh_degree=sh_degree,
-        mode=mode)
+        mode=mode, drop_invalid=drop_invalid)
     # Shared-color (SM-FR) fov tables use 38 rows -> a 48-row table
     # (16-aligned for bf16 tiling); the smaller M feeds straight into a
     # 25%-smaller expansion matmul in expand_fov.

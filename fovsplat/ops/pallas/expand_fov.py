@@ -242,7 +242,7 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm, cnt_hbm,
             num_tiles: int, n_pad: int, cap_out: int,
             width: int, height: int, real_w: float, real_h: float,
             dist: float, fov_num: int, fov_num_cull: int, drows: int,
-            sqrt_max_ps: float):
+            sqrt_max_ps: float, guard_marker: bool = False):
     # fov_num is the table's color/opacity LAYOUT level count; the level
     # cull always runs at fov_num_cull levels. The SM-FR shared layout
     # (reference N7) uses fov_num=1 / fov_num_cull=4: a 48-row table
@@ -253,7 +253,8 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm, cnt_hbm,
 
     @pl.when(cb_ == 0)
     def _():
-        kcum[0] = 0
+        kcum[0] = 0          # kept count
+        kcum[1] = 0          # window-missed pairs (guard_marker mode)
     # (1,1) vector constants — broadcast in arithmetic, no scalar extraction.
     gdx = consts_ref[0:1, 0:1]
     gdy = consts_ref[0:1, 1:2]
@@ -369,6 +370,16 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm, cnt_hbm,
                             sqrt_max_ps=sqrt_max_ps)
             hl = w[27:28, :]
             keep = in_range & obb & (lv < hl + 1.0)
+            if guard_marker:
+                # Window-miss guard (drop_invalid tables): a pair whose
+                # true row fell outside [w0, w0+wsize) gathered all-zero
+                # rows — marker row 31 is 1.0 on every real row, so a
+                # gathered 0 identifies the miss. Dropped and COUNTED
+                # (reported as overflow), never silently corrupted.
+                hit = w[31:32, :] > 0.5
+                kcum[1] = kcum[1] + jnp.sum(
+                    (in_range & jnp.logical_not(hit)).astype(jnp.int32))
+                keep = keep & hit
 
             p1 = lv.astype(jnp.int32)
             p2 = jnp.minimum(p1 + 1, fov_num - 1)
@@ -495,7 +506,9 @@ def _kernel(ints_ref, dtable_hbm, cum_hbm, consts_ref, out_hbm, cnt_hbm,
     # exists only to survive the NEXT chunk's overlapping write.)
     @pl.when(cb_ == pl.num_programs(0) - 1)
     def _():
-        cntbuf[...] = jnp.full((1, 128), kcum[0], jnp.int32)
+        cntbuf[...] = jnp.concatenate(
+            [jnp.full((1, 64), kcum[0], jnp.int32),
+             jnp.full((1, 64), kcum[1], jnp.int32)], axis=1)
         cc_dma = pltpu.make_async_copy(cntbuf, cnt_hbm, gsem.at[0])
         cc_dma.start()
         cc_dma.wait()
@@ -807,11 +820,12 @@ def expand_ps1_pallas(dtable, cum, gstarts, total,
 @functools.partial(jax.jit, static_argnames=(
     "cap", "cap_out", "chunk", "batch", "grid_x", "grid_y", "width",
     "height", "real_w", "real_h", "dist", "fov_num", "fov_num_cull",
-    "sqrt_max_ps", "interpret"))
+    "sqrt_max_ps", "interpret", "guard_marker"))
 def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
                       cap_out=None, chunk=512, batch=8, grid_x, grid_y,
                       width, height, real_w, real_h, dist, fov_num,
-                      fov_num_cull=None, sqrt_max_ps, interpret=False):
+                      fov_num_cull=None, sqrt_max_ps, interpret=False,
+                      guard_marker=False):
     """dtable (DROWS, N_pad) bf16 split-row table (N_pad multiple of 128,
     >= wsize+1; layout in foveated.build_fov_dtable);
     cum (1, N_pad + 128) f32 exclusive cumsum of tiles_touched in original
@@ -860,7 +874,7 @@ def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
                         pltpu.VMEM((2, OROWS, chunk + 128), jnp.float32),
                         pltpu.VMEM((OROWS, 128), jnp.float32),
                         pltpu.VMEM((1, 128), jnp.int32),
-                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((2,), jnp.int32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,))],
@@ -871,7 +885,7 @@ def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
         width=width, height=height,
         real_w=real_w, real_h=real_h, dist=dist, fov_num=fov_num,
         fov_num_cull=fov_num_cull or fov_num, drows=dtable.shape[0],
-        sqrt_max_ps=sqrt_max_ps)
+        sqrt_max_ps=sqrt_max_ps, guard_marker=guard_marker)
     out, cnt = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((OROWS, cap_out), jnp.float32),
@@ -880,9 +894,10 @@ def expand_fov_pallas(dtable, cum, gstarts, total, gaze_dir, alpha, *, cap,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ints, dtable, cum, consts)
     kept = cnt[0, 0]
+    missed = cnt[0, 64]    # window-missed (dropped) pairs, guard mode
     # Lanes past the kept count (and past the clamped write region when
     # kept overflows cap_out) hold stale garbage — sentinel-mask the key.
     num_tiles = grid_x * grid_y
     usable = jnp.minimum(kept, cap_out - (chunk + 128))
     key, dbits = fused_key32(out[0], out[1], usable, num_tiles)
-    return key, dbits, out[2:8], kept
+    return key, dbits, out[2:8], kept, missed

@@ -47,6 +47,13 @@ class RasterizeConfig:
     pallas_fused_expand: bool = True  # foveated path: fused Pallas
                                       # expansion/cull/derive kernel
                                       # (ops/pallas/expand_fov)
+    expand_drop_invalid: bool = True  # fov SoA path: invalid rows carry
+                                      # NO dummy pair (the candidate
+                                      # stream shrinks ~22%); window-
+                                      # missed pairs are counted into
+                                      # overflow (never silent). Off =
+                                      # the guaranteed-window dummy
+                                      # scheme.
     sort_exact_depth: bool = False    # fused paths: add the full f32
                                       # depth bits as a second i32 sort
                                       # key (exact blend order, ~+8% sort

@@ -209,7 +209,7 @@ expand = jax.jit(lambda d, c, g, t: pex.expand_fov_pallas(
     real_h=cam.height / cam.width * fov_cfg.real_image_width,
     dist=fov_cfg.real_viewing_distance, fov_num=L,
     sqrt_max_ps=fov_cfg.sqrt_max_ps, interpret=_args.interpret))
-key, dbits, attrs, kept = timeit(expand, dtable, cum_pad, gstarts, total,
+key, dbits, attrs, kept, _missed = timeit(expand, dtable, cum_pad, gstarts, total,
                                  reps=10, label="expand kernel (compacting)")
 print("kept pairs (post OBB/level cull):", int(jax.device_get(kept)),
       "cap_out:", key.shape[0], flush=True)

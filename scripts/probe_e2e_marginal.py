@@ -96,7 +96,7 @@ def expand_part(mdl, gz):
         gz[0], gz[1], fov_cfg.real_image_width,
         cam.height / cam.width * fov_cfg.real_image_width,
         fov_cfg.real_viewing_distance))
-    key, dbits, attrs, kept = pex.expand_fov_pallas(
+    key, dbits, attrs, kept, _missed = pex.expand_fov_pallas(
         dtable, cum_pad, gstarts, total, gaze_dir, jnp.float32(alpha),
         cap=cap2, cap_out=compact_capacity, chunk=kchunk, batch=kbatch,
         grid_x=gx, grid_y=gy, width=cam.width, height=cam.height,

@@ -125,13 +125,13 @@ for spec in [x for x in args.expand.split(",") if x]:
                      sqrt_max_ps=fov_cfg.sqrt_max_ps))
     out = timeit(fn, dtable, cum_pad, gstarts, total,
                  label=f"expand chunk={chunk} batch={batch}")
-    kept_out[spec] = int(jax.device_get(out[2]))
+    kept_out[spec] = int(jax.device_get(out[3]))
     print(f"  kept={kept_out[spec]}", flush=True)
 
 # --------------------------- blend sweep ----------------------------------
 chunk0, batch0 = 512, 16
 cap2, cum_pad, total, gstarts = expand_inputs(chunk0, batch0)
-key, dbits, attrs, kept = jax.jit(lambda d, c, g, t: pex.expand_fov_pallas(
+key, dbits, attrs, kept, _missed = jax.jit(lambda d, c, g, t: pex.expand_fov_pallas(
     d, c, g, t, gaze_dir, jnp.float32(alpha), cap=cap2, cap_out=cap_out,
     chunk=chunk0, batch=batch0, grid_x=gx, grid_y=gy, width=cam.width,
     height=cam.height, real_w=fov_cfg.real_image_width,

@@ -132,7 +132,7 @@ for spec in _args.variants.split(","):
         dist=fov_cfg.real_viewing_distance, fov_num=L,
         sqrt_max_ps=fov_cfg.sqrt_max_ps))
     try:
-        key, dbits, attrs, kept = expand(dtable, cum_pad, gstarts, total)
+        key, dbits, attrs, kept, _missed = expand(dtable, cum_pad, gstarts, total)
         force(key)
     except Exception as e:
         print(f"{spec}: FAILED {type(e).__name__}: {str(e)[:300]}",
@@ -140,7 +140,7 @@ for spec in _args.variants.split(","):
         continue
     t0 = time.perf_counter()
     for _ in range(_args.reps):
-        key, dbits, attrs, kept = expand(dtable, cum_pad, gstarts, total)
+        key, dbits, attrs, kept, _missed = expand(dtable, cum_pad, gstarts, total)
     force(key)
     dt = (time.perf_counter() - t0) / _args.reps * 1e3
     print(f"{spec}: {dt:.2f} ms  kept={int(jax.device_get(kept))}",

@@ -742,3 +742,42 @@ def test_naive_shared_layout_matches_broadcast():
         assert int(out["overflow"]) == 0
         imgs.append(np.asarray(out["render"]))
     np.testing.assert_allclose(imgs[0], imgs[1], rtol=0, atol=1e-5)
+
+
+def test_fov_soa_drop_invalid_invariant():
+    """expand_drop_invalid=True (no dummy pairs for invalid rows; window
+    marker guard) must render identically to the dummy scheme, with a
+    zero window-miss count, on a cloud with plenty of invalid rows
+    (dead hl=-1 rows + off-frustum Gaussians)."""
+    from fovsplat.ops import foveated as fov
+    rng = np.random.default_rng(53)
+    n = 400
+    means, scales, quats, ops_, colors = synthetic_cloud(n=n, seed=53)
+    means = np.asarray(means).copy()
+    means[150:210] += 40.0              # off-frustum -> invalid rows
+    hl = rng.choice(4, size=(n,)).astype(np.float32)
+    hl[300:350] = -1.0                  # dead rows (live-mask fold)
+    dcs = rng.normal(0, 0.6, (n, 4, 3)).astype(np.float32)
+    op4 = rng.uniform(0.2, 0.95, (n, 4)).astype(np.float32)
+    rest = rng.normal(0, 0.04, (n, 15, 3)).astype(np.float32)
+    from tests.utils import make_test_camera
+    cam = make_test_camera(width=96, height=64)
+    model = fov.pack_fov_model(jnp.asarray(means), scales, quats,
+                               jnp.asarray(op4), jnp.asarray(dcs),
+                               jnp.asarray(rest), jnp.asarray(hl))
+    base = dict(pair_capacity=1 << 13, backend="pallas", pallas_chunk=128,
+                pallas_interpret=True, pallas_fwd_only=True,
+                dummy_slack=8192)
+    outs = []
+    for flag in (False, True):
+        cfg = rasterize.RasterizeConfig(**base, expand_drop_invalid=flag)
+        out = jax.jit(lambda m, gz, c=cfg: fov.rasterize_fov_soa(
+            m, cam, gaze=gz, alpha=0.05, blending=True, config=c))(
+            model, jnp.array([0.5, 0.5], jnp.float32))
+        assert int(out["overflow"]) == 0     # no window misses
+        outs.append(out)
+    assert int(outs[1]["num_pairs"]) == int(outs[0]["num_pairs"])
+    assert int(outs[1]["candidates"]) < int(outs[0]["candidates"])
+    np.testing.assert_allclose(np.asarray(outs[1]["render"]),
+                               np.asarray(outs[0]["render"]),
+                               rtol=0, atol=1e-6)
