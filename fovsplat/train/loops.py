@@ -190,7 +190,11 @@ def make_eval_fns(cfg: LoopConfig):
     def eval_view(state, camera, gt):
         out = render_state(state, camera, cfg)
         img = jnp.clip(out["render"], 0.0, 1.0)
-        return {"ssim": losses.ssim(img, gt), "psnr": losses.psnr(img, gt)}
+        # robust=True: the raw SSIM formula can explode >1 on near-flat
+        # anticorrelated regions (f32 cancellation, see losses.ssim) —
+        # a quality GATE must be bounded or a degenerate render passes.
+        return {"ssim": losses.ssim(img, gt, robust=True),
+                "psnr": losses.psnr(img, gt)}
 
     # pooling_size is shape-determining (downsample sizes) -> static.
     @functools.partial(jax.jit, static_argnums=(3,))

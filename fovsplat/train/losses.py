@@ -53,10 +53,19 @@ def _depthwise_conv(img, g):
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
 
 
-@functools.partial(jax.jit, static_argnames=("size",))
-def ssim(a, b, size: int = 11, sigma: float = 1.5):
+@functools.partial(jax.jit, static_argnames=("size", "robust"))
+def ssim(a, b, size: int = 11, sigma: float = 1.5, robust: bool = False):
     """Mean SSIM, matching loss_utils.py:36-76 (per-channel window, same
-    padding)."""
+    padding).
+
+    robust=True clamps the variance estimates at 0 and the covariance by
+    Cauchy-Schwarz, bounding per-pixel SSIM to [-1, 1]. The raw formula
+    (the reference's, kept as the TRAINING default for parity) computes
+    sigma^2 as blur(x^2) - mu^2, whose f32 cancellation in near-flat
+    anticorrelated regions can flip BOTH the covariance term and the
+    variance denominator negative — per-pixel SSIM then explodes
+    positive (observed: a pruned 400k model evaluating at "1.14"
+    against a 0.95 gate). Quality GATES must use robust=True."""
     if a.ndim == 3:
         a = a[None]
         b = b[None]
@@ -67,6 +76,11 @@ def ssim(a, b, size: int = 11, sigma: float = 1.5):
     s1 = _depthwise_conv(a * a, w) - mu1_sq
     s2 = _depthwise_conv(b * b, w) - mu2_sq
     s12 = _depthwise_conv(a * b, w) - mu12
+    if robust:
+        s1 = jnp.maximum(s1, 0.0)
+        s2 = jnp.maximum(s2, 0.0)
+        lim = jnp.sqrt(s1 * s2)
+        s12 = jnp.clip(s12, -lim, lim)
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     m = ((2 * mu12 + c1) * (2 * s12 + c2)) / ((mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
     return jnp.mean(m)
