@@ -95,17 +95,18 @@ def build_fov_render(sc, cam, args, naive=False):
     from fovsplat.ops.rasterize import RasterizeConfig
 
     def mkcfg(caps):
-        cand_cap, kept_cap = caps
+        cand_cap, kept_cap, drop = caps
         return RasterizeConfig(
             pair_capacity=cand_cap, backend=args.backend,
             pallas_fwd_only=True, pallas_interpret=args.interpret,
             pallas_chunk=args.blend_chunk,
             pallas_blend_batch=args.blend_batch,
             expand_chunk=args.expand_chunk, expand_batch=args.expand_batch,
-            dummy_slack=0, compact_capacity=kept_cap)
+            dummy_slack=0, compact_capacity=kept_cap,
+            expand_drop_invalid=drop)
 
     probe_caps = (args.pair_capacity + args.dummy_slack,
-                  args.compact_capacity)
+                  args.compact_capacity, False)
     opac4 = jnp.asarray(sc["opacities4"])
     dcs = jnp.asarray(sc["shs_dcs"])
     if naive:
@@ -179,11 +180,27 @@ def leg_fov(sc, cam, args, tag, naive=False):
             ovf = int(_force(out["overflow"] * 1.0))
             assert ovf == 0, (gz, "probe-capacity overflow — raise "
                               "--pair-capacity/--compact-capacity")
-            caps = (min(_round_up(cand, GRAN_CAND), probe_caps[0]),
-                    min(_round_up(kept, GRAN_KEPT), probe_caps[1]))
-            o2 = diag(g, caps)
-            if int(_force(o2["overflow"] * 1.0)) != 0:
-                caps = probe_caps        # never time an overflowing shape
+            kb = min(_round_up(kept, GRAN_KEPT), probe_caps[1])
+            # Prefer dummy-free expansion (the candidate stream drops
+            # the ~n_invalid dummy pairs, ~2.7 ms/frame): verify the
+            # window-miss counter (reported via overflow) is 0 on the
+            # real frame; sparse (corner-gaze) streams exceed the fixed
+            # expand window and fall back to the dummy scheme.
+            caps = None
+            od = diag(g, (probe_caps[0], kb, True))
+            if int(_force(od["overflow"] * 1.0)) == 0:
+                cand_d = int(_force(od["candidates"] * 1.0))
+                cd = (min(_round_up(cand_d, GRAN_CAND), probe_caps[0]),
+                      kb, True)
+                o2 = diag(g, cd)
+                if int(_force(o2["overflow"] * 1.0)) == 0:
+                    caps = cd
+            if caps is None:
+                caps = (min(_round_up(cand, GRAN_CAND), probe_caps[0]),
+                        kb, False)
+                o2 = diag(g, caps)
+                if int(_force(o2["overflow"] * 1.0)) != 0:
+                    caps = probe_caps    # never time an overflowing shape
             gaze_caps[gz] = caps
             print(f"# {tag}: gaze={gz} kept={kept} cand={cand} "
                   f"caps={caps}", file=sys.stderr)
@@ -420,6 +437,16 @@ def main():
     else:
         sc = proxy.bicycle_proxy(n=args.n)
         src = "bicycle proxy"
+    # One-time random row permutation (order is an implementation detail
+    # of the model file): culled/invalid rows cluster in natural model
+    # order (components here, densification order in real PLYs), and
+    # scattering them is what lets dense gazes run the dummy-free
+    # expansion with zero window misses.
+    import numpy as _np
+    _perm = _np.random.default_rng(12345).permutation(
+        sc["means"].shape[0])
+    sc = {k: (v[_perm] if getattr(v, "ndim", 0) and
+              len(v) == len(_perm) else v) for k, v in sc.items()}
     cam = proxy.proxy_camera()
 
     # ---------------- headline (run first so a budget overrun can't

@@ -47,13 +47,21 @@ class RasterizeConfig:
     pallas_fused_expand: bool = True  # foveated path: fused Pallas
                                       # expansion/cull/derive kernel
                                       # (ops/pallas/expand_fov)
-    expand_drop_invalid: bool = True  # fov SoA path: invalid rows carry
+    expand_drop_invalid: bool = False  # fov SoA path: invalid rows carry
                                       # NO dummy pair (the candidate
-                                      # stream shrinks ~22%); window-
-                                      # missed pairs are counted into
-                                      # overflow (never silent). Off =
-                                      # the guaranteed-window dummy
-                                      # scheme.
+                                      # stream shrinks ~22%, worth
+                                      # ~2.7 ms/frame at bench scale);
+                                      # window-missed pairs are counted
+                                      # into overflow (never silent).
+                                      # Requires a pair density the
+                                      # fixed expand window can hold:
+                                      # dense gazes with scattered
+                                      # invalid rows qualify, sparse
+                                      # (corner-gaze) streams do not —
+                                      # callers must verify overflow==0
+                                      # on a probe frame (bench.py does,
+                                      # with fallback to this default
+                                      # dummy scheme).
     sort_exact_depth: bool = False    # fused paths: add the full f32
                                       # depth bits as a second i32 sort
                                       # key (exact blend order, ~+8% sort

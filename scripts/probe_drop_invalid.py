@@ -18,11 +18,17 @@ from fovsplat.ops.rasterize import RasterizeConfig
 n = 1_161_358
 sc = proxy.bicycle_proxy(n=n)
 cam = proxy.proxy_camera(width=1237, height=822)
+# Random row permutation: invalid rows (frustum/level culls) cluster in
+# the model's natural order (proxy components; real PLYs cluster too),
+# which makes a chunk's row span exceed the expand window. A one-time
+# shuffle scatters them uniformly for EVERY view.
+perm = np.random.default_rng(7).permutation(n)
 model = jax.jit(fov.pack_fov_model)(
-    jnp.asarray(sc["means"]), jnp.asarray(sc["scales"]),
-    jnp.asarray(sc["rotations"]), jnp.asarray(sc["opacities4"]),
-    jnp.asarray(sc["shs_dcs"]), jnp.asarray(sc["shs_rest"]),
-    jnp.asarray(sc["highest_levels"]))
+    jnp.asarray(sc["means"][perm]), jnp.asarray(sc["scales"][perm]),
+    jnp.asarray(sc["rotations"][perm]),
+    jnp.asarray(sc["opacities4"][perm]),
+    jnp.asarray(sc["shs_dcs"][perm]), jnp.asarray(sc["shs_rest"][perm]),
+    jnp.asarray(sc["highest_levels"][perm]))
 
 
 def force(x):
