@@ -59,13 +59,13 @@ def ssim(a, b, size: int = 11, sigma: float = 1.5, robust: bool = False):
     padding).
 
     robust=True clamps the variance estimates at 0 and the covariance by
-    Cauchy-Schwarz, bounding per-pixel SSIM to [-1, 1]. The raw formula
-    (the reference's, kept as the TRAINING default for parity) computes
-    sigma^2 as blur(x^2) - mu^2, whose f32 cancellation in near-flat
-    anticorrelated regions can flip BOTH the covariance term and the
-    variance denominator negative — per-pixel SSIM then explodes
-    positive (observed: a pruned 400k model evaluating at "1.14"
-    against a 0.95 gate). Quality GATES must use robust=True."""
+    Cauchy-Schwarz, bounding per-pixel SSIM to [-1, 1] by construction.
+    The raw formula (the reference's, kept as the TRAINING default for
+    parity) computes sigma^2 as blur(x^2) - mu^2; a 400k on-chip
+    pipeline run once evaluated "1.14" against a 0.95 gate through this
+    path (artifacts/onchip_pipeline_r4.json note — not reproduced
+    offline). Quality GATES use robust=True so no numerical corner can
+    inflate a gate."""
     if a.ndim == 3:
         a = a[None]
         b = b[None]
