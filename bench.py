@@ -405,9 +405,12 @@ def main():
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("--interpret", action="store_true")
-    ap.add_argument("--budget-s", type=float, default=1500.0,
+    ap.add_argument("--budget-s", type=float, default=4200.0,
                     help="wall-clock budget for AUX legs; the headline "
-                         "always runs")
+                         "always runs. The per-gaze capacity/drop-mode "
+                         "probes compile ~15 shapes per FPS leg (~25 min "
+                         "cold), so the round-3 1500 s default starved "
+                         "the MM-FR leg on a cold compile cache")
     ap.add_argument("--skip-aux", action="store_true")
     ap.add_argument("--ply", default=None,
                     help="real composed-model PLY replaces the proxy scene")
