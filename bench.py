@@ -484,6 +484,9 @@ def main():
                       "loss0": round(loss0, 4)})
         except Exception as e:
             emit({"metric": "train step", "error": str(e)[:300]})
+        # Keep the LAST stdout line the headline even if the process is
+        # killed mid-aux (the driver parses the final JSON line).
+        emit(headline)
         # ---- on-chip parity ----
         try:
             if budget_left(args):
@@ -494,6 +497,7 @@ def main():
                       "vs_baseline": round(p / 40.0, 3)})
         except Exception as e:
             emit({"metric": "parity", "error": str(e)[:300]})
+        emit(headline)
         # ---- SM-FR (naive) ----
         try:
             if budget_left(args):
@@ -503,6 +507,7 @@ def main():
                       "vs_baseline": round(f_n / BASELINE_NAIVE, 4)})
         except Exception as e:
             emit({"metric": "naive FPS", "error": str(e)[:300]})
+        emit(headline)
         # ---- MM-FR ----
         try:
             if budget_left(args):
