@@ -210,7 +210,7 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
                    cap, camera, fov_cfg, interpret, dummy_slack=None,
                    compact_capacity=None, chunk=256, kbatch=16,
                    prebuilt=None, n_rows=None, sort_exact=False,
-                   fov_layout=None, drop_invalid=False):
+                   fov_layout=None, drop_invalid=False, return_keys=False):
     """Fused-Pallas foveated binning: expansion + OBB + level cull + per-pair
     level selection in one kernel (ops/pallas/expand_fov), then ONE stable
     tile sort whose payloads are the finished kernel SoA rows.
@@ -302,6 +302,13 @@ def _bin_fov_fused(t1cols, t2cols, valid, depth, gaze, alpha, gx, gy,
     seg_start = jnp.searchsorted(
         res[0], pex.seg_bounds32(num_tiles),
         side='left').astype(jnp.int32)
+    if return_keys:
+        # Sharded path (parallel/fov_shard): the sorted (key, dbits) rows
+        # ship with the pair rows so tile owners can re-establish the
+        # exact global (tile, depth) order after the all-to-all merge.
+        assert sort_exact, "return_keys requires the exact-depth sort"
+        return (packed, seg_start, seg_start[-1], overflow, cap3, total_f,
+                (res[0], res[1]))
     return packed, seg_start, seg_start[-1], overflow, cap3, total_f
 
 
@@ -695,6 +702,65 @@ def pack_fov_model(means3d, scales, rotations, opacities, shs_dcs, shs_rest,
         col_t=jnp.pad(col, ((0, 0), (0, n_pad - n))))
 
 
+def fov_soa_cols(xyz, scales, rotations, rest_t, dc_t, opac_t, hl, camera,
+                 bb, L: int, L_lay: int, sh_degree: int,
+                 scale_modifier: float = 1.0):
+    """XLA column stage of the SoA foveated pipeline (the non-table-kernel
+    route): per-Gaussian preprocess + level-rect clip + per-level
+    color/opacity columns. Shared by rasterize_fov_soa and the
+    Gaussian-sharded renderer (parallel/fov_shard) — the stage is
+    embarrassingly parallel over Gaussians, so each shard runs it on its
+    own rows. Returns (t1cols, t2cols, valid, depth)."""
+    pc = projection.preprocess_cols(xyz, scales, rotations, camera,
+                                    scale_modifier=scale_modifier)
+    # Level-rect clip on columns: bbox per level selected by
+    # where-chain over L scalars — no (N, 4) gather.
+    hli = jnp.clip(hl.astype(jnp.int32), 0, L - 1)
+    bx0 = jnp.full_like(hli, bb[0][0])
+    by0 = jnp.full_like(hli, bb[0][1])
+    bx1 = jnp.full_like(hli, bb[0][2])
+    by1 = jnp.full_like(hli, bb[0][3])
+    for h in range(1, L):
+        m = hli == h
+        bx0 = jnp.where(m, bb[h][0], bx0)
+        by0 = jnp.where(m, bb[h][1], by0)
+        bx1 = jnp.where(m, bb[h][2], bx1)
+        by1 = jnp.where(m, bb[h][3], by1)
+    rx0 = jnp.maximum(pc.rx0, bx0)
+    ry0 = jnp.maximum(pc.ry0, by0)
+    rx1 = jnp.minimum(pc.rx1, bx1)
+    ry1 = jnp.minimum(pc.ry1, by1)
+    tnum = (jnp.maximum(rx1 - rx0, 0) * jnp.maximum(ry1 - ry0, 0))
+    # hl < 0 encodes "dead" rows (eval/fps folds the live mask in).
+    valid = pc.valid & (tnum > 0) & (hl >= 0.0)
+    tnum = jnp.where(valid, tnum, 0)
+    rx1 = jnp.maximum(rx1, rx0)
+
+    # Per-level colors as columns: shared SH-rest + per-level DC.
+    dx_ = xyz[:, 0] - camera.cam_center[0]
+    dy_ = xyz[:, 1] - camera.cam_center[1]
+    dz_ = xyz[:, 2] - camera.cam_center[2]
+    inv = jax.lax.rsqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
+    rest_c = sh._eval_sh_nlast(sh_degree, rest_t, dx_ * inv,
+                               dy_ * inv, dz_ * inv) + 0.5    # (3, N)
+
+    t1cols = [
+        rx0.astype(jnp.float32), ry0.astype(jnp.float32),
+        jnp.maximum(rx1 - rx0, 1).astype(jnp.float32),
+        tnum.astype(jnp.float32),
+        pc.mx, pc.my, pc.v1x, pc.v1y, pc.v2x, pc.v2y, pc.len1, pc.len2,
+        pc.ca, pc.cb, pc.cc, hl,
+    ]
+    # A shared-color model (L_lay == 1) just broadcasts its one level.
+    t2cols = ([opac_t[min(l, L_lay - 1)].astype(jnp.float32)
+               for l in range(L)]
+              + [jnp.maximum(
+                  sh.SH_C0 * dc_t[c, min(l, L_lay - 1)].astype(jnp.float32)
+                  + rest_c[c], 0.0)
+                 for c in range(3) for l in range(L)])
+    return t1cols, t2cols, valid, pc.depth
+
+
 def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
                       blending: bool = True, bg_color=None,
                       sh_degree: int = 3,
@@ -767,59 +833,13 @@ def rasterize_fov_soa(model: FovModelSoA, camera, gaze, alpha,
             n_rows=n_rows, sort_exact=config.sort_exact_depth,
             fov_layout=L_lay, drop_invalid=config.expand_drop_invalid)
     else:
-        pc = projection.preprocess_cols(
-            model.xyz, model.scales, model.rotations, camera,
-            scale_modifier=config.scale_modifier)
-        # Level-rect clip on columns: bbox per level selected by
-        # where-chain over L scalars — no (N, 4) gather.
-        hli = jnp.clip(hl.astype(jnp.int32), 0, L - 1)
-        bx0 = jnp.full_like(hli, bb[0][0])
-        by0 = jnp.full_like(hli, bb[0][1])
-        bx1 = jnp.full_like(hli, bb[0][2])
-        by1 = jnp.full_like(hli, bb[0][3])
-        for h in range(1, L):
-            m = hli == h
-            bx0 = jnp.where(m, bb[h][0], bx0)
-            by0 = jnp.where(m, bb[h][1], by0)
-            bx1 = jnp.where(m, bb[h][2], bx1)
-            by1 = jnp.where(m, bb[h][3], by1)
-        rx0 = jnp.maximum(pc.rx0, bx0)
-        ry0 = jnp.maximum(pc.ry0, by0)
-        rx1 = jnp.minimum(pc.rx1, bx1)
-        ry1 = jnp.minimum(pc.ry1, by1)
-        tnum = (jnp.maximum(rx1 - rx0, 0) * jnp.maximum(ry1 - ry0, 0))
-        # hl < 0 encodes "dead" rows (eval/fps folds the live mask in).
-        valid = pc.valid & (tnum > 0) & (hl >= 0.0)
-        tnum = jnp.where(valid, tnum, 0)
-        rx1 = jnp.maximum(rx1, rx0)
-
-        # Per-level colors as columns: shared SH-rest + per-level DC.
-        dx_ = model.xyz[:, 0] - camera.cam_center[0]
-        dy_ = model.xyz[:, 1] - camera.cam_center[1]
-        dz_ = model.xyz[:, 2] - camera.cam_center[2]
-        inv = jax.lax.rsqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
-        rest_c = sh._eval_sh_nlast(sh_degree, model.rest_t, dx_ * inv,
-                                   dy_ * inv, dz_ * inv) + 0.5    # (3, N)
-
-        t1cols = [
-            rx0.astype(jnp.float32), ry0.astype(jnp.float32),
-            jnp.maximum(rx1 - rx0, 1).astype(jnp.float32),
-            tnum.astype(jnp.float32),
-            pc.mx, pc.my, pc.v1x, pc.v1y, pc.v2x, pc.v2y, pc.len1, pc.len2,
-            pc.ca, pc.cb, pc.cc, hl,
-        ]
-        # Fallback (non-table-kernel) path keeps the 4-level layout; a
-        # shared-color model (L_lay == 1) just broadcasts its one level.
-        t2cols = ([model.opac_t[min(l, L_lay - 1)].astype(jnp.float32)
-                   for l in range(L)]
-                  + [jnp.maximum(
-                      sh.SH_C0
-                      * model.dc_t[c, min(l, L_lay - 1)].astype(jnp.float32)
-                      + rest_c[c], 0.0)
-                     for c in range(3) for l in range(L)])
+        t1cols, t2cols, valid, depth_c = fov_soa_cols(
+            model.xyz, model.scales, model.rotations, model.rest_t,
+            model.dc_t, model.opac_t, hl, camera, bb, L, L_lay, sh_degree,
+            config.scale_modifier)
 
         packed, seg_start, num_pairs, overflow, _cap2, candidates = _bin_fov_fused(
-            t1cols, t2cols, valid, pc.depth, gaze, alpha, gx, gy, cap,
+            t1cols, t2cols, valid, depth_c, gaze, alpha, gx, gy, cap,
             camera, fov_cfg, config.pallas_interpret, config.dummy_slack,
             config.compact_capacity, config.expand_chunk,
             config.expand_batch, sort_exact=config.sort_exact_depth)

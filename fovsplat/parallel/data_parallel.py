@@ -76,10 +76,16 @@ def make_dp_train_step(mesh: Mesh, cfg: trainer.TrainConfig, axis: str = "data")
             return jax.value_and_grad(objective)(params)
 
         b_local = gts.shape[0]
-        losses_g = [one_view(i) for i in range(b_local)]
-        loss = sum(l for l, _ in losses_g) / b_local
-        grads = jax.tree.map(lambda *g: sum(g) / b_local,
-                             *[g for _, g in losses_g])
+        if b_local == 1:
+            loss, grads = one_view(0)
+        else:
+            # lax.map over the local views: ONE traced body regardless of
+            # B_local (a Python loop grew the graph — and compile time —
+            # linearly in the per-device batch).
+            losses_v, grads_v = jax.lax.map(
+                one_view, jnp.arange(b_local, dtype=jnp.int32))
+            loss = jnp.mean(losses_v)
+            grads = jax.tree.map(lambda g: jnp.mean(g, axis=0), grads_v)
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
         lrs = optim.learning_rates(params, step_idx, cfg.optim,

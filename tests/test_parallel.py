@@ -131,3 +131,50 @@ def test_tile_sharded_capacity_stress():
         mesh, *args, cam, pair_capacity=1 << 19,
         per_dest_capacity=4_096, chunk=1024)
     assert int(aux_small["overflow"]) > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_fov_tile_sharded_parity():
+    """The PRODUCTION foveated pipeline (fused expand/cull/compact kernel +
+    exact-depth fused-key sort + dual-transmittance blend kernel) sharded
+    over Gaussians on the 8-device mesh matches the single-device
+    rasterize_fov_soa image. Both paths use identical quantization and the
+    exact 2-key order, so the tolerance is roundoff, not quantization."""
+    from fovsplat.data import proxy
+    from fovsplat.ops import foveated as fov
+    from fovsplat.ops.rasterize import RasterizeConfig
+    from fovsplat.parallel import fov_shard
+
+    n = 4096
+    sc = proxy.bicycle_proxy(n=n)
+    cam = proxy.proxy_camera(width=128, height=96)
+    gaze = jnp.asarray([0.5, 0.5], jnp.float32)
+    model = fov.pack_fov_model(
+        jnp.asarray(sc["means"]), jnp.asarray(sc["scales"]),
+        jnp.asarray(sc["rotations"]), jnp.asarray(sc["opacities4"]),
+        jnp.asarray(sc["shs_dcs"]), jnp.asarray(sc["shs_rest"]),
+        jnp.asarray(sc["highest_levels"]))
+
+    cfg = RasterizeConfig(
+        pair_capacity=1 << 14, backend="pallas", pallas_fwd_only=True,
+        pallas_chunk=128, pallas_interpret=True, sort_exact_depth=True,
+        pallas_table_kernel=False, expand_chunk=128, expand_batch=4)
+    ref = fov.rasterize_fov_soa(model, cam, gaze, 0.05, blending=True,
+                                config=cfg)
+    assert int(ref["overflow"]) == 0
+
+    mesh = dp.make_mesh(8)
+    img, aux = fov_shard.render_fov_tile_sharded(
+        mesh, model, cam, gaze, alpha=0.05, pair_capacity=1 << 14,
+        per_dest_capacity=4096, expand_chunk=128, expand_batch=4,
+        blend_chunk=128, interpret=True)
+    assert int(aux["overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref["render"]),
+                               rtol=0, atol=2e-4)
+
+    # Undersized per-destination capacity must be REPORTED.
+    _, aux_small = fov_shard.render_fov_tile_sharded(
+        mesh, model, cam, gaze, alpha=0.05, pair_capacity=1 << 14,
+        per_dest_capacity=256, expand_chunk=128, expand_batch=4,
+        blend_chunk=128, interpret=True)
+    assert int(aux_small["overflow"]) > 0
