@@ -23,7 +23,9 @@ always lands): SM-FR (naive) FPS, MM-FR FPS, 1080p FPS, full train step
 import argparse
 import functools
 import json
+import os
 import sys
+import threading
 import time
 
 BASELINE_FPS = 702.12     # ours-Q avg
@@ -32,10 +34,29 @@ BASELINE_MMFR = 293.53    # MM-FR avg
 GAZES = [(x, y) for y in (0.2, 0.5, 0.8) for x in (0.2, 0.5, 0.8)]
 
 T_START = time.time()
+HEADLINE = None           # set once the headline leg lands (watchdog re-emits)
 
 
 def budget_left(args):
     return (time.time() - T_START) < args.budget_s
+
+
+def arm_watchdog(deadline_s: float):
+    """Hard exit shortly before the driver's external timeout: re-emit the
+    headline as the final stdout line and leave with rc=0 (the round-4
+    driver record was rc=124 with the aux legs starved — an incomplete
+    bench must still be a *valid* bench). Daemon thread: a hung TPU call
+    cannot block it."""
+    def fire():
+        left = deadline_s - (time.time() - T_START)
+        if left > 0:
+            time.sleep(left)
+        if HEADLINE is not None:
+            print(json.dumps(HEADLINE), flush=True)
+        print("# watchdog: wall budget exhausted, exiting", file=sys.stderr,
+              flush=True)
+        os._exit(0)
+    threading.Thread(target=fire, daemon=True).start()
 
 
 def emit(obj):
@@ -163,15 +184,34 @@ def _round_up(v, gran):
     return (int(v) + gran - 1) // gran * gran
 
 
-def leg_fov(sc, cam, args, tag, naive=False):
+def leg_fov(sc, cam, args, tag, naive=False, caps_hint=None):
+    """caps_hint: gaze->caps map from a sibling leg (ours/naive share the
+    same geometry and cull, so their measured counts match); each hinted
+    shape is still VERIFIED (overflow==0) on the real frame before timing.
+    Returns (fps, per_gaze, gaze_caps)."""
     import jax.numpy as jnp
     render, diag, probe_caps = build_fov_render(sc, cam, args, naive=naive)
     gaze_caps = {}
-    if diag is not None:
-        # Untimed diagnostic frame per gaze at the full probe capacities:
-        # read the exact candidate/kept counts, round each up to its
-        # granule (never above the probe caps), and verify the chosen
-        # shape's overflow counter on the real frame.
+    if diag is not None and caps_hint:
+        for gz in GAZES:
+            caps = caps_hint.get(gz, probe_caps)
+            o = diag(jnp.asarray(gz, jnp.float32), caps)
+            gaze_caps[gz] = caps if int(_force(o["overflow"] * 1.0)) == 0 \
+                else probe_caps
+            print(f"# {tag}: gaze={gz} caps(hint)={gaze_caps[gz]}",
+                  file=sys.stderr)
+    elif diag is not None:
+        # Per-gaze capacity probing with a BOUNDED compile count: one
+        # diag frame per gaze at the full probe capacities (1 compile)
+        # reads the exact candidate/kept counts; ONE extra probe shape
+        # (full caps + dummy-free expansion) decides drop-mode viability
+        # for every gaze (window-miss behavior depends on the pair
+        # stream, not on the capacity bounds — the round-4 scheme
+        # compiled an intermediate (probe, kb, True) shape per distinct
+        # kb for the same information). Final per-gaze caps = measured
+        # counts rounded up to granules, verified overflow==0 on the
+        # real frame before timing.
+        drop_info = {}
         for gz in GAZES:
             g = jnp.asarray(gz, jnp.float32)
             out = diag(g, None)
@@ -180,34 +220,29 @@ def leg_fov(sc, cam, args, tag, naive=False):
             ovf = int(_force(out["overflow"] * 1.0))
             assert ovf == 0, (gz, "probe-capacity overflow — raise "
                               "--pair-capacity/--compact-capacity")
-            kb = min(_round_up(kept, GRAN_KEPT), probe_caps[1])
-            # Prefer dummy-free expansion (the candidate stream drops
-            # the ~n_invalid dummy pairs, ~2.7 ms/frame): verify the
-            # window-miss counter (reported via overflow) is 0 on the
-            # real frame; sparse (corner-gaze) streams exceed the fixed
-            # expand window and fall back to the dummy scheme.
-            caps = None
-            od = diag(g, (probe_caps[0], kb, True))
+            od = diag(g, (probe_caps[0], probe_caps[1], True))
             if int(_force(od["overflow"] * 1.0)) == 0:
-                cand_d = int(_force(od["candidates"] * 1.0))
-                cd = (min(_round_up(cand_d, GRAN_CAND), probe_caps[0]),
-                      kb, True)
-                o2 = diag(g, cd)
-                if int(_force(o2["overflow"] * 1.0)) == 0:
-                    caps = cd
-            if caps is None:
+                drop_info[gz] = int(_force(od["candidates"] * 1.0))
+            gaze_caps[gz] = (kept, cand)
+        for gz in GAZES:
+            kept, cand = gaze_caps[gz]
+            kb = min(_round_up(kept, GRAN_KEPT), probe_caps[1])
+            if gz in drop_info:
+                caps = (min(_round_up(drop_info[gz], GRAN_CAND),
+                            probe_caps[0]), kb, True)
+            else:
                 caps = (min(_round_up(cand, GRAN_CAND), probe_caps[0]),
                         kb, False)
-                o2 = diag(g, caps)
-                if int(_force(o2["overflow"] * 1.0)) != 0:
-                    caps = probe_caps    # never time an overflowing shape
+            o2 = diag(jnp.asarray(gz, jnp.float32), caps)
+            if int(_force(o2["overflow"] * 1.0)) != 0:
+                caps = probe_caps    # never time an overflowing shape
             gaze_caps[gz] = caps
             print(f"# {tag}: gaze={gz} kept={kept} cand={cand} "
                   f"caps={caps}", file=sys.stderr)
     fps, per_gaze = nine_gaze_fps(
         lambda gaze, gz: render(gaze, gaze_caps.get(gz)),
         cam, args.warmup, args.reps)
-    return fps, per_gaze
+    return fps, per_gaze, gaze_caps
 
 
 def leg_mmfr(sc, cam, args):
@@ -364,14 +399,38 @@ def leg_parity(args):
     fa = tuple(jnp.asarray(sc[k]) for k in
                ("means", "scales", "rotations", "opacities4", "shs_dcs",
                 "shs_rest", "highest_levels"))
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        cfg_x = RasterizeConfig(pair_capacity=1 << 20, chunk=4096,
-                                backend="xla", use_obb=True)
-        oracle = np.asarray(jax.jit(lambda *a: fov.rasterize_fov(
-            *a, cam, gaze=gaze, alpha=0.05, blending=True,
-            config=cfg_x)["render"])(
-                *[jax.device_put(a, cpu) for a in fa]))
+    # The f32 XLA oracle is deterministic in the (seeded) proxy scene —
+    # cache it on disk so the driver run skips the multi-minute CPU
+    # render. The fingerprint ties the cache to the exact scene tensors;
+    # any proxy/camera change recomputes.
+    fp = np.array([float(np.sum(np.asarray(sc[k], np.float64)))
+                   for k in ("means", "scales", "opacities4", "shs_dcs")]
+                  + [n, cam.width, cam.height], np.float64)
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "artifacts", "parity_oracle_v1.npz")
+    oracle = None
+    if os.path.exists(cache):
+        try:
+            z = np.load(cache)
+            if z["fp"].shape == fp.shape and np.allclose(z["fp"], fp):
+                oracle = z["oracle"]
+        except Exception:
+            oracle = None
+    if oracle is None:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            cfg_x = RasterizeConfig(pair_capacity=1 << 20, chunk=4096,
+                                    backend="xla", use_obb=True)
+            oracle = np.asarray(jax.jit(lambda *a: fov.rasterize_fov(
+                *a, cam, gaze=gaze, alpha=0.05, blending=True,
+                config=cfg_x)["render"])(
+                    *[jax.device_put(a, cpu) for a in fa]))
+        try:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            np.savez_compressed(cache, oracle=oracle, fp=fp)
+        except Exception as e:
+            print(f"# parity oracle cache write failed: {e}",
+                  file=sys.stderr)
     cfg_p = RasterizeConfig(pair_capacity=1 << 20, backend=args.backend,
                             pallas_fwd_only=True, compact_capacity=1 << 20,
                             pallas_interpret=args.interpret,
@@ -382,6 +441,44 @@ def leg_parity(args):
     mse = float(np.mean((img.astype(np.float64)
                          - oracle.astype(np.float64)) ** 2))
     return 99.0 if mse == 0 else -10.0 * np.log10(mse)
+
+
+def leg_1080p(sc, args):
+    """North-star resolution leg (BASELINE.json: foveated rays/s per chip
+    at 1080p), center gaze. Two compiled shapes: a probe at scaled-up
+    capacities + one right-sized shape."""
+    import jax.numpy as jnp
+    from fovsplat.data import proxy
+    cam = proxy.proxy_camera(width=1920, height=1080)
+    import copy
+    a2 = copy.copy(args)
+    # ~2x the 1237x822 pixel count: scale the probe capacities.
+    a2.pair_capacity = 4_980_736
+    a2.dummy_slack = 524_288
+    a2.compact_capacity = 3_538_944
+    render, diag, probe_caps = build_fov_render(sc, cam, a2)
+    gz = (0.5, 0.5)
+    g = jnp.asarray(gz, jnp.float32)
+    out = diag(g, None)
+    kept = int(_force(out["num_pairs"] * 1.0))
+    cand = int(_force(out["candidates"] * 1.0))
+    assert int(_force(out["overflow"] * 1.0)) == 0
+    caps = (min(_round_up(cand, GRAN_CAND), probe_caps[0]),
+            min(_round_up(kept, GRAN_KEPT), probe_caps[1]), False)
+    if int(_force(diag(g, caps)["overflow"] * 1.0)) != 0:
+        caps = probe_caps
+    print(f"# 1080p: kept={kept} cand={cand} caps={caps}", file=sys.stderr)
+    _force(render(g, caps))
+    for _ in range(args.warmup):
+        out = render(g, caps)
+    _force(out)
+    reps = max(4, args.reps // 2)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = render(g, caps)
+    _force(out)
+    fps = reps / (time.perf_counter() - t0)
+    return fps, cam
 
 
 def main():
@@ -405,12 +502,17 @@ def main():
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("--interpret", action="store_true")
-    ap.add_argument("--budget-s", type=float, default=4200.0,
-                    help="wall-clock budget for AUX legs; the headline "
-                         "always runs. The per-gaze capacity/drop-mode "
-                         "probes compile ~15 shapes per FPS leg (~25 min "
-                         "cold), so the round-3 1500 s default starved "
-                         "the MM-FR leg on a cold compile cache")
+    ap.add_argument("--budget-s", type=float, default=2350.0,
+                    help="wall-clock budget for STARTING aux legs. The "
+                         "round-4 default (4200) exceeded the driver's "
+                         "external timeout and the record came back "
+                         "rc=124 with legs missing; the budget now leaves "
+                         "room for the slowest leg to finish inside "
+                         "--hard-s")
+    ap.add_argument("--hard-s", type=float, default=3250.0,
+                    help="absolute wall deadline: a watchdog re-emits the "
+                         "headline and exits 0 (driver timeout appears "
+                         "to be ~3600 s; rc=124 must never happen again)")
     ap.add_argument("--skip-aux", action="store_true")
     ap.add_argument("--ply", default=None,
                     help="real composed-model PLY replaces the proxy scene")
@@ -452,10 +554,13 @@ def main():
               len(v) == len(_perm) else v) for k, v in sc.items()}
     cam = proxy.proxy_camera()
 
+    arm_watchdog(args.hard_s)
+
     # ---------------- headline (run first so a budget overrun can't
     # starve it; its line is REPRINTED last for the driver parse) --------
-    fps, per_gaze = leg_fov(sc, cam, args, "ours")
-    headline = {
+    global HEADLINE
+    fps, per_gaze, ours_caps = leg_fov(sc, cam, args, "ours")
+    headline = HEADLINE = {
         "metric": f"foveated FPS ours (9 gazes, {cam.width}x{cam.height}, "
                   f"{args.n} gaussians, {src}, 1 chip)",
         "value": round(fps, 2), "unit": "frames/s",
@@ -466,11 +571,12 @@ def main():
     emit(headline)
 
     if not args.skip_aux:
-        # Aux order: train-step and parity FIRST — they are the
-        # BASELINE.json north-star legs (backward SOL, allclose parity)
-        # and were starved by the budget behind the FPS baselines in
-        # rounds 1-2 (round-2 verdict item 2). The naive/MM-FR baseline
-        # rows run last.
+        # Aux order (round-5): train step (north-star backward SOL), then
+        # the two baseline FPS rows the round-4 record was missing (naive
+        # reuses the ours leg's verified per-gaze capacities — no probe
+        # compiles), then 1080p, then parity (oracle disk-cached). Every
+        # leg re-emits the headline so the driver's final-line parse
+        # survives a mid-leg kill.
         # ---- train step ----
         try:
             if budget_left(args):
@@ -487,21 +593,11 @@ def main():
         # Keep the LAST stdout line the headline even if the process is
         # killed mid-aux (the driver parses the final JSON line).
         emit(headline)
-        # ---- on-chip parity ----
-        try:
-            if budget_left(args):
-                p = leg_parity(args)
-                emit({"metric": "on-chip parity PSNR (fused quantized vs "
-                                "f32 XLA oracle, 150k proxy)",
-                      "value": round(p, 2), "unit": "dB",
-                      "vs_baseline": round(p / 40.0, 3)})
-        except Exception as e:
-            emit({"metric": "parity", "error": str(e)[:300]})
-        emit(headline)
         # ---- SM-FR (naive) ----
         try:
             if budget_left(args):
-                f_n, _ = leg_fov(sc, cam, args, "naive", naive=True)
+                f_n, _, _ = leg_fov(sc, cam, args, "naive", naive=True,
+                                    caps_hint=ours_caps)
                 emit({"metric": "foveated FPS SM-FR naive (9 gazes)",
                       "value": round(f_n, 2), "unit": "frames/s",
                       "vs_baseline": round(f_n / BASELINE_NAIVE, 4)})
@@ -517,6 +613,30 @@ def main():
                       "vs_baseline": round(f_m / BASELINE_MMFR, 4)})
         except Exception as e:
             emit({"metric": "mmfr FPS", "error": str(e)[:300]})
+        emit(headline)
+        # ---- 1080p (north-star resolution) ----
+        try:
+            if budget_left(args):
+                f_hd, cam_hd = leg_1080p(sc, args)
+                emit({"metric": "foveated FPS ours (center gaze, "
+                                f"{cam_hd.width}x{cam_hd.height}, "
+                                f"{args.n} gaussians, 1 chip)",
+                      "value": round(f_hd, 2), "unit": "frames/s",
+                      "rays_per_s": round(
+                          cam_hd.width * cam_hd.height * f_hd)})
+        except Exception as e:
+            emit({"metric": "1080p FPS", "error": str(e)[:300]})
+        emit(headline)
+        # ---- on-chip parity ----
+        try:
+            if budget_left(args):
+                p = leg_parity(args)
+                emit({"metric": "on-chip parity PSNR (fused quantized vs "
+                                "f32 XLA oracle, 150k proxy)",
+                      "value": round(p, 2), "unit": "dB",
+                      "vs_baseline": round(p / 40.0, 3)})
+        except Exception as e:
+            emit({"metric": "parity", "error": str(e)[:300]})
 
     emit(headline)     # final line = the driver-parsed headline
     return 0
