@@ -77,6 +77,8 @@ def eval_layers(render_for_layer, views, pooling_ladder, out_dir: str,
         res = {"hvs": float(np.mean(hvs)), "psnr": float(np.mean(psnr)),
                "ssim": float(np.mean(ssim)), "pooling_size": ps}
         results[ps] = res
+        # Reference schema (layers_eval_results/naiveFR/bicycle_3.json,
+        # writer at quality_metrics_layer.py:68): {"ps=<ps>": {"HVS": x}}.
         with open(os.path.join(out_dir, f"{scene_name}_{ps}.json"), "w") as f:
-            json.dump(res, f, indent=2)
+            json.dump({f"ps={ps}": {"HVS": res["hvs"]}}, f, indent=2)
     return results

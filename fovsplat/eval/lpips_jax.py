@@ -36,8 +36,13 @@ class LPIPS:
         self._fn = jax.jit(self._forward)
 
     def _features(self, x):
-        # x (B,H,W,3) in [0,1] -> scaled like lpips ScalingLayer.
-        x = (2.0 * x - 1.0 - _SHIFT) / _SCALE
+        # x (B,H,W,3) in [0,1], z-scored like the reference's
+        # BaseNet.z_score (lpipsPyTorch/modules/networks.py:50-51): the
+        # reference feeds [0,1] tensors straight into (x - mean) / std —
+        # richzhang's canonical scaling layer maps [-1,1] first, but the
+        # vendored lpipsPyTorch does NOT, and reproducing its published
+        # numbers (BASELINE.md LPIPS 0.17881) requires matching the quirk.
+        x = (x - _SHIFT) / _SCALE
         feats = []
         h = x
         for layer in _VGG_LAYERS:

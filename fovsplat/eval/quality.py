@@ -39,13 +39,31 @@ def eval_views(render_fn, views, hvs_pooling: float | None = 1.0) -> dict:
 
 
 def quality_eval(render_fn, views, out_dir: str, name: str,
-                 hvs_pooling: float | None = 1.0) -> dict:
+                 hvs_pooling: float | None = 1.0, tag: str = "ps1") -> dict:
+    """Writes `<name>_quality.json` / `<name>_quality_per.json` in the
+    REFERENCE schema (full_eval_results/ours-Q/bicycle_quality.json and
+    bicycle_quality_per.json; writer at quality_metrics.py:80-95):
+
+      {"<tag>": {"SSIM": x, "PSNR": x, "LPIPS": x, "HVS": x}}
+      {"<tag>": {"Per SSIM": {img: x}, "Per PSNR": ..., "Per LPIPS": ...,
+                 "Per HVS": ...}}
+
+    LPIPS is null while the weights file is absent (eval/lpips_jax.py).
+    Returns the flat lowercase mean dict for in-process callers."""
     res = eval_views(render_fn, views, hvs_pooling)
     os.makedirs(out_dir, exist_ok=True)
+    mean = res["mean"]
+    pv = res["per_view"]
+    full_dict = {tag: {"SSIM": mean["ssim"], "PSNR": mean["psnr"],
+                       "LPIPS": mean["lpips"], "HVS": mean["hvs"]}}
+    per_dict = {tag: {
+        f"Per {key}": dict(zip(pv["name"], pv[low]))
+        for key, low in (("SSIM", "ssim"), ("PSNR", "psnr"),
+                         ("LPIPS", "lpips"), ("HVS", "hvs"))}}
     with open(os.path.join(out_dir, f"{name}_quality.json"), "w") as f:
-        json.dump(res["mean"], f, indent=2)
-    with open(os.path.join(out_dir, f"{name}_per_view.json"), "w") as f:
-        json.dump(res["per_view"], f, indent=2)
+        json.dump(full_dict, f, indent=2)
+    with open(os.path.join(out_dir, f"{name}_quality_per.json"), "w") as f:
+        json.dump(per_dict, f, indent=2)
     return res["mean"]
 
 
