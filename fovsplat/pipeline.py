@@ -41,7 +41,11 @@ class PipelineConfig:
     prune_adapt_split: float = 0.9          # 90/10 prune/adapt
     masking_budget: int = 22_500
     target_relax: float = 0.075             # run_prune.py default ratio
-    mask_target_scale: float = 1.10         # per-layer HVS target scale
+    mask_target_scale: float = 1.0          # reference target_loss_scale:
+                                            # the single absolute masking
+                                            # target is PS1's HVS@pooling-1
+                                            # times this (combined_training
+                                            # _script.py passes 1.0)
     scratch_iters: int = 30_000
     finetune_iters: int = 5_000
     hvs_ft_iters: int = 5_000
@@ -162,16 +166,23 @@ def run_pipeline(source_path: str, out_dir: str,
     layer_states = [ps1]
     per_layer_budget = cfg.masking_budget // (cfg.layer_num - 1)
     prev = ps1
+    # Reference target semantics (run_multi_ecc_masking.py:108-112): ONE
+    # absolute target for every layer = the PS1 model's uniform HVS at
+    # pooling_size=1, times target_loss_scale (reference default 1.0) —
+    # each layer's own-pooling HVS is tested against this same number
+    # (metric_mask_learn.py:255). Round-4 used per-pooling relative
+    # targets, a deviation (see artifacts/ladder_probe_r5.json).
+    hvs_ps1 = np.mean([
+        float(hvs_view(ps1, v.camera, np.asarray(v.image), 1.0))
+        for v in (scene.test_views or scene.train_views)[:5]])
+    target = float(hvs_ps1) * cfg.mask_target_scale
+    log(f"masking target (PS1@1 x {cfg.mask_target_scale}): {target:.3e}")
     for i, ps in enumerate(ladder[1:], start=1):
         lp = stage(f"layer{i}_ps{ps}")
         if os.path.exists(lp):
             st, _, _ = ckpt.load(lp)
             log(f"[skip] layer {i} exists ({int(st.live_count())} live)")
         else:
-            hvs0 = np.mean([
-                float(hvs_view(ps1, v.camera, np.asarray(v.image), float(ps)))
-                for v in (scene.test_views or scene.train_views)[:5]])
-            target = hvs0 * cfg.mask_target_scale
             it = per_layer_budget if not small else 40
             m_it = int(it * 0.8)
             st = loops.mask_training(

@@ -6,7 +6,7 @@ metric prunes) -> THREE chained PS-mask layers (ps = 3, 7, 12, each
 starting from the previous layer like run_multi_ecc_masking.py:144-152)
 -> compose -> SM-FR assignment, recording wall-clock + the COMPRESSION
 LADDER (per-layer live counts; the reference's pnum/ours-Q/bicycle.txt
-ladder is 1 : 0.40 : 0.22 : 0.17) into artifacts/onchip_pipeline_r4.json.
+ladder is 1 : 0.40 : 0.22 : 0.17) into artifacts/onchip_pipeline_r5.json.
 The round-2 runs predate the exact-count rank prune (a227b2c): their one
 tied-score event wiped 88-92%% of the model and rolled back to zero
 compression.
@@ -112,9 +112,9 @@ def main():
 
     def checkpoint_art():
         os.makedirs("artifacts", exist_ok=True)
-        with open("artifacts/onchip_pipeline_r4.json", "w") as f:
+        with open("artifacts/onchip_pipeline_r5.json", "w") as f:
             json.dump(art, f, indent=1)
-        with open("artifacts/onchip_pipeline_r4.log", "w") as f:
+        with open("artifacts/onchip_pipeline_r5.log", "w") as f:
             f.write("\n".join(logbuf))
 
     def log(msg):
@@ -145,11 +145,18 @@ def main():
         f"{live_after_prune}, ssim {s1:.4f} psnr {p1:.2f}")
 
     # ---- stage: THREE chained PS-mask layers (ps = 3, 7, 12) -------------
-    # Layer k starts from layer k-1's state and prunes against a
-    # pooling-size-matched HVS target (run_multi_ecc_masking.py:108-152:
-    # target = PS1 model's HVS at that pooling * target_loss_scale).
+    # Layer k starts from layer k-1's state (run_multi_ecc_masking.py:
+    # 144-152).
     _, hvs_view = loops.make_eval_fns(cfg)
     layers = [state]
+    # Reference target semantics (run_multi_ecc_masking.py:108-112): ONE
+    # absolute target for all layers = PS1's uniform HVS at pooling 1
+    # (x target_loss_scale = 1.0). Round-4 used per-pooling relative
+    # targets (x1.15) — a deviation; see artifacts/ladder_probe_r5.json.
+    hvs_ps1 = float(np.mean([float(hvs_view(state, v.camera,
+                                            jnp.asarray(v.image), 1.0))
+                             for v in train_views[:2]]))
+    log(f"masking target (PS1@1 x 1.0): {hvs_ps1:.3e}")
     for ps in (3.0, 7.0, 12.0):
         t0 = time.time()
         hvs0 = float(np.mean([float(hvs_view(state, v.camera,
@@ -157,7 +164,7 @@ def main():
                               for v in train_views[:2]]))
         masked = loops.mask_training(
             layers[-1], train_views, pooling_size=ps,
-            target_hvs=hvs0 * 1.15, cfg=cfg, iters=MASK_ITERS,
+            target_hvs=hvs_ps1, cfg=cfg, iters=MASK_ITERS,
             masking_iters=int(MASK_ITERS * 0.8), prune_interval=80,
             prune_ratio=MASK_RATIO, per_prune_times=6, log=log,
             eval_views_cap=2)
@@ -169,7 +176,7 @@ def main():
             "s": round(time.time() - t0, 1), "iters": MASK_ITERS,
             "live_after": int(masked.live_count()), "hvs0": hvs0,
             "hvs_after": hvs_after,
-            "target": hvs0 * 1.15}
+            "target": hvs_ps1}
         log(f"mask ps={ps}: {time.time()-t0:.1f}s, live -> "
             f"{int(masked.live_count())}")
 
@@ -190,9 +197,9 @@ def main():
 
     art["total_s"] = round(time.time() - t_all, 1)
     os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/onchip_pipeline_r4.json", "w") as f:
+    with open("artifacts/onchip_pipeline_r5.json", "w") as f:
         json.dump(art, f, indent=1)
-    with open("artifacts/onchip_pipeline_r4.log", "w") as f:
+    with open("artifacts/onchip_pipeline_r5.log", "w") as f:
         f.write("\n".join(logbuf))
     print(json.dumps(art))
 
