@@ -533,7 +533,7 @@ def _suffix_prod_lanes(x, chunk: int):
 def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
                 win, fbuf, gbuf, gout_ref, wsem, fsem, gsem, *, grid_x: int,
                 chunk: int, power_cutoff: float, cap: int, batch: int,
-                window: int, sub: int):
+                window: int, sub: int, sfx_parts: int = 3):
     """fin_ref: blocked (batch, PIX, 8) = [g_r, g_g, g_b, g_T, final_T,
     n_contrib, pad, pad] along the last axis. grads_hbm: (ROW, CAP) output.
 
@@ -627,19 +627,27 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
 
     def _sfx_sum_cat(xcat, k):
         # (k*PIX, chunk) -> inclusive lane suffix sums via one MXU pass
-        # over an EXACT bf16 x3 split (hi+mid+lo == x exactly; f32
-        # accumulate => exact f32-summation suffix sums).
+        # over a bf16 split: sfx_parts=3 is EXACT (hi+mid+lo == x,
+        # exact f32-summation suffix sums); sfx_parts=2 drops the third
+        # part (~2^-17 relative per element, deterministic) for a third
+        # less tril-matmul volume — measured on-chip before enabling.
         hi = pltpu.bitcast(pltpu.bitcast(xcat, jnp.int32) & _MASK_HI,
                            jnp.float32)
         rem = xcat - hi
-        mid = pltpu.bitcast(pltpu.bitcast(rem, jnp.int32) & _MASK_HI,
-                            jnp.float32)
-        parts = jnp.concatenate([hi, mid, rem - mid],
-                                axis=0).astype(jnp.bfloat16)
+        if sfx_parts == 2:
+            parts = jnp.concatenate([hi, rem], axis=0).astype(jnp.bfloat16)
+        else:
+            mid = pltpu.bitcast(pltpu.bitcast(rem, jnp.int32) & _MASK_HI,
+                                jnp.float32)
+            parts = jnp.concatenate([hi, mid, rem - mid],
+                                    axis=0).astype(jnp.bfloat16)
         out = jax.lax.dot_general(
             parts, tril_bf, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return out[:k * PIX] + out[k * PIX:2 * k * PIX] + out[2 * k * PIX:]
+        acc = out[:k * PIX] + out[k * PIX:2 * k * PIX]
+        if sfx_parts == 3:
+            acc = acc + out[2 * k * PIX:]
+        return acc
 
     def per_tile(b):
         t = tb * batch + b
@@ -695,9 +703,16 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
 
             # T before pair j = T_after_chunk / prod_{i>=j} om_i, clamped
             # at 1 (T <= 1 holds mathematically; the clamp bounds f32
-            # roundoff and any impossible-state division blowup).
-            sfx_om = _suffix_prod_lanes(om, chunk)
-            T_j = jnp.minimum(T_back / sfx_om, 1.0)
+            # roundoff and any impossible-state blowup). Computed as
+            # T_back * suffix_prod(1/om): dL_da needs 1/om anyway, so the
+            # suffix of the reciprocal replaces BOTH the om suffix AND a
+            # full (PIX, chunk) division with one multiply. Overflow of
+            # the reciprocal product (alpha ~0.99 stacks) saturates to
+            # inf -> min(inf * T_back, 1) = 1, and T_back >= T_EPS by the
+            # forward's contribute semantics, so no 0 * inf NaN exists.
+            inv_om = 1.0 / om
+            sfx_inv = _suffix_prod_lanes(inv_om, chunk)
+            T_j = jnp.minimum(T_back * sfx_inv, 1.0)
             w = a_eff * T_j                                  # (PIX, chunk)
 
             # The per-channel color suffixes S_r/S_g/S_b are only ever
@@ -713,7 +728,6 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
             sfx_cg = _sfx_sum_cat(w_cg, 1)                    # incl suffix
             # Suffix EXCLUSIVE of j: sum over i > j, plus deeper chunks.
             gc_dot_S = S_cg + (sfx_cg - w_cg)
-            inv_om = 1.0 / om
             dL_da = jnp.where(
                 contribute,
                 gc_dot_col * T_j - (gc_dot_S + gT * Tf) * inv_om, 0.0)
@@ -783,7 +797,7 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
             wdma.start()
             gout_ref[gslot] = 1
 
-            T_back = jnp.minimum(T_back / sfx_om[:, 0:1], 1.0)
+            T_back = jnp.minimum(T_back * sfx_inv[:, 0:1], 1.0)
             S_cg = S_cg + sfx_cg[:, 0:1]
             return kk, T_back, S_cg
 
@@ -811,7 +825,7 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
 def _backward(pair_data, seg_start, seg_end, fin, n_contrib_max,
               grid_x: int, grid_y: int, chunk: int, power_cutoff: float,
               interpret: bool, batch: int = 8, window: int = 16384,
-              sub: int = 2048):
+              sub: int = 2048, sfx_parts: int = 3):
     num_tiles = grid_x * grid_y
     cap = pair_data.shape[1]
     assert window % sub == 0 and chunk % 128 == 0 and sub % 128 == 0
@@ -845,7 +859,8 @@ def _backward(pair_data, seg_start, seg_end, fin, n_contrib_max,
     )
     kernel = functools.partial(_bwd_kernel, grid_x=grid_x, chunk=chunk,
                                power_cutoff=power_cutoff, cap=cap,
-                               batch=batch, window=window, sub=sub)
+                               batch=batch, window=window, sub=sub,
+                               sfx_parts=sfx_parts)
     grads = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((ROW, cap), jnp.float32)],
@@ -873,9 +888,9 @@ def _backward(pair_data, seg_start, seg_end, fin, n_contrib_max,
 
 # --------------------------------------------------------------- public API
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def blend_pallas(pair_data, seg_start, seg_end, grid_x, grid_y, chunk,
-                 power_cutoff, interpret, bwd_chunk=None):
+                 power_cutoff, interpret, bwd_chunk=None, sfx_parts=3):
     """Differentiable Pallas blend over a chunk-aligned SoA pair list.
 
     pair_data: (ROW, CAP) f32. Returns (tile_color [T,PIX,3],
@@ -889,7 +904,7 @@ def blend_pallas(pair_data, seg_start, seg_end, grid_x, grid_y, chunk,
 
 
 def _blend_pallas_fwd(pair_data, seg_start, seg_end, grid_x, grid_y, chunk,
-                      power_cutoff, interpret, bwd_chunk=None):
+                      power_cutoff, interpret, bwd_chunk=None, sfx_parts=3):
     out, nc = _forward(pair_data, seg_start, seg_end, grid_x, grid_y, chunk,
                        power_cutoff, interpret)
     res = (pair_data, seg_start, seg_end, out[:, :, 3], nc[:, :, 0])
@@ -897,7 +912,7 @@ def _blend_pallas_fwd(pair_data, seg_start, seg_end, grid_x, grid_y, chunk,
 
 
 def _blend_pallas_bwd(grid_x, grid_y, chunk, power_cutoff, interpret,
-                      bwd_chunk, res, g):
+                      bwd_chunk, sfx_parts, res, g):
     pair_data, seg_start, seg_end, final_T, n_contrib = res
     g_color, g_T, _ = g
     num_tiles = grid_x * grid_y
@@ -909,7 +924,7 @@ def _blend_pallas_bwd(grid_x, grid_y, chunk, power_cutoff, interpret,
     nc_max = jnp.max(n_contrib, axis=1)
     grads = _backward(pair_data, seg_start, seg_end, fin, nc_max,
                       grid_x, grid_y, bwd_chunk or chunk, power_cutoff,
-                      interpret)
+                      interpret, sfx_parts=sfx_parts)
     return grads, None, None
 
 

@@ -41,6 +41,11 @@ class RasterizeConfig:
     pallas_bwd_chunk: int = 128       # blend-backward chunk (measured
                                       # fastest at 128; fwd stays 256 —
                                       # scripts/probe_bwd_variants.py)
+    pallas_sfx_parts: int = 3         # blend-backward suffix-sum split
+                                      # order: 3 = exact f32 summation,
+                                      # 2 = ~2^-17-relative (drops a
+                                      # third of the tril-matmul volume;
+                                      # enable only with a measured win)
     pallas_interpret: bool = False    # interpreter mode (CPU tests)
     pallas_fwd_only: bool = False     # inference: skip segment alignment
                                       # (not differentiable)
@@ -260,7 +265,7 @@ def rasterize(means3d, scales, rotations, opacities, camera,
             tile_color, final_T, n_contrib = pk.blend_pallas(
                 packed, seg_start[:-1], seg_start[1:], gx, gy,
                 cfg.pallas_chunk, cfg.power_cutoff, cfg.pallas_interpret,
-                cfg.pallas_bwd_chunk)
+                cfg.pallas_bwd_chunk, cfg.pallas_sfx_parts)
         elif fused:
             tile_color, final_T, n_contrib = pk.blend_pallas_fwd_only(
                 packed, seg_start[:-1], seg_start[1:], gx, gy,
@@ -302,7 +307,7 @@ def rasterize(means3d, scales, rotations, opacities, camera,
             tile_color, final_T, n_contrib = pk.blend_pallas(
                 packed, bn.seg_start[:-1], bn.seg_start[1:], gx, gy,
                 cfg.pallas_chunk, cfg.power_cutoff, cfg.pallas_interpret,
-                cfg.pallas_bwd_chunk)
+                cfg.pallas_bwd_chunk, cfg.pallas_sfx_parts)
     else:
         gid = jnp.minimum(bn.pair_gauss, means3d.shape[0] - 1)
         tile_color, final_T, n_contrib = blend.blend(

@@ -64,3 +64,45 @@ for ndev in ndevs:
     eff = rays / (results[1] * ndev) if 1 in results else 1.0
     print(f"devices={ndev}: {dt*1e3:8.1f} ms/frame  "
           f"{rays/1e6:6.2f} Mrays/s  efficiency={eff:.2%}", flush=True)
+
+
+# ---- foveated sharded path (production fused pipeline) -------------------
+# Same harness over parallel/fov_shard: per-shard expand/cull/compact
+# kernel (interpret on CPU), all-to-all, dual-transmittance blend.
+if os.environ.get("SCALING_FOV", "1") == "1":
+    from fovsplat.data import proxy
+    from fovsplat.ops import foveated as fovops
+    from fovsplat.parallel import fov_shard
+
+    nf = (int(os.environ.get("SCALING_FOV_N", "16384")) // 8) * 8
+    scf = proxy.bicycle_proxy(n=nf)
+    model = fovops.pack_fov_model(
+        jnp.asarray(scf["means"]), jnp.asarray(scf["scales"]),
+        jnp.asarray(scf["rotations"]), jnp.asarray(scf["opacities4"]),
+        jnp.asarray(scf["shs_dcs"]), jnp.asarray(scf["shs_rest"]),
+        jnp.asarray(scf["highest_levels"]))
+    fcam = proxy.proxy_camera(width=256, height=192)
+    gaze = jnp.asarray([0.5, 0.5], jnp.float32)
+    interp = jax.devices()[0].platform == "cpu"
+    print(f"\nfoveated sharded path ({nf} gaussians, "
+          f"{fcam.width}x{fcam.height}):", flush=True)
+    fres = {}
+    for ndev in ndevs:
+        mesh = dp.make_mesh(ndev)
+        rfn = jax.jit(lambda g: fov_shard.render_fov_tile_sharded(
+            mesh, model, fcam, g, alpha=0.05, pair_capacity=1 << 16,
+            per_dest_capacity=16384 // ndev + 8192,
+            expand_chunk=128, expand_batch=4, blend_chunk=128,
+            interpret=interp)[0])
+        img = rfn(gaze)
+        float(img.ravel()[0])
+        t0 = time.perf_counter()
+        reps = 2
+        for _ in range(reps):
+            float(rfn(gaze).ravel()[0])
+        dt = (time.perf_counter() - t0) / reps
+        rays = fcam.width * fcam.height / dt
+        fres[ndev] = rays
+        eff = rays / (fres[1] * ndev) if 1 in fres else 1.0
+        print(f"devices={ndev}: {dt*1e3:8.1f} ms/frame  "
+              f"{rays/1e6:6.2f} Mrays/s  efficiency={eff:.2%}", flush=True)
