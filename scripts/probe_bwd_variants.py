@@ -108,21 +108,37 @@ out_f, nc = o
 final_T = out_f[:, :, 3]
 nc0 = nc[:, :, 0]
 
-for chunk, batch in [(256, 8), (256, 16), (128, 8), (512, 8), (512, 4)]:
+for chunk, batch, sfx in [(128, 8, 3), (128, 8, 2), (256, 8, 3),
+                          (256, 8, 2), (128, 16, 3), (256, 16, 2),
+                          (512, 8, 2)]:
     fin = jnp.zeros((gx * gy, 256, 8), jnp.float32)
     fin = fin.at[:, :, 0:3].set(g_color)
     fin = fin.at[:, :, 3].set(g_T)
     fin = fin.at[:, :, 4].set(final_T)
     fin = fin.at[:, :, 5].set(nc0.astype(jnp.float32))
     nc_max = jnp.max(nc0, axis=1)
-    f = jax.jit(lambda pd, fi, nm, c=chunk, b=batch: pk._backward(
-        pd, ss, se, fi, nm, gx, gy, c, -4.5, False, batch=b))
+    f = jax.jit(lambda pd, fi, nm, c=chunk, b=batch, s=sfx: pk._backward(
+        pd, ss, se, fi, nm, gx, gy, c, -4.5, False, batch=b,
+        sfx_parts=s))
     try:
         timeit(f, packed, fin, nc_max,
-               label=f"blend bwd chunk={chunk} batch={batch}")
+               label=f"blend bwd chunk={chunk} batch={batch} sfx={sfx}")
     except Exception as e:
-        print(f"blend bwd chunk={chunk} batch={batch}: FAIL "
+        print(f"blend bwd chunk={chunk} batch={batch} sfx={sfx}: FAIL "
               f"{str(e)[:120]}", flush=True)
+
+# How many pair rows can the backward ever write? (rows past each tile's
+# deepest contributing pair are zero — candidates for pre-gid-sort
+# compaction; VERDICT r4 lever 1).
+nc_max_t = jnp.max(nc0, axis=1)
+base_t = (ss // 128) * 128
+deep_t = jnp.minimum(se, ss + nc_max_t)
+cover = jnp.sum(jnp.minimum(se, base_t + ((jnp.maximum(deep_t - base_t, 0)
+                                           + 127) // 128) * 128) - ss)
+print(f"bwd-covered rows: {int(jax.device_get(cover))} of "
+      f"{int(jax.device_get(num_pairs))} "
+      f"({float(jax.device_get(cover)) / float(jax.device_get(num_pairs)):.1%})",
+      flush=True)
 
 # Gradient scatter cost (gid sort + windowed reduce) on the real gid row.
 from fovsplat.ops.pallas import segment_reduce as psr
@@ -152,3 +168,53 @@ def scatter(gid_row, d_rows):
 
 
 timeit(jax.jit(scatter), gid_row, d_rows, label="gradient scatter (sort+reduce)")
+
+
+def scatter_gather(gid_row, d_rows):
+    """Alternative: 2-operand (gid, lane) sort + row-gather of the
+    cotangents by lane — wins iff a (CAP, 9->16) row gather beats 8
+    extra sort operands (~2.7 ms each at this lane count)."""
+    lane = jnp.arange(cap_s, dtype=jnp.int32)
+    gid = jnp.where(lane < num_pairs, gid_row.astype(jnp.int32), n)
+    g_s, lane_s = jax.lax.sort((gid, lane), num_keys=1)
+    dmat = jnp.concatenate(
+        [d_rows, jnp.zeros((7, cap_s), jnp.float32)], axis=0).T  # (CAP,16)
+    rows = dmat[lane_s]                                          # gather
+    quant = 512 * 16
+    pad = (-cap_s) % quant
+    rows16 = jnp.concatenate(
+        [g_s[None, :].astype(jnp.float32), rows.T[:9],
+         jnp.zeros((6, cap_s), jnp.float32)], axis=0)
+    if pad:
+        tail = jnp.zeros((16, pad), jnp.float32)
+        tail = tail.at[0, :].set(jnp.float32(n))
+        rows16 = jnp.concatenate([rows16, tail], axis=1)
+    n_pad2 = ((n + 1 + psr.FLUSH - 1) // psr.FLUSH) * psr.FLUSH
+    return psr.reduce_by_sorted_gid(rows16, n_pad=n_pad2)
+
+
+try:
+    timeit(jax.jit(scatter_gather), gid_row, d_rows,
+           label="gradient scatter (2-op sort + lane row-gather)")
+except Exception as e:
+    print(f"scatter_gather FAIL {str(e)[:160]}", flush=True)
+
+
+# Forward tile-sort payload alternatives at the REAL lane count: carry all
+# 10 rows (today) vs keys+gid only + a post-sort row gather from the
+# (N, 16) per-Gaussian table.
+key_i = jnp.asarray(np.random.default_rng(5).integers(
+    0, 1 << 30, cap_s), jnp.int32)
+dbits_i = jnp.asarray(np.random.default_rng(6).integers(
+    0, 1 << 30, cap_s), jnp.int32)
+rows10 = [jnp.asarray(np.random.default_rng(10 + r).normal(
+    0, 1, cap_s), jnp.float32) for r in range(10)]
+timeit(jax.jit(lambda k, d, *rs: jax.lax.sort((k, d, *rs), num_keys=2)[0]),
+       key_i, dbits_i, *rows10, label=f"sort 2keys+10rows @{cap_s}")
+timeit(jax.jit(lambda k, d, g: jax.lax.sort((k, d, g), num_keys=2)[0]),
+       key_i, dbits_i, rows10[0], label=f"sort 2keys+1row @{cap_s}")
+tabN = jnp.asarray(np.random.default_rng(7).normal(0, 1, (n, 16)),
+                   jnp.float32)
+gid_i = jnp.minimum(gid_row.astype(jnp.int32), n - 1)
+timeit(jax.jit(lambda t, i: t[i].T), tabN, gid_i,
+       label=f"(N,16) row-gather by gid @{cap_s} + T")

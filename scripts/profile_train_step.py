@@ -117,7 +117,7 @@ bin_train = jax.jit(lambda t1, v, d: binning.bin_fused_ps1(
     cfg.raster.expand_batch, train=True))
 out = timeit(bin_train, t1cols, pc.valid, pc.depth,
              label="train binning (expand+sort)")
-packed, seg_start, num_pairs, overflow, cap3 = out
+packed, seg_start, num_pairs, overflow, cap3, _cand = out
 print("  train cap3:", cap3, "num_pairs:", int(jax.device_get(num_pairs)),
       flush=True)
 
