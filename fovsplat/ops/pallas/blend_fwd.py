@@ -533,7 +533,8 @@ def _suffix_prod_lanes(x, chunk: int):
 def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
                 win, fbuf, gbuf, gout_ref, wsem, fsem, gsem, *, grid_x: int,
                 chunk: int, power_cutoff: float, cap: int, batch: int,
-                window: int, sub: int, sfx_parts: int = 3):
+                window: int, sub: int, sfx_parts: int = 3,
+                dbg_no_writes: bool = False):
     """fin_ref: blocked (batch, PIX, 8) = [g_r, g_g, g_b, g_T, final_T,
     n_contrib, pad, pad] along the last axis. grads_hbm: (ROW, CAP) output.
 
@@ -767,35 +768,42 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
                         gsem.at[s]).wait()
                     gout_ref[s] = 0
 
-            # Boundary chunk shared with EARLIER tiles (lanes < start):
-            # their gradient rows are already in HBM, but possibly still
-            # in flight — drain ALL outstanding writes before the
-            # read-merge (the only ordering point; elsewhere writes go to
-            # disjoint chunk regions and stay ASYNC, waited lazily only
-            # when their slot is reused).
-            @pl.when((kk == 0) & (base < start))
-            def _():
-                drain(0)
-                drain(1)
-                rdma = pltpu.make_async_copy(
-                    grads_hbm.at[:, pl.ds(src, chunk)], gbuf.at[1 - gslot],
-                    gsem.at[1 - gslot])
-                rdma.start()
-                rdma.wait()
-                lane_g = src + jax.lax.broadcasted_iota(
-                    jnp.int32, (ROW, chunk), 1)
-                gbuf[gslot] = jnp.where(lane_g < start, gbuf[1 - gslot],
-                                        g_out)
+            if dbg_no_writes:
+                # Timing experiment: keep ALL compute live (accumulate
+                # into VMEM), skip the per-chunk DMA machinery — the
+                # difference against the real kernel is the write-path
+                # fixed cost. RESULTS ARE WRONG in this mode.
+                gbuf[0] += g_out
+            else:
+                # Boundary chunk shared with EARLIER tiles (lanes <
+                # start): their gradient rows are already in HBM, but
+                # possibly still in flight — drain ALL outstanding writes
+                # before the read-merge (the only ordering point;
+                # elsewhere writes go to disjoint chunk regions and stay
+                # ASYNC, waited lazily only when their slot is reused).
+                @pl.when((kk == 0) & (base < start))
+                def _():
+                    drain(0)
+                    drain(1)
+                    rdma = pltpu.make_async_copy(
+                        grads_hbm.at[:, pl.ds(src, chunk)],
+                        gbuf.at[1 - gslot], gsem.at[1 - gslot])
+                    rdma.start()
+                    rdma.wait()
+                    lane_g = src + jax.lax.broadcasted_iota(
+                        jnp.int32, (ROW, chunk), 1)
+                    gbuf[gslot] = jnp.where(lane_g < start,
+                                            gbuf[1 - gslot], g_out)
 
-            @pl.when(jnp.logical_not((kk == 0) & (base < start)))
-            def _():
-                drain(gslot)
-                gbuf[gslot] = g_out
-            wdma = pltpu.make_async_copy(gbuf.at[gslot],
-                                         grads_hbm.at[:, pl.ds(src, chunk)],
-                                         gsem.at[gslot])
-            wdma.start()
-            gout_ref[gslot] = 1
+                @pl.when(jnp.logical_not((kk == 0) & (base < start)))
+                def _():
+                    drain(gslot)
+                    gbuf[gslot] = g_out
+                wdma = pltpu.make_async_copy(
+                    gbuf.at[gslot], grads_hbm.at[:, pl.ds(src, chunk)],
+                    gsem.at[gslot])
+                wdma.start()
+                gout_ref[gslot] = 1
 
             T_back = jnp.minimum(T_back * sfx_inv[:, 0:1], 1.0)
             S_cg = S_cg + sfx_cg[:, 0:1]
@@ -825,7 +833,8 @@ def _bwd_kernel(seg_start_ref, seg_end_ref, pairs_hbm, fin_ref, grads_hbm,
 def _backward(pair_data, seg_start, seg_end, fin, n_contrib_max,
               grid_x: int, grid_y: int, chunk: int, power_cutoff: float,
               interpret: bool, batch: int = 8, window: int = 16384,
-              sub: int = 2048, sfx_parts: int = 3):
+              sub: int = 2048, sfx_parts: int = 3,
+              dbg_no_writes: bool = False):
     num_tiles = grid_x * grid_y
     cap = pair_data.shape[1]
     assert window % sub == 0 and chunk % 128 == 0 and sub % 128 == 0
@@ -860,7 +869,8 @@ def _backward(pair_data, seg_start, seg_end, fin, n_contrib_max,
     kernel = functools.partial(_bwd_kernel, grid_x=grid_x, chunk=chunk,
                                power_cutoff=power_cutoff, cap=cap,
                                batch=batch, window=window, sub=sub,
-                               sfx_parts=sfx_parts)
+                               sfx_parts=sfx_parts,
+                               dbg_no_writes=dbg_no_writes)
     grads = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((ROW, cap), jnp.float32)],

@@ -54,7 +54,8 @@ def _split3_rows(x):
 
 
 def _kernel(block_ref, out_hbm, carry, base_ref, sem,
-            *, chunk: int, kbatch: int, n_pad: int, nrows: int):
+            *, chunk: int, kbatch: int, n_pad: int, nrows: int,
+            skip_from: int | None = None):
     cb = pl.program_id(0)
     nprog = pl.num_programs(0)
 
@@ -83,45 +84,57 @@ def _kernel(block_ref, out_hbm, carry, base_ref, sem,
         first = gid[0, 0]
         last = gid[0, chunk - 1]                            # max (sorted)
 
-        # Advance the window until this chunk's FIRST gid sits in the
-        # retained [base, base+FLUSH) span.
-        def adv_cond(b):
-            return first >= b + FLUSH
+        # Dead-chunk skip (skip_from = the caller's zero-value sentinel
+        # id, sorted past every live gid): the train backward routes
+        # zero-cotangent lanes — ~2/3 of the stream, everything past
+        # each tile's deepest contributing pair — to the sentinel, so
+        # whole chunks of zeros skip the one-hot + matmul + accumulate.
+        # Their window columns flush via the final drain.
+        @pl.when(first < (skip_from if skip_from is not None
+                          else jnp.int32(2147483647)))
+        def _run():
+            # Advance the window until this chunk's FIRST gid sits in the
+            # retained [base, base+FLUSH) span.
+            def adv_cond(b):
+                return first >= b + FLUSH
 
-        base_ref[0] = jax.lax.while_loop(adv_cond, flush_one, base_ref[0])
+            base_ref[0] = jax.lax.while_loop(adv_cond, flush_one,
+                                             base_ref[0])
 
-        hi, mid, lo = _split3_rows(blk[1:1 + nrows, :])
-        parts = jnp.concatenate([hi, mid, lo], axis=0).astype(jnp.bfloat16)
+            hi, mid, lo = _split3_rows(blk[1:1 + nrows, :])
+            parts = jnp.concatenate([hi, mid, lo],
+                                    axis=0).astype(jnp.bfloat16)
 
-        def accumulate(base, lo_gid):
-            # Lanes with gid < lo_gid were accumulated by a previous
-            # window position; the one-hot's [base, base+WOUT) range
-            # masks lanes still ahead of this window.
-            onehot = ((gid == base + w_iota)
-                      & (gid >= lo_gid)).astype(jnp.bfloat16)
-            partial = jax.lax.dot_general(
-                parts, onehot, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)         # (3R, WOUT)
-            carry[1:1 + nrows, :] += (
-                partial[0:nrows] + partial[nrows:2 * nrows]
-                + partial[2 * nrows:3 * nrows])
+            def accumulate(base, lo_gid):
+                # Lanes with gid < lo_gid were accumulated by a previous
+                # window position; the one-hot's [base, base+WOUT) range
+                # masks lanes still ahead of this window.
+                onehot = ((gid == base + w_iota)
+                          & (gid >= lo_gid)).astype(jnp.bfloat16)
+                partial = jax.lax.dot_general(
+                    parts, onehot, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # (3R, WOUT)
+                carry[1:1 + nrows, :] += (
+                    partial[0:nrows] + partial[nrows:2 * nrows]
+                    + partial[2 * nrows:3 * nrows])
 
-        accumulate(base_ref[0], jnp.int32(-2147483647))
+            accumulate(base_ref[0], jnp.int32(-2147483647))
 
-        # Sorted-but-SPARSE gid streams can span more than WOUT values
-        # inside one chunk (e.g. a long frustum-culled id run): keep
-        # flushing and re-accumulate only the not-yet-covered lanes
-        # until the chunk's last gid fits the window.
-        def tail_cond(b):
-            return last >= b + WOUT
+            # Sorted-but-SPARSE gid streams can span more than WOUT
+            # values inside one chunk (e.g. a long frustum-culled id
+            # run): keep flushing and re-accumulate only the
+            # not-yet-covered lanes until the chunk's last gid fits.
+            def tail_cond(b):
+                return last >= b + WOUT
 
-        def tail_body(b):
-            covered = b + WOUT
-            b = flush_one(b)
-            accumulate(b, covered)
-            return b
+            def tail_body(b):
+                covered = b + WOUT
+                b = flush_one(b)
+                accumulate(b, covered)
+                return b
 
-        base_ref[0] = jax.lax.while_loop(tail_cond, tail_body, base_ref[0])
+            base_ref[0] = jax.lax.while_loop(tail_cond, tail_body,
+                                             base_ref[0])
         return 0
 
     jax.lax.fori_loop(0, kbatch, body, 0)
@@ -136,22 +149,29 @@ def _kernel(block_ref, out_hbm, carry, base_ref, sem,
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "chunk", "kbatch",
-                                             "nrows", "interpret"))
+                                             "nrows", "interpret",
+                                             "skip_from"))
 def reduce_by_sorted_gid(rows, *, n_pad: int, chunk: int = 512,
                          kbatch: int = 16, nrows: int = 9,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         skip_from: int | None = None):
     """rows (16, CAP) f32, row 0 ascending integer gids (sentinel gid for
     padding lanes must be < n_pad and its value rows zero), rows
     1..nrows = values. CAP must be a multiple of chunk*kbatch; n_pad a
-    multiple of FLUSH. Returns (16, n_pad) per-gid sums (rows 1..nrows)."""
+    multiple of FLUSH. skip_from: chunks whose FIRST gid >= skip_from
+    are all-zero sentinel lanes and skip their accumulate entirely (the
+    caller must guarantee value rows are zero at gid >= skip_from).
+    Returns (16, n_pad) per-gid sums (rows 1..nrows)."""
     cap = rows.shape[1]
     assert rows.shape[0] == VROWS
     assert cap % (chunk * kbatch) == 0, (cap, chunk, kbatch)
     assert n_pad % FLUSH == 0
     assert chunk + 1 <= WOUT - FLUSH
+    assert skip_from is None or skip_from < n_pad
     grid = (cap // (chunk * kbatch),)
     kernel = functools.partial(_kernel, chunk=chunk, kbatch=kbatch,
-                               n_pad=n_pad, nrows=nrows)
+                               n_pad=n_pad, nrows=nrows,
+                               skip_from=skip_from)
     out = pl.pallas_call(
         kernel,
         grid=grid,

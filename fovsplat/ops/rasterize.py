@@ -362,8 +362,6 @@ def _fused_train_pair_builder(gx, gy, cap, cfg, n):
         d_packed = ct[0]                          # (16, CAP3)
         cap3 = gid_row.shape[0]
         lane = jnp.arange(cap3, dtype=jnp.int32)
-        gid = jnp.where(lane < num_pairs,
-                        gid_row.astype(jnp.int32), n)
         # Per-Gaussian reduction of the 9 cotangent rows. XLA TPU has no
         # fast scatter: 9x segment_sum costs ~216 ms at 3.4M pairs
         # (scripts/bench_gid_reduce.py). Instead: ONE gid sort, then the
@@ -371,10 +369,20 @@ def _fused_train_pair_builder(gx, gy, cap, cfg, n):
         # (ops/pallas/segment_reduce) — exact f32, no atomics, ~10x
         # cheaper end to end. Deterministic like the segment_sum it
         # replaces (per-gid sums reduce in sorted-lane order).
+        # ZERO-cotangent lanes (everything past each tile's deepest
+        # contributing pair — ~2/3 of the stream at bench scale,
+        # scripts/probe_bwd_variants.py "bwd-covered rows") ride the
+        # SENTINEL id: they sort to the tail and the reduce kernel
+        # skips whole dead chunks (skip_from). Adding zeros commutes,
+        # so the per-gid sums are unchanged.
         from fovsplat.ops.pallas import segment_reduce as psr
-        srt = jax.lax.sort(
-            (gid, *(jnp.where(lane < num_pairs, d_packed[r], 0.0)
-                    for r in range(9))), num_keys=1)
+        vals = [jnp.where(lane < num_pairs, d_packed[r], 0.0)
+                for r in range(9)]
+        alive = vals[0] != 0.0
+        for r in range(1, 9):
+            alive = alive | (vals[r] != 0.0)
+        gid = jnp.where(alive, gid_row.astype(jnp.int32), n)
+        srt = jax.lax.sort((gid, *vals), num_keys=1)
         quant = 512 * 16
         pad = (-cap3) % quant
         rows = jnp.concatenate(
@@ -387,7 +395,8 @@ def _fused_train_pair_builder(gx, gy, cap, cfg, n):
             rows = jnp.concatenate([rows, tail], axis=1)
         n_pad = ((n + 1 + psr.FLUSH - 1) // psr.FLUSH) * psr.FLUSH
         out = psr.reduce_by_sorted_gid(rows, n_pad=n_pad,
-                                       interpret=cfg.pallas_interpret)
+                                       interpret=cfg.pallas_interpret,
+                                       skip_from=n)
         d_diff = tuple(out[1 + r, :n] for r in range(9))
         d_aux = tuple(jnp.zeros(n, jnp.float32) for _ in range(10))
         return d_diff, d_aux, None, jnp.zeros(n, jnp.float32)

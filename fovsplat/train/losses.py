@@ -38,19 +38,28 @@ def _gaussian_1d(size: int = 11, sigma: float = 1.5):
 
 def _depthwise_conv(img, g):
     """img (B,H,W,C), g (k,) 1-D gaussian -> same-padded SEPARABLE
-    depthwise blur (the 11x11 window is outer(g, g); two 1-D passes are
-    ~5.5x fewer MACs and lower far better on TPU than the dense 2-D
-    depthwise conv — the SSIM gradient alone cost 68 ms/step at 1237x822
-    with the 2-D form)."""
-    c = img.shape[-1]
-    kh = jnp.broadcast_to(g[:, None, None, None], (g.shape[0], 1, 1, c))
-    kw = jnp.broadcast_to(g[None, :, None, None], (1, g.shape[0], 1, c))
-    out = jax.lax.conv_general_dilated(
-        img, kh, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
-    return jax.lax.conv_general_dilated(
-        out, kw, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+    depthwise blur via SHIFT-ADDS on a channels-first layout.
+
+    The round-4 form lowered two NHWC depthwise convs; with C=3 the
+    channel minor axis leaves TPU vector lanes ~2% utilized and the SSIM
+    gradient alone cost 27 ms/step at 1237x822. Shift-adds over (B*C, H,
+    W) put W on lanes / H on sublanes (full vreg occupancy), XLA fuses
+    the k fma's per axis into elementwise code, and autodiff of a slice
+    is a slice — the backward is shift-adds too. Numerics: identical tap
+    sums in the same f32 accumulation order along each axis."""
+    b, h, w, c = img.shape
+    k = g.shape[0]
+    pad = k // 2
+    x = img.transpose(0, 3, 1, 2).reshape(b * c, h, w)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)))
+    out = g[0] * jax.lax.dynamic_slice_in_dim(xp, 0, w, axis=2)
+    for i in range(1, k):
+        out = out + g[i] * jax.lax.dynamic_slice_in_dim(xp, i, w, axis=2)
+    xp = jnp.pad(out, ((0, 0), (pad, pad), (0, 0)))
+    out = g[0] * jax.lax.dynamic_slice_in_dim(xp, 0, h, axis=1)
+    for i in range(1, k):
+        out = out + g[i] * jax.lax.dynamic_slice_in_dim(xp, i, h, axis=1)
+    return out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "robust"))
