@@ -338,6 +338,12 @@ def leg_train_step(args):
     sc = proxy.bicycle_proxy(n=args.n)
     n = args.n
     rng = np.random.default_rng(1)
+    # One-time random row permutation (same rationale as the fov legs):
+    # invalid rows cluster in natural model order; scattering them lets
+    # the dummy-free expansion hold its window property.
+    perm = np.random.default_rng(12345).permutation(n)
+    sc = {k: (v[perm] if getattr(v, "ndim", 0) and len(v) == n else v)
+          for k, v in sc.items()}
     params = GaussianParams(
         xyz=jnp.asarray(sc["means"]),
         features_dc=jnp.asarray(sc["shs_dcs"][:, 0:1, :]),
@@ -354,12 +360,23 @@ def leg_train_step(args):
     # compacted buffer so the train sort + CAP-sized backward ops run at
     # ~3.4M lanes instead of 5.36M (overflow asserted 0 below).
     # Kept measured 2.99M at this shape; 3.15M bound = kept + ~5%.
-    cfg = loops.LoopConfig(raster=RasterizeConfig(
-        pair_capacity=1 << 22, chunk=4096, backend=args.backend,
-        compact_capacity=3_145_728,
-        pallas_chunk=256, pallas_interpret=args.interpret))
-    step = loops.make_photometric_step(cfg)
+    # Dummy-free expansion (~5 ms on the train expand kernel) is tried
+    # first; a nonzero overflow (window misses on a too-sparse stream)
+    # falls back to the dummy scheme.
+    def mkstep(drop):
+        cfg = loops.LoopConfig(raster=RasterizeConfig(
+            pair_capacity=1 << 22, chunk=4096, backend=args.backend,
+            compact_capacity=3_145_728, expand_drop_invalid=drop,
+            pallas_chunk=256, pallas_interpret=args.interpret))
+        return loops.make_photometric_step(cfg)
+
+    step = mkstep(args.backend == "pallas")
     st, aux = step(state, cam, gt, jnp.int32(0), jnp.float32(0.0))
+    if args.backend == "pallas" and int(aux["overflow"]) != 0:
+        print("# train: dummy-free expansion missed pairs, falling back",
+              file=sys.stderr)
+        step = mkstep(False)
+        st, aux = step(state, cam, gt, jnp.int32(0), jnp.float32(0.0))
     loss0 = float(aux["loss"])
     assert int(aux["overflow"]) == 0
     # Kept pairs measured from the step itself (round-3 hardcoded the

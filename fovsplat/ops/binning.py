@@ -222,7 +222,7 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
                   pair_capacity: int, interpret: bool = False,
                   dummy_slack=None, compact_capacity=None, chunk=512,
                   kbatch=16, prebuilt=None, n_rows=None, train=False,
-                  sort_exact=False):
+                  sort_exact=False, drop_invalid=False):
     """Single-level fused-Pallas binning (ops/pallas/expand_fov._ps1_kernel):
     pair expansion + OBB cull in-kernel, one 2-key (tile, depth) sort
     carrying the finished blend-kernel SoA.
@@ -248,7 +248,13 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
 
     n = depth.shape[0] if depth is not None else n_rows
     num_tiles = grid_x * grid_y
-    cap_d = pair_capacity + (n if dummy_slack is None else dummy_slack)
+    # drop_invalid: invalid rows carry NO dummy pair (the candidate
+    # stream shrinks by ~n_invalid; window-missed pairs are counted into
+    # overflow — see expand_fov guard_marker). Requires a dense-enough
+    # pair stream; callers verify overflow == 0 on a probe step.
+    slack = 0 if drop_invalid else \
+        (n if dummy_slack is None else dummy_slack)
+    cap_d = pair_capacity + slack
     cap2 = ((cap_d + chunk * kbatch - 1) // (chunk * kbatch)) \
         * (chunk * kbatch)
     # See foveated.build_fov_dtable: split-row exactness needs cap2 < 2^24.
@@ -275,10 +281,10 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
         return _ps1_expand_sort(pex, dtable, cum_pad2, gstarts, total,
                                 total_f, overflow, grid_x, grid_y, cap2,
                                 compact_capacity, chunk, kbatch, interpret,
-                                train, sort_exact)
+                                train, sort_exact, drop_invalid)
 
     t1 = list(t1cols)
-    tnum = jnp.where(valid, t1[3], 1.0)
+    tnum = jnp.where(valid, t1[3], 0.0 if drop_invalid else 1.0)
     cum_incl = jnp.cumsum(tnum)
     total_f = cum_incl[-1]
     cum_excl = cum_incl - tnum
@@ -334,7 +340,7 @@ def bin_fused_ps1(t1cols, valid, depth, grid_x: int, grid_y: int,
     return _ps1_expand_sort(pex, dtable, cum_pad[None, :], gstarts, total,
                             total_f, overflow, grid_x, grid_y, cap2,
                             compact_capacity, chunk, kbatch, interpret,
-                            train, sort_exact)
+                            train, sort_exact, drop_invalid)
 
 
 def compact_prebuilt(dtable, tnum, *, flag_row: int, flag_thresh: float,
@@ -368,15 +374,17 @@ def compact_prebuilt(dtable, tnum, *, flag_row: int, flag_thresh: float,
 def _ps1_expand_sort(pex, dtable, cum_pad2, gstarts, total, total_f,
                      overflow, grid_x, grid_y, cap2, compact_capacity,
                      chunk, kbatch, interpret, train=False,
-                     sort_exact=False):
+                     sort_exact=False, drop_invalid=False):
     num_tiles = grid_x * grid_y
     cap_out = cap2 if compact_capacity is None else compact_capacity
-    key, dbits, attrs, kept = pex.expand_ps1_pallas(
+    key, dbits, attrs, kept, missed = pex.expand_ps1_pallas(
         dtable, cum_pad2, gstarts, total, cap=cap2, cap_out=cap_out,
         chunk=chunk, batch=kbatch,
-        grid_x=grid_x, grid_y=grid_y, interpret=interpret, train=train)
+        grid_x=grid_x, grid_y=grid_y, interpret=interpret, train=train,
+        guard_marker=drop_invalid)
     cap3 = key.shape[0]
-    overflow = overflow + jnp.maximum(kept - (cap3 - (chunk + 128)), 0)
+    overflow = (overflow + jnp.maximum(kept - (cap3 - (chunk + 128)), 0)
+                + missed)
 
     # ONE sort over the COMPACTED pairs: i32 fused (tile | depth-hi) key;
     # the train path adds the exact-depth secondary key (its backward must

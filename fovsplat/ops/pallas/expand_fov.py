@@ -525,7 +525,7 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
                 win, cbuf, obuf, tail, cntbuf, kcum, insem, gsem, outsem,
                 *, chunk: int, wsize: int, batch: int, grid_x: int,
                 num_tiles: int, n_pad: int, cap_out: int,
-                train: bool = False):
+                train: bool = False, guard_marker: bool = False):
     """Plain (single-level) pair expansion + OBB cull, output COMPACTED
     exactly like the foveated kernel (see module docstring — same
     rank/permute/tail machinery; culled + dummy pairs never reach HBM).
@@ -542,7 +542,8 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
 
     @pl.when(cb_ == 0)
     def _():
-        kcum[0] = 0
+        kcum[0] = 0          # kept count
+        kcum[1] = 0          # window-missed pairs (guard_marker mode)
 
     def win_dma(slot, k):
         c = cb_ * batch + k
@@ -637,7 +638,18 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
                    & (jnp.abs(b1) <= l1e + e1) & (jnp.abs(b2) <= l2e + e2))
             obb = obb | (l1e <= 0.0)
 
-            keep = in_range & obb & (w[45:46, :] > 0.0)
+            hit = w[45:46, :] > 0.0
+            keep = in_range & obb & hit
+            if guard_marker:
+                # Window-miss guard (drop_invalid tables; see the fov
+                # kernel): a pair whose true row fell outside the window
+                # gathered all-zero rows, so valid == 0 identifies the
+                # miss. With dummy-free tables every candidate pair
+                # belongs to a VALID row — a zero valid can ONLY be a
+                # miss. Dropped and COUNTED, never silently corrupted.
+                kcum[1] = kcum[1] + jnp.sum(
+                    (in_range & jnp.logical_not(hit[0:1, :])
+                     ).astype(jnp.int32))
 
             # In-kernel compaction — identical machinery to the fov kernel.
             keepf = keep.astype(jnp.float32)
@@ -742,7 +754,9 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
 
     @pl.when(cb_ == pl.num_programs(0) - 1)
     def _():
-        cntbuf[...] = jnp.full((1, 128), kcum[0], jnp.int32)
+        cntbuf[...] = jnp.concatenate(
+            [jnp.full((1, 64), kcum[0], jnp.int32),
+             jnp.full((1, 64), kcum[1], jnp.int32)], axis=1)
         cc_dma = pltpu.make_async_copy(cntbuf, cnt_hbm, gsem.at[0])
         cc_dma.start()
         cc_dma.wait()
@@ -750,10 +764,11 @@ def _ps1_kernel(ints_ref, dtable_hbm, cum_hbm, out_hbm, cnt_hbm,
 
 @functools.partial(jax.jit, static_argnames=(
     "cap", "cap_out", "chunk", "batch", "grid_x", "grid_y", "interpret",
-    "train"))
+    "train", "guard_marker"))
 def expand_ps1_pallas(dtable, cum, gstarts, total,
                       *, cap, cap_out=None, chunk=512, batch=8, grid_x,
-                      grid_y, interpret=False, train=False):
+                      grid_y, interpret=False, train=False,
+                      guard_marker=False):
     """dtable (PROWS, N_pad) bf16 split-row table in ORIGINAL order
     (layout in binning.bin_fused_ps1; valid flag row 45, depth rows
     46-48); cum (1, N_pad + 128) f32 exclusive cumsum (dummy pairs
@@ -792,7 +807,7 @@ def expand_ps1_pallas(dtable, cum, gstarts, total,
                         pltpu.VMEM((2, POROWS, chunk + 128), jnp.float32),
                         pltpu.VMEM((POROWS, 128), jnp.float32),
                         pltpu.VMEM((1, 128), jnp.int32),
-                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((2,), jnp.int32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,))],
@@ -800,7 +815,7 @@ def expand_ps1_pallas(dtable, cum, gstarts, total,
     kernel = functools.partial(
         _ps1_kernel, chunk=chunk, wsize=wsize, batch=batch, grid_x=grid_x,
         num_tiles=grid_x * grid_y, n_pad=n_pad, cap_out=cap_out,
-        train=train)
+        train=train, guard_marker=guard_marker)
     out, cnt = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((POROWS, cap_out), jnp.float32),
@@ -809,12 +824,14 @@ def expand_ps1_pallas(dtable, cum, gstarts, total,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ints, dtable, cum)
     kept = cnt[0, 0]
+    missed = cnt[0, 64]    # window-missed (dropped) pairs, guard mode
     num_tiles = grid_x * grid_y
     usable = jnp.minimum(kept, cap_out - (chunk + 128))
     key, dbits = fused_key32(out[0], out[1], usable, num_tiles)
     if train:
-        return key, dbits, out[2:12], kept  # [mx,my,ca,cb,cc,op,r,g,b,gid]
-    return key, dbits, out[2:7], kept
+        # [mx, my, ca, cb, cc, op, r, g, b, gid]
+        return key, dbits, out[2:12], kept, missed
+    return key, dbits, out[2:7], kept, missed
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -247,7 +247,8 @@ def rasterize(means3d, scales, rotations, opacities, camera,
             t1cols, prep.valid, prep.depth, gx, gy, cap,
             cfg.pallas_interpret, cfg.dummy_slack, cfg.compact_capacity,
             cfg.expand_chunk, cfg.expand_batch,
-            sort_exact=cfg.sort_exact_depth)
+            sort_exact=cfg.sort_exact_depth,
+            drop_invalid=cfg.expand_drop_invalid)
         bn = binning.Binned(pair_gauss=None, pair_tile=None,
                             seg_start=seg_start, num_pairs=num_pairs,
                             overflow=overflow, depth_order=None)
@@ -350,7 +351,8 @@ def _fused_train_pair_builder(gx, gy, cap, cfg, n):
         return binning.bin_fused_ps1(
             t1cols, valid, depth, gx, gy, cap, cfg.pallas_interpret,
             cfg.dummy_slack, cfg.compact_capacity, cfg.expand_chunk,
-            cfg.expand_batch, train=True)
+            cfg.expand_batch, train=True,
+            drop_invalid=cfg.expand_drop_invalid)
 
     def fwd(diff_cols, aux_cols, valid, depth):
         out = build(diff_cols, aux_cols, valid, depth)

@@ -781,3 +781,46 @@ def test_fov_soa_drop_invalid_invariant():
     np.testing.assert_allclose(np.asarray(outs[1]["render"]),
                                np.asarray(outs[0]["render"]),
                                rtol=0, atol=1e-6)
+
+
+def test_train_drop_invalid_invariant():
+    """The TRAIN path's dummy-free expansion (round 5): with scattered
+    invalid rows (off-frustum + dead live-mask rows), drop_invalid=True
+    must produce bitwise-identical images AND gradients to the dummy
+    scheme, with zero window misses; the candidate stream must shrink."""
+    rng = np.random.default_rng(77)
+    n = 512
+    means, scales, quats, ops_, colors = synthetic_cloud(n=n, seed=77)
+    means = np.asarray(means).copy()
+    means[100:160] += 40.0              # off-frustum -> invalid rows
+    live = np.ones(n, bool)
+    live[400:460] = False               # dead rows
+    from tests.utils import make_test_camera
+    cam = make_test_camera(width=96, height=64)
+    base = dict(pair_capacity=1 << 13, backend="pallas", pallas_chunk=128,
+                pallas_interpret=True, dummy_slack=None)
+
+    def loss_for(flag):
+        cfg = rasterize.RasterizeConfig(**base, expand_drop_invalid=flag)
+
+        def f(m, s, q, o, c):
+            out = rasterize.rasterize(m, s, q, o, cam, colors=c,
+                                      config=cfg,
+                                      live_mask=jnp.asarray(live))
+            return (jnp.sum(out["render"] ** 2) + jnp.sum(out["final_T"]),
+                    out)
+        args = (jnp.asarray(means), scales, quats, ops_, colors)
+        (val, out), grads = jax.jit(
+            lambda *a: jax.value_and_grad(f, argnums=(0, 3),
+                                          has_aux=True)(*a))(*args)
+        return val, out, grads
+
+    v0, out0, g0 = loss_for(False)
+    v1, out1, g1 = loss_for(True)
+    assert int(out0["binned"].overflow) == 0
+    assert int(out1["binned"].overflow) == 0      # no window misses
+    assert int(out1["binned"].num_pairs) == int(out0["binned"].num_pairs)
+    np.testing.assert_array_equal(np.asarray(out1["render"]),
+                                  np.asarray(out0["render"]))
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
