@@ -60,8 +60,18 @@ cfg = loops.LoopConfig(raster=RasterizeConfig(
     compact_capacity=(1 << 21) if _on_tpu else None, pallas_chunk=256))
 
 cams = [proxy.proxy_camera(width=512, height=384) for _ in range(2)]
-gts = [jnp.asarray(rng.uniform(0, 1, (384, 512, 3)), jnp.float32)
-       for _ in range(2)]
+if os.environ.get("PROBE_GT", "render") == "render":
+    # GT = the model's own renders: the jittered evals then sit in the
+    # HIGH-SSIM regime (~0.9+) where mu1 ~= mu2 and s1 ~= s2 ~= s12 —
+    # the cancellation territory the r4 anomaly lived in. PROBE_GT=rand
+    # uses random images (SSIM ~0.02) instead.
+    _r = jax.jit(lambda camera: jnp.clip(
+        loops.render_state(state, camera, cfg)["render"], 0.0, 1.0))
+    gts = [jnp.asarray(np.asarray(jax.device_get(_r(c)))) for c in cams]
+    print("gt renders done", flush=True)
+else:
+    gts = [jnp.asarray(rng.uniform(0, 1, (384, 512, 3)), jnp.float32)
+           for _ in range(2)]
 
 
 def ssim_probe(img, gt):
