@@ -71,8 +71,8 @@ def pack2bf16_xla(a, b):
     return jax.lax.bitcast_convert_type(ua | ub, jnp.float32)
 
 
-def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
-                win, fbuf, wsem, fsem, *, grid_x: int, chunk: int,
+def _fov_kernel(seg_start_ref, seg_end_ref, t0_ref, pairs_hbm, act_ref,
+                out_ref, win, fbuf, wsem, fsem, *, grid_x: int, chunk: int,
                 power_cutoff: float, cap: int, batch: int,
                 prefix_mode: str, window: int, sub: int):
     """Window-streaming fov blend.
@@ -246,8 +246,12 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
         t = tb * batch + b
         start = seg_start_ref[t]
         end = seg_end_ref[t]
-        tx0 = (t % grid_x).astype(jnp.float32) * 16.0
-        ty0 = (t // grid_x).astype(jnp.float32) * 16.0
+        # Pixel coords use the GLOBAL tile id: t0_ref holds the id of
+        # this call's first tile (nonzero when a tile-sharded owner
+        # blends only its own subrange — parallel/fov_shard).
+        tg = t0_ref[0] + t
+        tx0 = (tg % grid_x).astype(jnp.float32) * 16.0
+        ty0 = (tg // grid_x).astype(jnp.float32) * 16.0
         base = pl.multiple_of((start // 128) * 128, 128)
         num_chunks = pl.cdiv(end - base, chunk)
 
@@ -400,19 +404,24 @@ def _fov_kernel(seg_start_ref, seg_end_ref, pairs_hbm, act_ref, out_ref,
 @functools.partial(jax.jit, static_argnames=("grid_x", "grid_y", "chunk",
                                              "power_cutoff", "interpret",
                                              "batch", "prefix_mode",
-                                             "window", "sub"))
+                                             "window", "sub", "n_tiles"))
 def blend_fov_pallas(pair_data, seg_start, seg_end, tile_act,
                      grid_x, grid_y, chunk=256, power_cutoff=-4.5,
                      interpret=False, batch=8, prefix_mode="logmm",
-                     window=32768, sub=2048):
+                     window=32768, sub=2048, tile0=None, n_tiles=None):
     """pair_data (FROW, CAP); tile_act (T, PIX, 4).
 
     window/sub: VMEM streaming window in lanes and its sub-DMA quantum
     (see _fov_kernel docstring). window covers a whole tile-batch's pair
     range in the common case; overflow chunks fall back to direct DMA.
 
+    tile0/n_tiles: blend only the n_tiles tiles starting at GLOBAL tile
+    id tile0 (a traced scalar — tile-sharded owners pass their own
+    range; parallel/fov_shard). seg_start/seg_end/tile_act are then
+    LOCAL (n_tiles rows); pixel coordinates stay global.
+
     Returns (C1 [T,PIX,3], T1 [T,PIX], C2 [T,PIX,3], T2 [T,PIX])."""
-    num_tiles = grid_x * grid_y
+    num_tiles = n_tiles if n_tiles is not None else grid_x * grid_y
     cap = pair_data.shape[1]
     assert window % sub == 0 and chunk % 128 == 0 and sub % 128 == 0
     assert cap >= 128, cap                      # binning pads to chunk mult
@@ -432,8 +441,10 @@ def blend_fov_pallas(pair_data, seg_start, seg_end, tile_act,
         seg_end = jnp.concatenate([seg_end, tail])
         tile_act = jnp.concatenate(
             [tile_act, jnp.zeros((pad, 4, PIX), jnp.float32)], axis=0)
+    t0_arr = jnp.zeros((1,), jnp.int32) if tile0 is None \
+        else jnp.asarray(tile0, jnp.int32)[None]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(t_pad // batch,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec((batch, 4, PIX), lambda t, *_: (t, 0, 0),
@@ -453,7 +464,7 @@ def blend_fov_pallas(pair_data, seg_start, seg_end, tile_act,
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((t_pad, 8, PIX), jnp.float32)],
         interpret=interpret,
-    )(seg_start, seg_end, pair_data, tile_act)[0]
+    )(seg_start, seg_end, t0_arr, pair_data, tile_act)[0]
     out = out[:num_tiles]
     # Back to pixel-major for the consumers (one cheap XLA transpose).
     return (out[:, 0:3, :].transpose(0, 2, 1), out[:, 3, :],

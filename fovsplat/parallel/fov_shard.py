@@ -129,6 +129,16 @@ def render_fov_tile_sharded(mesh: Mesh, model: FovModelSoA, camera, gaze,
                        + fov_cfg.start_blend))
     x = jnp.clip(x / fov_cfg.blend_width, 0.0, 1.0)
     blend_T = 3 * x * x - 2 * x * x * x                       # (T, PIX)
+    # Pad per-tile state to ndev * tiles_per_dev rows so every owner's
+    # dynamic tile-range slice is in bounds (the padding tiles' outputs
+    # are dropped after the all_gather).
+    t_pad_rows = ndev * tiles_per_dev - num_tiles
+    if t_pad_rows:
+        tile_act = jnp.pad(tile_act, ((0, t_pad_rows), (0, 0), (0, 0)))
+        blend_T = jnp.pad(blend_T, ((0, t_pad_rows), (0, 0)))
+        tile_blend_p = jnp.pad(tile_blend, ((0, t_pad_rows),))
+    else:
+        tile_blend_p = tile_blend
 
     def device_fn(xyz, scales, rotations, rest_t, dc_t, opac_t, hl,
                   bb_a, lv, t_act, bl_T, t_blend):
@@ -176,32 +186,40 @@ def render_fov_tile_sharded(mesh: Mesh, model: FovModelSoA, camera, gaze,
         packed_rx = jnp.concatenate(
             [jnp.stack(res[2:], axis=0),
              jnp.zeros((2, ndev * c2), jnp.float32)], axis=0)  # (8, D*c2)
-        seg_start = jnp.searchsorted(
-            r_key, pex.seg_bounds32(num_tiles),
-            side='left').astype(jnp.int32)
+
+        # Blend ONLY the owned tile subrange (blend_fov_pallas tile0/
+        # n_tiles): non-owned tiles have no pairs here, but their empty
+        # segments would still cost per-tile bookkeeping (~2.3 us/tile
+        # on a v5e — (D-1)/D of the grid wasted per device).
+        my_dev = jax.lax.axis_index(axis)
+        t0 = my_dev * tiles_per_dev
+        bounds = ((t0 + jnp.arange(tiles_per_dev + 1, dtype=jnp.int32))
+                  << jnp.int32(db))
+        seg_loc = jnp.searchsorted(r_key, bounds,
+                                   side='left').astype(jnp.int32)
+        act_loc = jax.lax.dynamic_slice_in_dim(t_act, t0, tiles_per_dev, 0)
 
         from fovsplat.ops.pallas import blend_fov as pkf
         c1, t1, c2_, t2 = pkf.blend_fov_pallas(
-            packed_rx, seg_start[:-1], seg_start[1:], t_act, gx, gy,
-            blend_chunk, power_cutoff, interpret, prefix_mode="scan")
+            packed_rx, seg_loc[:-1], seg_loc[1:], act_loc, gx, gy,
+            blend_chunk, power_cutoff, interpret, prefix_mode="scan",
+            tile0=t0, n_tiles=tiles_per_dev)
 
         bg = (jnp.zeros(3, jnp.float32) if bg_color is None
               else jnp.asarray(bg_color, jnp.float32))
         c1 = c1 + t1[..., None] * bg
         c2_ = c2_ + t2[..., None] * bg
-        l1_w = 1.0 - bl_T
+        blw = jax.lax.dynamic_slice_in_dim(bl_T, t0, tiles_per_dev, 0)
+        tbl = jax.lax.dynamic_slice_in_dim(t_blend, t0, tiles_per_dev, 0)
+        l1_w = 1.0 - blw
         merged = c1 * l1_w[..., None] + c2_ * (1.0 - l1_w[..., None])
-        tile_color = jnp.where(t_blend[:, None, None], merged, c1)
+        my_color = jnp.where(tbl[:, None, None], merged, c1)
 
-        my_dev = jax.lax.axis_index(axis)
-        trows = jnp.minimum(jnp.arange(tiles_per_dev)
-                            + my_dev * tiles_per_dev, num_tiles - 1)
-        my_color = tile_color[trows]
         all_color = jax.lax.all_gather(my_color, axis, axis=0)
         all_color = all_color.reshape(ndev * tiles_per_dev,
                                       PIX, 3)[:num_tiles]
         ovf = jax.lax.psum(overflow + send_overflow, axis)
-        np_tot = jax.lax.psum(seg_start[-1], axis) // ndev
+        np_tot = jax.lax.psum(seg_loc[-1] - seg_loc[0], axis)
         return all_color, ovf, np_tot
 
     shard = P(axis)
@@ -216,7 +234,7 @@ def render_fov_tile_sharded(mesh: Mesh, model: FovModelSoA, camera, gaze,
     tile_color, overflow, num_pairs = mapped(
         model.xyz, model.scales, model.rotations, model.rest_t,
         model.dc_t, model.opac_t, model.hl,
-        bb_arr, levels, tile_act, blend_T, tile_blend)
+        bb_arr, levels, tile_act, blend_T, tile_blend_p)
     image = tiles_to_image(tile_color, gx, gy, camera.width, camera.height)
     return image, {"overflow": overflow, "num_pairs": num_pairs,
                    "tile_levels": levels}
