@@ -293,9 +293,13 @@ def leg_mmfr(sc, cam, args):
                 m, cam, gz, 0.05, li, cfg, return_diag=diag))
         return fns[key]
 
-    # Per-(gaze, level) capacity probe. Coarser granules than the ours
-    # leg: 36 probe points must dedupe to a handful of compiled shapes.
-    level_caps = {}
+    # Per-LEVEL capacity sizing (round 5): ONE caps tuple per level =
+    # the max measured counts over all 9 gazes, rounded up. The round-4
+    # per-(gaze, level) tuples compiled ~6 extra pipeline shapes and the
+    # MM-FR leg alone ate ~25 min of the budget; per-level max sizing
+    # costs a few % FPS on off-center gazes and caps the compile count
+    # at 4 probe-diag + <=4 sized-diag + 4 render.
+    need = {li: [0, 0] for li in range(4)}
     for gz in GAZES:
         g = jnp.asarray(gz, jnp.float32)
         for li in range(4):
@@ -303,15 +307,21 @@ def leg_mmfr(sc, cam, args):
             kept = int(_force(d["num_pairs"] * 1.0))
             cand = int(_force(d["candidates"] * 1.0))
             assert int(_force(d["overflow"] * 1.0)) == 0, (gz, li)
-            caps = (min(_round_up(cand, 786_432), probe_caps[0]),
-                    min(_round_up(kept, 524_288), probe_caps[1]))
-            _, d2 = get_fn(li, caps, diag=True)(models[li], g)
-            if int(_force(d2["overflow"] * 1.0)) != 0:
-                caps = probe_caps
+            need[li][0] = max(need[li][0], cand)
+            need[li][1] = max(need[li][1], kept)
+    level_caps = {}
+    gc = jnp.asarray((0.5, 0.5), jnp.float32)
+    for li in range(4):
+        caps = (min(_round_up(need[li][0], 786_432), probe_caps[0]),
+                min(_round_up(need[li][1], 524_288), probe_caps[1]))
+        _, d2 = get_fn(li, caps, diag=True)(models[li], gc)
+        if int(_force(d2["overflow"] * 1.0)) != 0:
+            caps = probe_caps
+        for gz in GAZES:
             level_caps[(gz, li)] = caps
-        print(f"# mmfr: gaze={gz} caps="
-              f"{[level_caps[(gz, li)] for li in range(4)]}",
-              file=sys.stderr)
+    print(f"# mmfr: per-level caps="
+          f"{[level_caps[((0.5, 0.5), li)] for li in range(4)]}",
+          file=sys.stderr)
 
     def render(gaze, gz):
         total = None
@@ -610,28 +620,18 @@ def main():
         # Keep the LAST stdout line the headline even if the process is
         # killed mid-aux (the driver parses the final JSON line).
         emit(headline)
-        # ---- SM-FR (naive) ----
+        # ---- on-chip parity (cheap: the f32 oracle is disk-cached) ----
         try:
             if budget_left(args):
-                f_n, _, _ = leg_fov(sc, cam, args, "naive", naive=True,
-                                    caps_hint=ours_caps)
-                emit({"metric": "foveated FPS SM-FR naive (9 gazes)",
-                      "value": round(f_n, 2), "unit": "frames/s",
-                      "vs_baseline": round(f_n / BASELINE_NAIVE, 4)})
+                p = leg_parity(args)
+                emit({"metric": "on-chip parity PSNR (fused quantized vs "
+                                "f32 XLA oracle, 150k proxy)",
+                      "value": round(p, 2), "unit": "dB",
+                      "vs_baseline": round(p / 40.0, 3)})
         except Exception as e:
-            emit({"metric": "naive FPS", "error": str(e)[:300]})
+            emit({"metric": "parity", "error": str(e)[:300]})
         emit(headline)
-        # ---- MM-FR ----
-        try:
-            if budget_left(args):
-                f_m, _ = leg_mmfr(sc, cam, args)
-                emit({"metric": "foveated FPS MM-FR (9 gazes, 4 passes)",
-                      "value": round(f_m, 2), "unit": "frames/s",
-                      "vs_baseline": round(f_m / BASELINE_MMFR, 4)})
-        except Exception as e:
-            emit({"metric": "mmfr FPS", "error": str(e)[:300]})
-        emit(headline)
-        # ---- 1080p (north-star resolution) ----
+        # ---- 1080p (north-star resolution; 2 compiles) ----
         try:
             if budget_left(args):
                 f_hd, cam_hd = leg_1080p(sc, args)
@@ -644,16 +644,27 @@ def main():
         except Exception as e:
             emit({"metric": "1080p FPS", "error": str(e)[:300]})
         emit(headline)
-        # ---- on-chip parity ----
+        # ---- SM-FR (naive; reuses ours caps, no probe compiles) ----
         try:
             if budget_left(args):
-                p = leg_parity(args)
-                emit({"metric": "on-chip parity PSNR (fused quantized vs "
-                                "f32 XLA oracle, 150k proxy)",
-                      "value": round(p, 2), "unit": "dB",
-                      "vs_baseline": round(p / 40.0, 3)})
+                f_n, _, _ = leg_fov(sc, cam, args, "naive", naive=True,
+                                    caps_hint=ours_caps)
+                emit({"metric": "foveated FPS SM-FR naive (9 gazes)",
+                      "value": round(f_n, 2), "unit": "frames/s",
+                      "vs_baseline": round(f_n / BASELINE_NAIVE, 4)})
         except Exception as e:
-            emit({"metric": "parity", "error": str(e)[:300]})
+            emit({"metric": "naive FPS", "error": str(e)[:300]})
+        emit(headline)
+        # ---- MM-FR (most compiles; runs LAST — the round-5 validation
+        # run spent ~25 min here and starved the legs that followed) ----
+        try:
+            if budget_left(args):
+                f_m, _ = leg_mmfr(sc, cam, args)
+                emit({"metric": "foveated FPS MM-FR (9 gazes, 4 passes)",
+                      "value": round(f_m, 2), "unit": "frames/s",
+                      "vs_baseline": round(f_m / BASELINE_MMFR, 4)})
+        except Exception as e:
+            emit({"metric": "mmfr FPS", "error": str(e)[:300]})
 
     emit(headline)     # final line = the driver-parsed headline
     return 0
