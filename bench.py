@@ -285,12 +285,15 @@ def leg_mmfr(sc, cam, args):
                   args.compact_capacity)
     fns = {}
 
-    def get_fn(li, caps, diag=False):
-        key = (li, caps, diag)
+    # ONE compiled fn per (level, caps): always return the diag dict —
+    # the extra scalar outputs are free and halve the compile count
+    # (round 4 compiled separate diag=True/False variants).
+    def get_fn(li, caps):
+        key = (li, caps)
         if key not in fns:
             cfg = mkcfg(caps)
             fns[key] = jax.jit(lambda m, gz: emm.render_mmfr_level(
-                m, cam, gz, 0.05, li, cfg, return_diag=diag))
+                m, cam, gz, 0.05, li, cfg, return_diag=True))
         return fns[key]
 
     # Per-LEVEL capacity sizing (round 5): ONE caps tuple per level =
@@ -303,7 +306,7 @@ def leg_mmfr(sc, cam, args):
     for gz in GAZES:
         g = jnp.asarray(gz, jnp.float32)
         for li in range(4):
-            _, d = get_fn(li, probe_caps, diag=True)(models[li], g)
+            _, d = get_fn(li, probe_caps)(models[li], g)
             kept = int(_force(d["num_pairs"] * 1.0))
             cand = int(_force(d["candidates"] * 1.0))
             assert int(_force(d["overflow"] * 1.0)) == 0, (gz, li)
@@ -312,9 +315,13 @@ def leg_mmfr(sc, cam, args):
     level_caps = {}
     gc = jnp.asarray((0.5, 0.5), jnp.float32)
     for li in range(4):
-        caps = (min(_round_up(need[li][0], 786_432), probe_caps[0]),
-                min(_round_up(need[li][1], 524_288), probe_caps[1]))
-        _, d2 = get_fn(li, caps, diag=True)(models[li], gc)
+        # max(., 1): a level that owns no pairs at probe time must still
+        # get one granule of capacity (caps of 0 are invalid shapes).
+        caps = (min(_round_up(max(need[li][0], 1), 786_432),
+                    probe_caps[0]),
+                min(_round_up(max(need[li][1], 1), 524_288),
+                    probe_caps[1]))
+        _, d2 = get_fn(li, caps)(models[li], gc)
         if int(_force(d2["overflow"] * 1.0)) != 0:
             caps = probe_caps
         for gz in GAZES:
@@ -326,7 +333,7 @@ def leg_mmfr(sc, cam, args):
     def render(gaze, gz):
         total = None
         for li in range(4):
-            c = get_fn(li, level_caps[(gz, li)])(models[li], gaze)
+            c = get_fn(li, level_caps[(gz, li)])(models[li], gaze)[0]
             total = c if total is None else total + c
         return total
 
@@ -370,9 +377,11 @@ def leg_train_step(args):
     # compacted buffer so the train sort + CAP-sized backward ops run at
     # ~3.4M lanes instead of 5.36M (overflow asserted 0 below).
     # Kept measured 2.99M at this shape; 3.15M bound = kept + ~5%.
-    # Dummy-free expansion (~5 ms on the train expand kernel) is tried
-    # first; a nonzero overflow (window misses on a too-sparse stream)
-    # falls back to the dummy scheme.
+    # Dummy-free expansion is OPT-IN (--train-drop): at this exact shape
+    # it was measured to MISS 3.9% of pairs (window too sparse even
+    # after the permutation — docs/ARCHITECTURE.md round-5 notes), so
+    # probing it by default costs a full-step compile for a known
+    # fallback.
     def mkstep(drop):
         cfg = loops.LoopConfig(raster=RasterizeConfig(
             pair_capacity=1 << 22, chunk=4096, backend=args.backend,
@@ -380,9 +389,10 @@ def leg_train_step(args):
             pallas_chunk=256, pallas_interpret=args.interpret))
         return loops.make_photometric_step(cfg)
 
-    step = mkstep(args.backend == "pallas")
+    step = mkstep(args.train_drop and args.backend == "pallas")
     st, aux = step(state, cam, gt, jnp.int32(0), jnp.float32(0.0))
-    if args.backend == "pallas" and int(aux["overflow"]) != 0:
+    if args.train_drop and args.backend == "pallas" \
+            and int(aux["overflow"]) != 0:
         print("# train: dummy-free expansion missed pairs, falling back",
               file=sys.stderr)
         step = mkstep(False)
@@ -529,7 +539,7 @@ def main():
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("--interpret", action="store_true")
-    ap.add_argument("--budget-s", type=float, default=2350.0,
+    ap.add_argument("--budget-s", type=float, default=2600.0,
                     help="wall-clock budget for STARTING aux legs. The "
                          "round-4 default (4200) exceeded the driver's "
                          "external timeout and the record came back "
@@ -541,6 +551,10 @@ def main():
                          "headline and exits 0 (driver timeout appears "
                          "to be ~3600 s; rc=124 must never happen again)")
     ap.add_argument("--skip-aux", action="store_true")
+    ap.add_argument("--train-drop", action="store_true",
+                    help="probe dummy-free expansion for the train leg "
+                         "(measured nonviable at the default shape; "
+                         "costs an extra full-step compile)")
     ap.add_argument("--ply", default=None,
                     help="real composed-model PLY replaces the proxy scene")
     args = ap.parse_args()
